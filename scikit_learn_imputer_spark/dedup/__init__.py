@@ -1,0 +1,17 @@
+from scikit_learn_imputer_spark.dedup.exact import exact_dedup, exact_dup_groups
+from scikit_learn_imputer_spark.dedup.ngram import char_ngrams, ngram_jaccard_pairs
+from scikit_learn_imputer_spark.dedup.minhash import minhash_signatures, minhash_candidate_pairs
+from scikit_learn_imputer_spark.dedup.simhash import simhash_signatures, simhash_near_pairs
+from scikit_learn_imputer_spark.dedup.embedding import embedding_near_pairs
+
+__all__ = [
+    "exact_dedup",
+    "exact_dup_groups",
+    "char_ngrams",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_candidate_pairs",
+    "simhash_signatures",
+    "simhash_near_pairs",
+    "embedding_near_pairs",
+]

@@ -1,0 +1,37 @@
+"""Exact deduplication via content-hash group-by.
+
+Scale design: group on md5 of the NORMALIZED text (lowercased, whitespace
+collapsed), not on the text itself — the shuffle moves 32-byte digests
+instead of documents, and the aggregate is map-side combinable. Keeping the
+minimum doc_id per group is a deterministic survivor policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scikit_learn_imputer_spark.functions.text import fingerprint_col
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fingerprint, keep_id, dup_count) per distinct content — dup_count > 1
+    marks duplicate groups."""
+    return (
+        df.select(
+            F.col(id_col), fingerprint_col(F.col(text_col)).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep exactly one row (min id) per distinct normalized content."""
+    groups = exact_dup_groups(df, id_col, text_col)
+    return df.join(
+        groups.select(F.col("keep_id").alias(id_col)), on=id_col, how="left_semi"
+    )

@@ -1,0 +1,117 @@
+"""MinHash + LSH near-duplicate detection.
+
+Pipeline: shingle → K minhashes → band → bucket-join → candidate pairs →
+(optional) exact verification.
+
+Every hash is derived from md5 (first 15 hex chars → 60-bit int), so
+signatures are deterministic across runs, partitions, and engines — no
+reliance on Spark's seed-dependent ``hash()``.
+
+Scale notes: the expensive O(n²) pair space is never materialized — pairs
+only form inside LSH buckets (identical band signature). Bucket skew (a
+band value shared by thousands of docs) is the classic hazard; buckets
+larger than ``max_bucket`` are dropped, the standard LSH skew guard.
+All hashing is JVM-side (md5/conv/substring expressions), one shuffle for
+the per-document signature aggregate, one for the band group-by.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scikit_learn_imputer_spark.dedup.ngram import char_ngrams
+
+
+def _md5_hash60(col, salt: int):
+    """Deterministic 60-bit integer hash of a string column."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}|"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    shingle: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, sig_0..sig_{K-1}) — K minhash components per document, one
+    explode + ONE map-side-combinable aggregate (K mins)."""
+    grams = char_ngrams(df, shingle, id_col, text_col)
+    aggs = [
+        F.min(_md5_hash60(F.col("gram"), k)).alias(f"sig_{k}")
+        for k in range(num_hashes)
+    ]
+    return grams.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard) candidate near-dup pairs from banded LSH;
+    est_jaccard = fraction of matching signature components."""
+    k = num_hashes
+    rows_per_band = k // bands
+    sigs = minhash_signatures(df, k, shingle, id_col, text_col)
+
+    # Band key = md5 of the concatenated band slice.
+    band_frames = []
+    for b in range(bands):
+        slice_cols = [
+            F.col(f"sig_{i}").cast("string")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_frames.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *slice_cols)).alias("bucket"),
+                *[F.col(f"sig_{i}") for i in range(k)],
+            )
+        )
+    banded = reduce(DataFrame.unionByName, band_frames)
+
+    # Skew guard: drop degenerate buckets before the pair join.
+    bucket_sizes = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("bsize")
+    )
+    banded = banded.join(
+        bucket_sizes.filter(F.col("bsize") <= max_bucket).select("band", "bucket"),
+        on=["band", "bucket"],
+        how="left_semi",
+    )
+
+    left = banded.select(
+        "band",
+        "bucket",
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"sig_{i}").alias(f"la_{i}") for i in range(k)],
+    )
+    right = banded.select(
+        "band",
+        "bucket",
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"sig_{i}").alias(f"lb_{i}") for i in range(k)],
+    )
+    matches = sum(
+        F.when(F.col(f"la_{i}") == F.col(f"lb_{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    return (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", (matches.cast("double") / k).alias("est_jaccard")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )

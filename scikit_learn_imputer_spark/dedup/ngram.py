@@ -1,0 +1,82 @@
+"""Near-duplicate detection by character-n-gram Jaccard similarity.
+
+The distributed shape: explode each document into its DISTINCT n-grams
+(a JVM higher-order-function projection — sequence → transform → substring →
+array_distinct, no UDF), self-join on the gram to count intersections, and
+compute |A∩B| / (|A| + |B| − |A∩B|).
+
+Scale notes: the gram join's fan-out is bounded by dropping grams whose
+document frequency exceeds ``max_df`` (a stop-gram: a gram present in
+thousands of docs generates quadratic candidate pairs while carrying no
+discriminative signal). With ``max_df=None`` the result is exact — that is
+the oracle-checked configuration at small SF; at 100 TB you set max_df and
+accept the (standard) approximation, or go through MinHash-LSH instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def char_ngrams(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, gram) — one row per DISTINCT character n-gram per document."""
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)),"
+            f" i -> substring({text_col}, i, {n}))"
+        )
+    )
+    return df.select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for all pairs with char-n-gram Jaccard ≥
+    threshold, id_a < id_b."""
+    grams = char_ngrams(df, n, id_col, text_col)
+    if max_df is not None:
+        keep = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("gram")
+        )
+        grams = grams.join(keep, on="gram", how="left_semi")
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+
+    a = grams.select(F.col(id_col).alias("id_a"), "gram")
+    b = grams.select(F.col(id_col).alias("id_b"), "gram")
+    inter = (
+        a.join(b, on="gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+    # No broadcast hint: ``sizes`` is O(documents) — let Catalyst/AQE pick
+    # broadcast only when the runtime stats say it fits.
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

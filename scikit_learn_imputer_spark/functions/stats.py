@@ -1,0 +1,78 @@
+"""Statistical aggregates (SURVEY.md §2 A5-A8, W3/W4, C9 building blocks).
+
+- Shannon entropy (natural log) of a categorical distribution ↔
+  ``scipy.stats.entropy(counts)`` at scikit_learn_imputer.py:28, 574.
+- pandas-style average rank ↔ ``Series.rank()`` (ties get the MEAN of their
+  positions) at scikit_learn_imputer.py:533-541.
+- long-form per-dataset statistics feeding Rubin's-rule between-imputation
+  variance ↔ find_imputation_variance at scikit_learn_imputer.py:556-583.
+
+All pure DataFrame aggregates — no UDFs, stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def entropy_by_column(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shannon entropy (ln base) of each categorical column's value
+    distribution → (variable, entropy). NULLs are excluded (np.unique on a
+    Series drops NaN only when absent — the reference computes entropy on
+    imputed, null-free data; we mirror by filtering nulls).
+
+    One groupBy per column over a shared scan; the per-column aggregates are
+    unioned — each is a map-side-combinable count over a low-cardinality key.
+    """
+    parts = []
+    for c in cols:
+        counts = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c).alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        total = F.sum("__cnt").over(Window.partitionBy())
+        p = F.col("__cnt") / total
+        ent = counts.select(
+            F.lit(c).alias("variable"), (-p * F.log(p)).alias("__term")
+        ).groupBy("variable").agg(F.sum("__term").alias("entropy"))
+        parts.append(ent)
+    return reduce(DataFrame.unionByName, parts)
+
+
+def avg_rank(df: DataFrame, col: str, ascending: bool = True, out_col: str | None = None) -> DataFrame:
+    """pandas ``Series.rank(ascending=...)`` semantics: ties receive the mean
+    of the positions they span; NULLs get NULL rank (pandas NaN).
+
+    rank() gives the MIN position of a tie group; the mean position is
+    rank + (tie_count - 1)/2. Window is global but only ever applied to
+    model-selection report tables (O(models) rows).
+    """
+    out_col = out_col or f"{col}_rank"
+    key = F.col(col).asc() if ascending else F.col(col).desc()
+    w = Window.orderBy(key)
+    tie_cnt = F.count(F.lit(1)).over(Window.partitionBy(F.col(col)))
+    r = F.rank().over(w) + (tie_cnt - 1) / 2
+    # Rank only the non-null rows; pandas excludes NaN from ranking.
+    nonnull = df.filter(F.col(col).isNotNull()).withColumn(
+        out_col, r.cast("double")
+    )
+    nulls = df.filter(F.col(col).isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    return nonnull.unionByName(nulls)
+
+
+def imputation_variance_long(
+    stats_per_dataset: DataFrame,
+) -> DataFrame:
+    """Given long-form per-dataset statistics (dataset, variable, value),
+    return (variable, imputation_variance) where the variance is the SAMPLE
+    variance (ddof=1) across datasets — the B term of Rubin's rule
+    T = U + (1 + 1/m)B (readme.md:18-23)."""
+    return stats_per_dataset.groupBy("variable").agg(
+        F.var_samp("value").alias("imputation_variance")
+    )

@@ -1,0 +1,84 @@
+"""Categorical encoding operators (SURVEY.md §2 E1, E2, E3).
+
+Reference parity:
+- ``one_hot`` ↔ ``pd.get_dummies`` (scikit_learn_imputer.py:165): each
+  categorical column becomes ``<col>_<value>`` 0/1 columns, value-sorted.
+- ``label_encode``/``label_decode`` ↔ sklearn LabelEncoder fit on observed
+  values (scikit_learn_imputer.py:227-228, 269-270) — classes in
+  LEXICOGRAPHIC order (determinism fidelity, SURVEY.md §7.3 #2).
+
+Scale notes: category domains are bounded by the engine's
+``class_threshold`` cardinality gate (default 30), so collecting the
+distinct values is a tiny exact aggregate, and the encode itself is a pure
+projection — no shuffle, stays inside whole-stage codegen. Flat named 0/1
+columns (not MLlib's sparse vector) keep the result oracle-checkable and
+reference-shaped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def distinct_values(df: DataFrame, col: str) -> list:
+    """Sorted distinct non-null values of a column (exact, one agg)."""
+    rows = df.select(col).filter(F.col(col).isNotNull()).distinct().collect()
+    return sorted(r[0] for r in rows)
+
+
+def one_hot(
+    df: DataFrame,
+    cols: list[str],
+    values: dict[str, list] | None = None,
+    drop_encoded: bool = True,
+) -> DataFrame:
+    """pandas-get_dummies-shaped one-hot: for each col in ``cols``, append
+    ``<col>_<value>`` 0/1 ints in value-sorted order. NULL encodes to all
+    zeros (matches get_dummies' dummy_na=False).
+
+    ``values`` pins the category domain per column (determinism across
+    datasets / train-serve skew); missing entries are collected exactly.
+    """
+    values = dict(values or {})
+    for c in cols:
+        if c not in values:
+            values[c] = distinct_values(df, c)
+    out: list[Column] = []
+    for c in df.columns:
+        if c in cols and drop_encoded:
+            continue
+        out.append(F.col(c))
+    for c in cols:
+        for v in values[c]:
+            out.append(
+                F.when(F.col(c) == F.lit(v), 1).otherwise(0).alias(f"{c}_{v}")
+            )
+    return df.select(*out)
+
+
+def label_encode(
+    df: DataFrame, col: str, labels: list | None = None, out_col: str | None = None
+) -> tuple[DataFrame, list]:
+    """Encode a categorical column to 0-based codes in lexicographic label
+    order (sklearn LabelEncoder semantics). NULL stays NULL.
+
+    Implemented as ``array_position`` against a literal label array — a pure
+    projection (no join, no shuffle); the label list is bounded by the
+    cardinality gate.
+    """
+    labels = labels if labels is not None else distinct_values(df, col)
+    out_col = out_col or col
+    arr = F.array(*[F.lit(v) for v in labels])
+    code = F.array_position(arr, F.col(col)).cast("double") - 1
+    encoded = df.withColumn(out_col, F.when(F.col(col).isNotNull(), code))
+    return encoded, labels
+
+
+def label_decode(df: DataFrame, col: str, labels: list, out_col: str | None = None) -> DataFrame:
+    """Inverse of label_encode: code → original label (E3)."""
+    out_col = out_col or col
+    arr = F.array(*[F.lit(v) for v in labels])
+    # element_at is 1-based; codes are 0-based doubles after prediction.
+    decoded = F.element_at(arr, (F.round(F.col(col)).cast("int") + 1))
+    return df.withColumn(out_col, F.when(F.col(col).isNotNull(), decoded))

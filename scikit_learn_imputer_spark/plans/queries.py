@@ -1,0 +1,770 @@
+"""The oracle-checked query registry — one entry per implemented operator
+(SURVEY.md §2 inventory + north-star extensions).
+
+Every Spark callable here has a DuckDB twin in ``ORACLE`` with IDENTICAL
+output column names and value rounding, because the driver hash-compares
+them order-insensitively at sf0.01 (column names sorted before hashing —
+mismatched aliases fail even when values agree).
+
+Engine-portability rules used throughout:
+- null injection is modular arithmetic on keys (sources/nulls.py), never an
+  engine hash;
+- every floating-point output column is rounded identically on both sides;
+- DuckDB's regexp_replace needs the 'g' flag to match Spark's
+  replace-all default;
+- Spark ``size``/``count`` are cast so integer widths agree (BIGINT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scikit_learn_imputer_spark.dedup.embedding import cosine, embedding_near_pairs
+from scikit_learn_imputer_spark.dedup.exact import exact_dup_groups
+from scikit_learn_imputer_spark.dedup.minhash import minhash_candidate_pairs
+from scikit_learn_imputer_spark.dedup.ngram import ngram_jaccard_pairs
+from scikit_learn_imputer_spark.dedup.simhash import simhash_signatures
+from scikit_learn_imputer_spark.functions.stats import entropy_by_column
+from scikit_learn_imputer_spark.functions.text import (
+    LANG_MARKERS,
+    fingerprint_col,
+    lang_id_col,
+    quality_features,
+    rolling_hash_expr,
+    token_count_col,
+)
+from scikit_learn_imputer_spark.operators.fill import ffill_bfill
+from scikit_learn_imputer_spark.operators.missing import (
+    missing_indicator,
+    missing_metrics,
+)
+from scikit_learn_imputer_spark.operators.encode import one_hot
+from scikit_learn_imputer_spark.operators.scale import minmax_scale
+from scikit_learn_imputer_spark.operators.split import split_modulo
+from scikit_learn_imputer_spark.operators.update import scatter_update
+from scikit_learn_imputer_spark.similarity.knn import cosine_topk
+from scikit_learn_imputer_spark.sources.nulls import nulls_cte, with_nulls
+from scikit_learn_imputer_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+MKTSEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =====================================================================
+# Imputation-core operators (SURVEY.md §2.2-2.7)
+# =====================================================================
+
+@register(
+    "missing_metrics",
+    oracle=f"""
+WITH customer_nulls AS ({nulls_cte('customer')}),
+agg AS (
+  SELECT count(*) AS total,
+         count(c_custkey) AS o1, count(c_name) AS o2, count(c_nationkey) AS o3,
+         count(c_acctbal) AS o4, count(c_mktsegment) AS o5
+  FROM customer_nulls
+)
+SELECT v.variable, v.observed, total - v.observed AS missing, total,
+       CAST(total - v.observed AS DOUBLE) / total AS imputation_rate
+FROM agg, (
+  SELECT 'c_custkey' AS variable, o1 AS observed FROM agg UNION ALL
+  SELECT 'c_name', o2 FROM agg UNION ALL
+  SELECT 'c_nationkey', o3 FROM agg UNION ALL
+  SELECT 'c_acctbal', o4 FROM agg UNION ALL
+  SELECT 'c_mktsegment', o5 FROM agg
+) v
+""",
+)
+def q_missing_metrics(spark, sf_dir):
+    """A1-A3/C3: per-column missingness report in ONE aggregate pass."""
+    df = with_nulls(_t(spark, sf_dir, "customer"), "customer")
+    return missing_metrics(df)
+
+
+@register(
+    "missing_indicator",
+    oracle=f"""
+WITH orders_nulls AS ({nulls_cte('orders')})
+SELECT o_orderkey,
+       o_orderkey IS NULL AS o_orderkey_flag,
+       o_custkey IS NULL AS o_custkey_flag,
+       o_orderstatus IS NULL AS o_orderstatus_flag,
+       o_totalprice IS NULL AS o_totalprice_flag,
+       o_orderdate IS NULL AS o_orderdate_flag,
+       o_orderpriority IS NULL AS o_orderpriority_flag
+FROM orders_nulls
+""",
+)
+def q_missing_indicator(spark, sf_dir):
+    """P3/C2: boolean missing flags per column, keyed by order id."""
+    df = with_nulls(_t(spark, sf_dir, "orders"), "orders")
+    return missing_indicator(df, cols=df.columns, keep=["o_orderkey"])
+
+
+@register(
+    "ffill_bfill",
+    oracle=f"""
+WITH lineitem_nulls AS ({nulls_cte('lineitem')}),
+keyed AS (
+  SELECT l_orderkey * 10 + l_linenumber AS rid, l_quantity, l_discount
+  FROM lineitem_nulls
+)
+SELECT rid,
+  COALESCE(
+    last_value(l_quantity IGNORE NULLS) OVER (ORDER BY rid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    first_value(l_quantity IGNORE NULLS) OVER (ORDER BY rid ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+  ) AS l_quantity,
+  COALESCE(
+    last_value(l_discount IGNORE NULLS) OVER (ORDER BY rid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    first_value(l_discount IGNORE NULLS) OVER (ORDER BY rid ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+  ) AS l_discount
+FROM keyed
+""",
+)
+def q_ffill_bfill(spark, sf_dir):
+    """W1/W2: partitioned two-pass forward/backward fill — never a single
+    global window (SURVEY.md §7.3 #1)."""
+    df = with_nulls(_t(spark, sf_dir, "lineitem"), "lineitem")
+    keyed = df.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        "l_quantity",
+        "l_discount",
+    )
+    return ffill_bfill(keyed, "rid", ["l_quantity", "l_discount"])
+
+
+@register(
+    "one_hot",
+    oracle="""
+SELECT c_custkey,
+""" + ",\n".join(
+        f"       CASE WHEN c_mktsegment = '{v}' THEN 1 ELSE 0 END AS c_mktsegment_{v}"
+        for v in MKTSEGMENTS
+    ) + "\nFROM customer",
+)
+def q_one_hot(spark, sf_dir):
+    """E1: pandas-get_dummies-shaped one-hot as a pure projection."""
+    df = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return one_hot(df, ["c_mktsegment"], values={"c_mktsegment": MKTSEGMENTS})
+
+
+@register(
+    "minmax_scale",
+    oracle="""
+WITH stats AS (SELECT min(c_acctbal) mn, max(c_acctbal) mx FROM customer)
+SELECT c_custkey,
+       round(CASE WHEN mx = mn THEN 0.0
+             ELSE (c_acctbal - mn) / (mx - mn) END, 6) AS c_acctbal_scaled
+FROM customer, stats
+""",
+)
+def q_minmax_scale(spark, sf_dir):
+    """E4: min-max scaling as one agg + broadcast projection."""
+    df = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    scaled = minmax_scale(df, ["c_acctbal"])
+    return scaled.select(
+        "c_custkey", F.round(F.col("c_acctbal"), 6).alias("c_acctbal_scaled")
+    )
+
+
+@register(
+    "scatter_update_mean",
+    oracle=f"""
+WITH customer_nulls AS ({nulls_cte('customer')}),
+m AS (SELECT round(avg(c_acctbal), 2) AS fill FROM customer_nulls)
+SELECT c_custkey, COALESCE(c_acctbal, fill) AS c_acctbal
+FROM customer_nulls, m
+""",
+)
+def q_scatter_update_mean(spark, sf_dir):
+    """J3: scatter update (join+coalesce) writing a mean fill into the
+    missing cells only."""
+    df = with_nulls(_t(spark, sf_dir, "customer"), "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    fill = df.agg(F.round(F.avg("c_acctbal"), 2).alias("fill"))
+    updates = (
+        df.filter(F.col("c_acctbal").isNull())
+        .crossJoin(F.broadcast(fill))
+        .select("c_custkey", F.col("fill").alias("c_acctbal"))
+    )
+    return scatter_update(df, updates, "c_custkey", "c_acctbal")
+
+
+@register(
+    "split_modulo",
+    oracle="""
+SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'test' ELSE 'train' END AS split,
+       count(*) AS n
+FROM orders GROUP BY 1
+""",
+)
+def q_split_modulo(spark, sf_dir):
+    """X1: deterministic engine-portable train/test split (counts)."""
+    df = _t(spark, sf_dir, "orders")
+    train, test = split_modulo(df, "o_orderkey", 10, (0,))
+    return train.select(F.lit("train").alias("split")).union(
+        test.select(F.lit("test").alias("split"))
+    ).groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "cardinality_prune",
+    oracle="""
+SELECT v.variable, v.n_distinct, v.n_distinct <= 30 AS keep
+FROM (
+  SELECT 'c_nationkey' AS variable, count(DISTINCT c_nationkey) AS n_distinct FROM customer UNION ALL
+  SELECT 'c_mktsegment', count(DISTINCT c_mktsegment) FROM customer UNION ALL
+  SELECT 'c_name', count(DISTINCT c_name) FROM customer
+) v
+""",
+)
+def q_cardinality_prune(spark, sf_dir):
+    """A4/P7: exact distinct counts driving the class_threshold gate."""
+    df = _t(spark, sf_dir, "customer")
+    cols = ["c_nationkey", "c_mktsegment", "c_name"]
+    agg = df.agg(*[F.countDistinct(F.col(c)).alias(c) for c in cols])
+    structs = [
+        F.struct(
+            F.lit(c).alias("variable"), F.col(c).alias("n_distinct")
+        )
+        for c in cols
+    ]
+    return (
+        agg.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.*")
+        .withColumn("keep", F.col("n_distinct") <= 30)
+    )
+
+
+@register(
+    "entropy_by_column",
+    oracle=f"""
+WITH customer_nulls AS ({nulls_cte('customer')}),
+seg AS (
+  SELECT c_mktsegment AS v, count(*) AS cnt FROM customer_nulls
+  WHERE c_mktsegment IS NOT NULL GROUP BY 1
+),
+nat AS (
+  SELECT c_nationkey AS v, count(*) AS cnt FROM customer_nulls
+  WHERE c_nationkey IS NOT NULL GROUP BY 1
+)
+SELECT 'c_mktsegment' AS variable,
+       round(-sum((cnt::DOUBLE / t.s) * ln(cnt::DOUBLE / t.s)), 6) AS entropy
+FROM seg, (SELECT sum(cnt) AS s FROM seg) t GROUP BY t.s
+UNION ALL
+SELECT 'c_nationkey',
+       round(-sum((cnt::DOUBLE / t.s) * ln(cnt::DOUBLE / t.s)), 6)
+FROM nat, (SELECT sum(cnt) AS s FROM nat) t GROUP BY t.s
+""",
+)
+def q_entropy_by_column(spark, sf_dir):
+    """A5/A6: Shannon entropy (natural log) of categorical distributions."""
+    df = with_nulls(_t(spark, sf_dir, "customer"), "customer")
+    ent = entropy_by_column(df, ["c_mktsegment", "c_nationkey"])
+    return ent.select("variable", F.round(F.col("entropy"), 6).alias("entropy"))
+
+
+@register(
+    "imputation_variance",
+    oracle=f"""
+WITH customer_nulls AS ({nulls_cte('customer')}),
+ds AS (
+  SELECT 'mean_fill' AS dataset,
+         avg(COALESCE(c_acctbal, (SELECT avg(c_acctbal) FROM customer_nulls))) AS value
+  FROM customer_nulls
+  UNION ALL
+  SELECT 'zero_fill', avg(COALESCE(c_acctbal, 0.0)) FROM customer_nulls
+  UNION ALL
+  SELECT 'min_fill',
+         avg(COALESCE(c_acctbal, (SELECT min(c_acctbal) FROM customer_nulls)))
+  FROM customer_nulls
+)
+SELECT 'c_acctbal' AS variable,
+       round(var_samp(value), 4) AS imputation_variance
+FROM ds
+""",
+)
+def q_imputation_variance(spark, sf_dir):
+    """A7/A8/C9: Rubin's-rule between-imputation variance across m simple
+    imputations (exercises find_imputation_variance's aggregate shape)."""
+    df = with_nulls(_t(spark, sf_dir, "customer"), "customer").select("c_acctbal")
+    mean_v = df.agg(F.avg("c_acctbal")).collect()[0][0]
+    min_v = df.agg(F.min("c_acctbal")).collect()[0][0]
+    fills = {"mean_fill": mean_v, "zero_fill": 0.0, "min_fill": min_v}
+    parts = []
+    for name, v in fills.items():
+        parts.append(
+            df.select(F.coalesce(F.col("c_acctbal"), F.lit(v)).alias("x")).agg(
+                F.lit(name).alias("dataset"), F.avg("x").alias("value")
+            )
+        )
+    from functools import reduce
+
+    long = reduce(DataFrame.unionByName, parts)
+    return long.agg(
+        F.lit("c_acctbal").alias("variable"),
+        F.round(F.var_samp("value"), 4).alias("imputation_variance"),
+    )
+
+
+@register(
+    "avg_rank_suppliers",
+    oracle="""
+SELECT s_suppkey, s_acctbal,
+       rank() OVER (ORDER BY s_acctbal)
+         + (count(*) OVER (PARTITION BY s_acctbal) - 1) / 2.0 AS s_acctbal_rank
+FROM supplier
+""",
+)
+def q_avg_rank_suppliers(spark, sf_dir):
+    """W3/W4: pandas-average-rank semantics (ties get mean position)."""
+    from scikit_learn_imputer_spark.functions.stats import avg_rank
+
+    df = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    return avg_rank(df, "s_acctbal", ascending=True)
+
+
+# =====================================================================
+# Star-schema relational staples (join/agg/window coverage at scale)
+# =====================================================================
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical map-side-combinable aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q3_top_orders",
+    oracle="""
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q_q3_top_orders(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → join → agg → top-k. The
+    customer side is filtered before the join so Catalyst broadcasts it."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name
+""",
+)
+def q_revenue_by_nation(spark, sf_dir):
+    """Q5 shape: multi-way join with small dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "top_parts_per_brand",
+    oracle="""
+SELECT p_brand, p_partkey, p_retailprice
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+) WHERE rn <= 3
+""",
+)
+def q_top_parts_per_brand(spark, sf_dir):
+    """Top-k per group: window partitioned by the group key — parallel
+    across groups, no global sort."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+
+
+@register(
+    "events_hourly",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_events_hourly(spark, sf_dir):
+    """Streaming twin (streaming/events.py): tumbling 1h windows."""
+    from scikit_learn_imputer_spark.streaming.events import (
+        windowed_event_counts_batch,
+    )
+
+    out = windowed_event_counts_batch(spark, sf_dir, "1 hour")
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "events_json",
+    oracle="""
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q_events_json(spark, sf_dir):
+    """Semi-structured column: JSON extraction + aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(
+            F.avg(F.get_json_object("props", "$.k").cast("bigint")), 4
+        ).alias("avg_k")
+    )
+
+
+# =====================================================================
+# Training-data-pipeline extensions: dedup / text / similarity
+# =====================================================================
+
+@register(
+    "exact_dup_groups",
+    oracle="""
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents
+GROUP BY 1
+""",
+)
+def q_exact_dup_groups(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized content digests."""
+    return exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+WITH grams AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS gram
+  FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(len(text) - 2, 0))) AS i
+        FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM grams a JOIN grams b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.82
+""",
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup by char-3-gram Jaccard (exact, oracle-checked config)."""
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.82
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       list_reduce(
+         list_transform(generate_series(1, length(text)),
+                        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+         (acc, c) -> (acc * 31 + c) % 1000000007
+       ) AS rolling_hash
+FROM documents
+""",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 canonical digest + polynomial rolling
+    hash, both JVM-side expressions."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint_col(F.col("text")).alias("fingerprint"),
+        rolling_hash_expr("text").alias("rolling_hash"),
+    )
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang, words in LANG_MARKERS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            f"len(list_filter(string_split(trim(text), ' '), t -> t IN ({inlist}))) AS s_{lang}"
+        )
+    return ",\n       ".join(parts)
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+       {_lang_scores_sql()}
+  FROM documents
+)
+SELECT doc_id,
+       CASE
+         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+         WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+         WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+         WHEN s_es >= s_zh THEN 'es'
+         ELSE 'zh'
+       END AS lang_pred
+FROM scored
+""",
+)
+def q_lang_id(spark, sf_dir):
+    """Heuristic marker-word language ID (argmax with priority tiebreak)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id_col(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_quality",
+    oracle="""
+SELECT doc_id,
+       length(text) AS q_chars,
+       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS q_tokens,
+       round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS alpha_ratio,
+       round(CAST(len(list_filter(string_split(trim(text), ' '),
+                   t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+             / len(string_split(trim(text), ' ')), 6) AS stop_ratio
+FROM documents
+""",
+)
+def q_text_quality(spark, sf_dir):
+    """Text quality features: char/token counts, alphabetic + stopword
+    ratios — all codegen-friendly column expressions."""
+    from scikit_learn_imputer_spark.functions.text import stopword_count_col
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tokens = token_count_col(t).cast("long")
+    n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    n_stop = stopword_count_col(t, LANG_MARKERS["en"])
+    return d.select(
+        "doc_id",
+        F.length(t).alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        F.round(n_alpha.cast("double") / F.length(t), 6).alias("alpha_ratio"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stop_ratio"),
+    )
+
+
+@register(
+    "embedding_near_pairs",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.8
+""",
+)
+def q_embedding_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact small-SF reference for the
+    LSH scale path)."""
+    pairs = embedding_near_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.8
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")
+    )
+
+
+@register(
+    "cosine_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= 10
+""",
+)
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force exact top-k cosine ANN baseline: broadcast queries,
+    per-query window (no global sort)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries, k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    )
+
+
+# ---- rows-only checked (non-SQL-expressible or intentionally unoracled) ----
+
+@register("minhash_candidates")
+def q_minhash_candidates(spark, sf_dir):
+    """MinHash-LSH near-dup candidates — the 100TB-scale dedup path.
+    Deterministic (md5-derived hashes) but banding logic is beyond the
+    oracle's SQL; driver records the rows-only check."""
+    return minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, shingle=5
+    )
+
+
+@register("simhash_signatures")
+def q_simhash_signatures(spark, sf_dir):
+    """60-bit SimHash signature per document (rows-only check)."""
+    return simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+@register("spark_imputer_e2e")
+def q_spark_imputer_e2e(spark, sf_dir):
+    """End-to-end ML imputation (C5 fit + impute) on the null-injected
+    customer table: mixed categorical/continuous targets, MLlib models.
+    Model predictions are not SQL-expressible → rows-only check; the test
+    suite enforces the reference's no-nulls-in-output invariant instead."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.regression import LinearRegression
+
+    from scikit_learn_imputer_spark.imputer import SparkImputer
+
+    df = with_nulls(_t(spark, sf_dir, "customer"), "customer").select(
+        F.col("c_custkey").alias("id"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    imp = SparkImputer(
+        df,
+        categorical=["c_mktsegment"],
+        save_models_to="/tmp/sli_spark_models_e2e",
+        class_threshold=30,
+        id_col="id",
+    )
+    result = imp.fit(
+        classification=LogisticRegression(maxIter=20),
+        regression=LinearRegression(maxIter=20),
+        transform=True,
+    )
+    return result["imputed_data"]

@@ -1,0 +1,129 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``cosine_topk``: brute-force exact top-k cosine — the correctness
+  baseline. Query side is a handful of vectors → BROADCAST cross join (the
+  corpus is never shuffled), per-query top-k via a window partitioned by the
+  query id (parallel across queries, never a global sort).
+- ``cosine_topk_lsh``: the scale path — sign-random-projection (SimHash for
+  vectors) buckets shrink the candidate set before exact re-ranking.
+  Projection hyperplanes are derived deterministically from md5, so results
+  are reproducible without shipping a random state.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from scikit_learn_imputer_spark.dedup.embedding import cosine
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, cosine, rank).
+
+    Self-matches (same id) are excluded. Ties broken by neighbor id so the
+    result is deterministic."""
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(
+                F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _projection_bit(vec, dim: int, plane: int) -> "F.Column":
+    """Sign bit of a deterministic pseudo-random hyperplane projection.
+
+    Hyperplane component j for plane p is ±1 derived from md5(p|j) — an
+    engine-portable stand-in for a Gaussian random projection; for sign-LSH
+    Rademacher (±1) projections carry the same cosine guarantee."""
+    signs = F.array(
+        *[
+            F.when(
+                F.conv(F.substring(F.md5(F.lit(f"{plane}|{j}")), 1, 8), 16, 10)
+                .cast("long")
+                .bitwiseAND(F.lit(1))
+                == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+            for j in range(dim)
+        ]
+    )
+    proj = F.aggregate(
+        F.zip_with(vec, signs, lambda x, s: x * s),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(proj >= 0, 1).otherwise(0)
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates must share the sign-LSH bucket with the
+    query (probing the exact bucket only; multi-probe = widen at re-rank).
+    Exact cosine re-ranks the candidates."""
+    def with_bucket(df, out):
+        v = F.col(vec_col).cast("array<double>")
+        bucket = sum(
+            _projection_bit(v, dim, p) * (1 << p) for p in range(planes)
+        )
+        return df.withColumn(out, bucket)
+
+    q = with_bucket(queries, "bucket").select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    c = with_bucket(corpus, "bucket").select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(
+                F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

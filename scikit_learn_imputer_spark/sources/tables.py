@@ -1,0 +1,69 @@
+"""Parquet loaders for the driver testdata star schema (TESTDATA.md).
+
+SURVEY.md §2.1 S1/S6: the reference's only scan is ``pd.read_csv`` of a 19-row
+fixture (tests.py:31). The engine's default source is columnar parquet so that
+Catalyst gets predicate pushdown / column pruning / partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one star-schema table.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; it is read as raw nanos (legacy nanosAsLong) and
+    converted to a microsecond timestamp — matching what DuckDB/pandas
+    surface for the same file."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        raw = spark.read.parquet(path)
+        return raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register every table as a temp view so ``spark.sql`` plans against them
+    with the same names the DuckDB oracle uses."""
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV scan (S1). With an explicit schema when determinism matters."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.option("inferSchema", "true").csv(path)
+
+
+def write_csv_report(df: DataFrame, path: str) -> None:
+    """CSV sink for small report tables (S2) — coalesce(1) is safe because
+    reports are per-column/per-model summaries, never data-sized."""
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)

@@ -1,0 +1,74 @@
+"""Structured Streaming over the ``events`` table.
+
+The reference has no streaming constructs (SURVEY.md §2.10); this is the
+driver's north-star extension. The same windowed aggregation is exposed
+twice:
+
+- ``windowed_event_counts``: a transformation applicable to a STREAMING
+  DataFrame (readStream → watermark → window agg → writeStream), with a
+  watermark bounding state for late data;
+- ``windowed_event_counts_batch``: the identical logical plan on a batch
+  frame — Structured Streaming's batch/stream unification means one
+  function body serves both, and the batch twin is what the DuckDB oracle
+  checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events_from_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (one-file-per-trigger so tests see
+    deterministic micro-batches). Schema comes from a batch peek — parquet
+    streams require an explicit schema. ``ts`` is TIMESTAMP(NANOS) on disk
+    (read as long, converted — see sources/tables.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event_type with a watermark
+    for late-data state eviction. Works on both batch and streaming frames
+    (watermark is a no-op in batch mode)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(
+            F.window(F.col("ts"), window).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("event_type"),
+            F.col("n_events"),
+            F.col("sum_value"),
+        )
+    )
+
+
+def windowed_event_counts_batch(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour"
+) -> DataFrame:
+    """Batch twin of the streaming aggregation (oracle-checkable)."""
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    return windowed_event_counts(load_table(spark, sf_dir, "events"), window)

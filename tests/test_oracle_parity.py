@@ -1,0 +1,96 @@
+"""In-repo replica of the driver's correctness gate: run every registered
+Spark query AND its DuckDB oracle on the same parquet tables, compare
+row-count + schema-shape + order-insensitive values.
+
+Runs at sf0.001 for speed (the driver runs sf0.01); any mismatch here would
+fail the driver's CORRECTNESS check too.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from scikit_learn_imputer_spark.plans.queries import ORACLE, QUERIES
+from scikit_learn_imputer_spark.sources.tables import TABLES
+
+
+def duck_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(rows, columns):
+    """Sort columns by name, then sort rows — order-insensitive compare."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [c for c in sorted(columns)], out
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(spark, sf_smoke, name):
+    sdf = QUERIES[name](spark, sf_smoke)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duck_con(sf_smoke)
+    res = con.execute(ORACLE[name])
+    d_cols = [d[0] for d in res.description]
+    d_rows = [tuple(r) for r in res.fetchall()]
+
+    s_colnames, s_norm = normalize(s_rows, s_cols)
+    d_colnames, d_norm = normalize(d_rows, d_cols)
+
+    assert s_colnames == d_colnames, f"{name}: column names differ"
+    assert len(s_norm) == len(d_norm), (
+        f"{name}: row count {len(s_norm)} vs oracle {len(d_norm)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(s_norm, d_norm) if not _rows_equal(a, b)
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatching rows; first: {mismatches[:3]}"
+    )
+
+
+def _rows_equal(a, b) -> bool:
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if isinstance(x, float) and isinstance(y, float):
+            if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
+                return False
+        elif x != y:
+            return False
+    return True
+
+
+def test_all_queries_return_rows(spark, sf_smoke):
+    """Every registered query (oracled or not) must run and be non-empty —
+    except pair-finding queries that may legitimately be empty at tiny SF."""
+    may_be_empty = {"ngram_jaccard_pairs", "embedding_near_pairs", "minhash_candidates"}
+    for name, fn in QUERIES.items():
+        if name == "spark_imputer_e2e":
+            continue  # exercised in test_imputer.py end-to-end
+        df = fn(spark, sf_smoke)
+        n = df.count()
+        if name not in may_be_empty:
+            assert n > 0, f"{name} returned 0 rows"
