@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (full plan
+execution, no driver collect of data-sized results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from scikit_learn_imputer_spark.session import get_spark
+    from scikit_learn_imputer_spark.plans.queries import QUERIES
+
+    spark = get_spark(
+        "sli-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ngram_jaccard at bench SF uses the documented stop-gram guard: the
+    # exact config is for the sf0.01 oracle gate; the pair join over a
+    # shared-vocabulary corpus is quadratic without it (see dedup/ngram.py).
+    from pyspark.sql import functions as F
+    from scikit_learn_imputer_spark.dedup.ngram import ngram_jaccard_pairs
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    overrides = {
+        "ngram_jaccard_pairs": lambda s, d: ngram_jaccard_pairs(
+            load_table(s, d, "documents"), n=3, threshold=0.82, max_df=200
+        ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")),
+    }
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in sorted(QUERIES):
+        fn = overrides.get(name, QUERIES[name])
+        start = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # record failures, keep benching
+            timings[name] = -1.0
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            continue
+        elapsed = round(time.time() - start, 3)
+        timings[name] = elapsed
+        total += elapsed
+        print(f"bench: {name} {elapsed}s", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -42,18 +42,27 @@ def embedding_near_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id_a, id_b, cosine) for all pairs with cosine ≥ threshold (exact,
-    brute pair join — small-SF reference; see module doc for the LSH path)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    brute pair join — small-SF reference; see module doc for the LSH path).
+
+    Norms are computed ONCE per vector before the pair join (O(n·d)), not
+    per pair (O(n²·d)); the division keeps the identical float sequence
+    dot/(‖a‖·‖b‖) so results stay bit-equal to the naive form."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    ).withColumn("na", norm(F.col("va")))
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    ).withColumn("nb", norm(F.col("vb")))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            cosine(
-                F.col("va").cast("array<double>"),
-                F.col("vb").cast("array<double>"),
+            (
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

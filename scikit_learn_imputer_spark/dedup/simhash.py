@@ -18,7 +18,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from scikit_learn_imputer_spark.dedup.minhash import _md5_hash60
+from scikit_learn_imputer_spark.dedup.minhash import _fast_hash
 
 BITS = 60
 CHUNKS = 4
@@ -33,7 +33,7 @@ def simhash_signatures(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("tok"),
     )
-    h = _md5_hash60(F.col("tok"), 0)
+    h = _fast_hash(F.col("tok"), 0)
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -114,17 +114,28 @@ def ffill_bfill(
 
     joined = part.join(F.broadcast(carry_df), on="__pid", how="left")
 
-    # Pass 2: partition-local windows — parallel, bounded memory.
-    w = Window.partitionBy("__pid").orderBy(order_col)
-    wf = w.rowsBetween(Window.unboundedPreceding, 0)
-    wb = w.rowsBetween(0, Window.unboundedFollowing)
+    # Pass 2: partition-local windows — parallel, bounded memory. Both are
+    # RUNNING frames (unboundedPreceding → current), which Spark evaluates
+    # incrementally in O(n); the natural "(current → unboundedFollowing)"
+    # frame for bfill is O(n²) per partition (re-scanned per row), so bfill
+    # is expressed as a running last() over the REVERSED order instead.
+    wf = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wb = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(order_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     out = joined.select(
         *[
             (
                 F.coalesce(
                     F.last(F.col(c), ignorenulls=True).over(wf),
                     F.col(f"__ci_{c}"),
-                    F.first(F.col(c), ignorenulls=True).over(wb),
+                    F.last(F.col(c), ignorenulls=True).over(wb),
                     F.col(f"__cb_{c}"),
                 ).alias(c)
                 if c in cols
@@ -142,15 +153,18 @@ def ffill_bfill_global(
     """Single-global-window reference implementation (ONE partition — test
     oracle only, never for data-sized frames)."""
     cols = cols or [c for c in df.columns if c != order_col]
-    w = Window.orderBy(order_col)
-    wf = w.rowsBetween(Window.unboundedPreceding, 0)
-    wb = w.rowsBetween(0, Window.unboundedFollowing)
+    wf = Window.orderBy(F.col(order_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wb = Window.orderBy(F.col(order_col).desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     return df.select(
         *[
             (
                 F.coalesce(
                     F.last(F.col(c), ignorenulls=True).over(wf),
-                    F.first(F.col(c), ignorenulls=True).over(wb),
+                    F.last(F.col(c), ignorenulls=True).over(wb),
                 ).alias(c)
                 if c in cols
                 else F.col(c)

@@ -32,21 +32,27 @@ def cosine_topk(
 
     Self-matches (same id) are excluded. Ties broken by neighbor id so the
     result is deterministic."""
+    from scikit_learn_imputer_spark.dedup.embedding import dot, norm
+
     query_id_col = query_id_col or id_col
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
+    # Norms precomputed per side (O(n·d)), not per pair; the division keeps
+    # the identical float sequence dot/(‖q‖·‖c‖).
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(
-                F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")
+            (
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
             ).alias("cosine"),
         )
     )
