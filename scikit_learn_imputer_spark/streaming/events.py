@@ -26,10 +26,13 @@ def stream_events_from_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     (read as long, converted — see sources/tables.py)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file stream source requires a DIRECTORY; narrow it to the events
+    # file with a glob filter (schema is pinned explicitly above).
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{sf_dir}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
     return raw.withColumn(
         "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))

@@ -1,0 +1,109 @@
+"""Unit tests for dedup and similarity-search operators on constructed
+corpora with known duplicate structure."""
+
+from pyspark.sql import functions as F
+
+from scikit_learn_imputer_spark.dedup.exact import exact_dedup, exact_dup_groups
+from scikit_learn_imputer_spark.dedup.minhash import minhash_candidate_pairs
+from scikit_learn_imputer_spark.dedup.ngram import ngram_jaccard_pairs
+from scikit_learn_imputer_spark.dedup.simhash import simhash_near_pairs
+from scikit_learn_imputer_spark.dedup.embedding import embedding_near_pairs
+from scikit_learn_imputer_spark.similarity.knn import cosine_topk, cosine_topk_lsh
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, "The  Quick brown fox jumps over the lazy dog again and again today"),  # normalized dup
+        (4, base.replace("lazy", "sleepy")),  # near dup
+        (5, "completely different content about spark query engines and shuffles"),
+        (6, "yet another unrelated document mentioning parquet and catalyst"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark)
+    groups = exact_dup_groups(df)
+    dup = {r["keep_id"]: r["dup_count"] for r in groups.collect()}
+    assert dup[1] == 3  # docs 1, 2, 3 share a normalized fingerprint
+    kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert kept == [1, 4, 5, 6]
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 4) in pairs and 0.5 <= pairs[(1, 4)] < 1.0
+    assert (1, 5) not in pairs
+
+
+def test_ngram_max_df_prunes(spark):
+    all_pairs = ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.5)
+    pruned = ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.5, max_df=3)
+    assert pruned.count() <= all_pairs.count()
+
+
+def test_minhash_candidates_include_dups(spark):
+    cands = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_candidate_pairs(
+            _docs(spark), num_hashes=16, bands=8, shingle=5
+        ).collect()
+    }
+    assert cands.get((1, 2)) == 1.0  # identical docs agree on all components
+    assert (1, 4) in cands  # near dup lands in at least one band
+    assert (5, 6) not in cands
+
+
+def test_simhash_near_pairs(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(_docs(spark), max_hamming=10).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 5) not in pairs
+
+
+def _vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.98, 0.15]),  # close to 2
+        (4, [-1.0, 0.0, 0.0]),   # opposite of 0
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_embedding_near_pairs(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_pairs(_vectors(spark), threshold=0.95).collect()
+    }
+    assert (0, 1) in pairs and (2, 3) in pairs
+    assert (0, 4) not in pairs and (0, 2) not in pairs
+
+
+def test_cosine_topk_exact(spark):
+    emb = _vectors(spark)
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2)
+    rows = sorted(
+        (r["rank"], r["neighbor_id"]) for r in out.collect()
+    )
+    assert rows[0] == (1, 1)  # nearest neighbor of 0 is 1
+    assert len(rows) == 2
+
+
+def test_cosine_topk_lsh_recovers_nearest(spark):
+    emb = _vectors(spark)
+    out = cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") == 0), k=2, dim=3, planes=2
+    )
+    got = {r["neighbor_id"] for r in out.collect()}
+    assert 1 in got  # the true nearest neighbor shares the sign bucket

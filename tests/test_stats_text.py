@@ -1,0 +1,104 @@
+"""Unit tests for statistical aggregates and text functions."""
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from scikit_learn_imputer_spark.functions.stats import avg_rank, entropy_by_column
+from scikit_learn_imputer_spark.functions.text import (
+    fingerprint_col,
+    lang_id_col,
+    rolling_hash_expr,
+    token_count_col,
+)
+
+
+def test_entropy_matches_scipy_formula(spark):
+    """scipy.stats.entropy(counts) = -Σ p·ln p over the value distribution
+    (reference scikit_learn_imputer.py:28,574)."""
+    schema = StructType(
+        [StructField("id", LongType(), False), StructField("c", StringType(), True)]
+    )
+    data = ["a"] * 5 + ["b"] * 3 + ["c"] * 2
+    df = spark.createDataFrame(list(enumerate(data)), schema)
+    out = {r["variable"]: r["entropy"] for r in entropy_by_column(df, ["c"]).collect()}
+    counts = [5, 3, 2]
+    total = sum(counts)
+    expected = -sum((n / total) * math.log(n / total) for n in counts)
+    assert abs(out["c"] - expected) < 1e-12
+
+
+def test_avg_rank_matches_pandas_rank(spark):
+    """pandas Series.rank(): ties get the MEAN of their positions
+    (reference :533-541 ranks model metrics this way)."""
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0]
+    schema = StructType(
+        [StructField("id", LongType(), False), StructField("v", DoubleType(), True)]
+    )
+    df = spark.createDataFrame(list(enumerate(vals)), schema)
+    for ascending in (True, False):
+        out = avg_rank(df, "v", ascending=ascending)
+        got = {r["id"]: r["v_rank"] for r in out.collect()}
+        expected = pd.Series(vals).rank(ascending=ascending)
+        for i, e in expected.items():
+            assert got[i] == e, f"ascending={ascending} id={i}: {got[i]} != {e}"
+
+
+def test_avg_rank_nulls_unranked(spark):
+    schema = StructType(
+        [StructField("id", LongType(), False), StructField("v", DoubleType(), True)]
+    )
+    df = spark.createDataFrame([(0, 2.0), (1, None), (2, 1.0)], schema)
+    got = {r["id"]: r["v_rank"] for r in avg_rank(df, "v").collect()}
+    assert got == {0: 2.0, 1: None, 2: 1.0}
+
+
+def test_token_count_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(0, "hello  world foo"), (1, "  "), (2, "one")], ["id", "text"]
+    )
+    out = df.select(
+        "id",
+        token_count_col(F.col("text")).alias("n"),
+        fingerprint_col(F.col("text")).alias("fp"),
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[0]["n"] == 3  # multi-space collapses
+    assert by_id[1]["n"] == 0
+    assert by_id[2]["n"] == 1
+    import hashlib
+
+    assert by_id[0]["fp"] == hashlib.md5(b"hello world foo").hexdigest()
+
+
+def test_rolling_hash_matches_python(spark):
+    text = "spark graft"
+    df = spark.createDataFrame([(0, text)], ["id", "text"])
+    got = df.select(rolling_hash_expr("text").alias("h")).collect()[0]["h"]
+    acc = 0
+    for ch in text:
+        acc = (acc * 31 + ord(ch)) % 1_000_000_007
+    assert got == acc
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat of the house is a cat"),
+            (1, "der hund und die katze ist da"),
+            (2, "le chat et la maison est les"),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["lang"] for r in df.select(
+        "id", lang_id_col(F.col("text")).alias("lang")
+    ).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr"}

@@ -1,0 +1,37 @@
+"""Structured Streaming tests: the windowed event aggregation must produce
+the same result through readStream (memory sink, processing until done) as
+through the batch twin."""
+
+from scikit_learn_imputer_spark.streaming.events import (
+    stream_events_from_parquet,
+    windowed_event_counts,
+    windowed_event_counts_batch,
+)
+
+
+def test_stream_matches_batch(spark, sf_smoke):
+    stream = stream_events_from_parquet(spark, sf_smoke)
+    assert stream.isStreaming
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("ev_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+            for r in spark.table("ev_counts").collect()
+        }
+    finally:
+        query.stop()
+
+    batch = windowed_event_counts_batch(spark, sf_smoke, "1 hour")
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in batch.collect()
+    }
+    assert got == expected
+    assert len(expected) > 0
