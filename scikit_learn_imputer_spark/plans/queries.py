@@ -720,6 +720,101 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+@register(
+    "asof_last_signup",
+    oracle="""
+SELECT e.event_id, e.user_id, s.ts AS signup_ts
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+""",
+)
+def q_asof_last_signup(spark, sf_dir):
+    """As-of join (operators/asof.py): for every event, the latest signup
+    of the same user at or before it. One shuffle by user, running window —
+    no per-key loop, no range cross join."""
+    from scikit_learn_imputer_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("ts").alias("signup_ts")
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["signup_ts"],
+    )
+    return out.select("event_id", "user_id", "signup_ts")
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name)
+""",
+)
+def q_rollup_revenue(spark, sf_dir):
+    """Grouping-set aggregate (SURVEY.md §2.10 — free in Spark SQL):
+    per-nation revenue plus the grand-total row."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def q_customers_without_orders(spark, sf_dir):
+    """Set difference (EXCEPT DISTINCT) — §2.10 set-operation coverage:
+    customers with no finished ('F') order."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.subtract(o)
+
+
+@register(
+    "orders_by_weekday",
+    oracle="""
+SELECT CAST(date_part('dow', o_orderdate) AS INTEGER) AS dow,
+       count(*) AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY 1
+""",
+)
+def q_orders_by_weekday(spark, sf_dir):
+    """Date-function coverage; Spark dayofweek is 1-based Sunday, the
+    portable form is dayofweek - 1 == date_part('dow')."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
 # ---- rows-only checked (non-SQL-expressible or intentionally unoracled) ----
 
 @register("minhash_candidates")
