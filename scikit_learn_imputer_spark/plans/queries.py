@@ -815,6 +815,41 @@ def q_orders_by_weekday(spark, sf_dir):
     )
 
 
+@register(
+    "user_sessions",
+    oracle="""
+WITH lagged AS (
+  SELECT user_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+),
+numbered AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_num
+  FROM flagged
+)
+SELECT user_id, session_num,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_num
+""",
+)
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (declarative batch twin of the stateful
+    streaming operator in streaming/sessions.py): lag + running sum per
+    user, one shuffle."""
+    from scikit_learn_imputer_spark.streaming.sessions import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return sessionize_batch(ev, gap_minutes=30)
+
+
 # ---- rows-only checked (non-SQL-expressible or intentionally unoracled) ----
 
 @register("minhash_candidates")

@@ -1,0 +1,156 @@
+"""Gap-based sessionization — twice:
+
+- ``sessionize_batch``: the declarative form (lag + running sum per user),
+  oracle-checkable in plain SQL and the correctness reference;
+- ``sessionize_stream``: a genuine custom STATEFUL streaming operator via
+  ``applyInPandasWithState`` — per-user session state with a processing-time
+  timeout, emitting sessions as they close. This is the pattern the engine
+  uses wherever Structured Streaming lacks a built-in (SURVEY.md §7 M5).
+
+Scale notes: both shapes shuffle once by user_id; the batch windows are
+per-user partitions (parallel, skew bounded by the hottest user), and the
+streaming state store holds one small record per open session.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_num", LongType(), True),
+        StructField("session_start", TimestampType(), True),
+        StructField("session_end", TimestampType(), True),
+        StructField("n_events", LongType(), True),
+    ]
+)
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """(user_id, session_num, session_start, session_end, n_events) with a
+    new session whenever the gap to the previous event exceeds
+    ``gap_minutes``."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.unix_micros(F.col("ts")) - prev) > gap_us), 1
+    ).otherwise(0)
+    numbered = events.withColumn("__new", new_session).withColumn(
+        "session_num",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_num").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    state_timeout_ms: int | None = 60_000,
+) -> DataFrame:
+    """Stateful streaming sessionization. State per user: the open
+    session's (num, start, end, count); a session closes when a new event
+    arrives past the gap, or (with ``state_timeout_ms``) when the state
+    times out.
+
+    ``state_timeout_ms=None`` disables timeouts — open sessions then stay
+    in state forever, but the query fully settles once the source drains
+    (timeout mode keeps scheduling cleanup batches), which is what batch
+    comparisons and tests want.
+
+    Emits CLOSED sessions only (append semantics)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    use_timeout = state_timeout_ms is not None
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            num, start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_num": [num],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+
+        ts_us: list[int] = []
+        for pdf in batches:
+            ts_us.extend(int(t.value // 1000) for t in pdf["ts"])
+        ts_us.sort()
+
+        if state.exists:
+            num, start_us, end_us, n = state.get
+        else:
+            num, start_us, end_us, n = 1, None, None, 0
+
+        closed = []
+        for t in ts_us:
+            if start_us is None:
+                start_us, end_us, n = t, t, 1
+            elif t - end_us > gap_us:
+                closed.append((num, start_us, end_us, n))
+                num, start_us, end_us, n = num + 1, t, t, 1
+            else:
+                end_us, n = t, n + 1
+
+        state.update((num, start_us, end_us, n))
+        if use_timeout:
+            state.setTimeoutDuration(state_timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_num": [c[0] for c in closed],
+                    "session_start": [
+                        pd.Timestamp(c[1], unit="us") for c in closed
+                    ],
+                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    state_schema = StructType(
+        [
+            StructField("num", LongType(), True),
+            StructField("start_us", LongType(), True),
+            StructField("end_us", LongType(), True),
+            StructField("n", LongType(), True),
+        ]
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

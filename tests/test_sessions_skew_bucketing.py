@@ -1,0 +1,140 @@
+"""Tests for sessionization (batch + stateful streaming), salted
+aggregation equivalence, and bucketed shuffle-free joins."""
+
+from pyspark.sql import functions as F
+
+from scikit_learn_imputer_spark.functions.skew import salted_agg
+from scikit_learn_imputer_spark.sources.bucketing import write_bucketed
+from scikit_learn_imputer_spark.sources.tables import load_table
+from scikit_learn_imputer_spark.streaming.events import stream_events_from_parquet
+from scikit_learn_imputer_spark.streaming.sessions import (
+    sessionize_batch,
+    sessionize_stream,
+)
+
+
+def test_sessionize_batch_gap_semantics(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    events = spark.createDataFrame(
+        [
+            (1, ts(0)),
+            (1, ts(10)),
+            (1, ts(20)),
+            (1, ts(60)),  # 40-min gap → new session
+            (1, ts(65)),
+            (2, ts(0)),
+        ],
+        ["user_id", "ts"],
+    )
+    out = {
+        (r["user_id"], r["session_num"]): r["n_events"]
+        for r in sessionize_batch(events, gap_minutes=30).collect()
+    }
+    assert out == {(1, 1): 3, (1, 2): 2, (2, 1): 1}
+
+
+def test_sessionize_stream_matches_batch_closed_sessions(spark, sf_smoke):
+    """The stateful streaming operator must emit exactly the CLOSED sessions
+    the batch twin computes (open tail sessions stay in state)."""
+    batch_events = load_table(spark, sf_smoke, "events").select("user_id", "ts")
+    batch = {
+        (r["user_id"], r["session_num"]): (
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+        )
+        for r in sessionize_batch(batch_events, gap_minutes=30).collect()
+    }
+    # last session per user is possibly still open in the stream
+    last_per_user = {}
+    for (u, num) in batch:
+        last_per_user[u] = max(last_per_user.get(u, 0), num)
+
+    stream = stream_events_from_parquet(spark, sf_smoke).select("user_id", "ts")
+    # NoTimeout → the query settles once the source drains (the timeout mode
+    # keeps scheduling state-cleanup batches and never goes idle).
+    sessions = sessionize_stream(stream, gap_minutes=30, state_timeout_ms=None)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_num"]): (
+                r["session_start"],
+                r["session_end"],
+                r["n_events"],
+            )
+            for r in spark.table("sess").collect()
+        }
+    finally:
+        q.stop()
+
+    assert len(got) > 0
+    for key, val in got.items():
+        assert batch[key] == val, f"session {key}: {val} != {batch[key]}"
+    # every closed (non-final) batch session was emitted
+    closed_expected = {
+        k for k in batch if k[1] < last_per_user[k[0]]
+    }
+    assert closed_expected <= set(got)
+
+
+def test_salted_agg_equals_direct(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    direct = {
+        r["event_type"]: (r["n"], round(r["total"], 6))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (r["n"], round(r["total"], 6))
+        for r in salted_agg(
+            ev, ["event_type"], {"n": ("*", "count"), "total": ("value", "sum")}
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_smoke):
+    """Same-bucketed fact-fact join plans as SortMergeJoin with NO shuffle
+    exchange on either side (broadcast disabled to force the at-scale
+    plan — at 100 TB neither side broadcasts)."""
+    import shutil
+
+    # saveAsTable writes under spark.sql.warehouse.dir (static conf; defaults
+    # to ./spark-warehouse). The in-memory catalog is per-session but the
+    # directory persists — clear both.
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    orders = load_table(spark, sf_smoke, "orders")
+    lineitem = load_table(spark, sf_smoke, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", 8)
+    write_bucketed(lineitem, "b_lineitem", "o_orderkey", 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"), "o_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, "bucketed join shuffled"
+        assert "Bucketed: true" in plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
