@@ -850,6 +850,72 @@ def q_user_sessions(spark, sf_dir):
     return sessionize_batch(ev, gap_minutes=30)
 
 
+@register(
+    "label_encode",
+    oracle="""
+WITH codes AS (
+  SELECT v, row_number() OVER (ORDER BY v) - 1 AS code
+  FROM (SELECT DISTINCT c_mktsegment AS v FROM customer)
+)
+SELECT c_custkey, CAST(code AS DOUBLE) AS segment_code
+FROM customer JOIN codes ON c_mktsegment = v
+""",
+)
+def q_label_encode(spark, sf_dir):
+    """E2: lexicographic label encoding (sklearn LabelEncoder order) as a
+    pure projection against the literal label array."""
+    from scikit_learn_imputer_spark.operators.encode import label_encode
+
+    df = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    encoded, _labels = label_encode(df, "c_mktsegment", out_col="segment_code")
+    return encoded.select("c_custkey", "segment_code")
+
+
+@register(
+    "create_features",
+    oracle=f"""
+WITH customer_nulls AS ({nulls_cte('customer')}),
+filled AS (
+  SELECT c_custkey,
+    COALESCE(
+      last_value(c_acctbal IGNORE NULLS) OVER w_f,
+      first_value(c_acctbal IGNORE NULLS) OVER w_b) AS c_acctbal,
+    COALESCE(
+      last_value(c_mktsegment IGNORE NULLS) OVER w_f,
+      first_value(c_mktsegment IGNORE NULLS) OVER w_b) AS c_mktsegment
+  FROM customer_nulls
+  WINDOW
+    w_f AS (ORDER BY c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_b AS (ORDER BY c_custkey ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+stats AS (SELECT min(c_acctbal) mn, max(c_acctbal) mx FROM filled)
+SELECT c_custkey,
+  round(CASE WHEN mx = mn THEN 0.0 ELSE (c_acctbal - mn) / (mx - mn) END, 6)
+    AS c_acctbal,
+""" + ",\n".join(
+        f"  CASE WHEN c_mktsegment = '{v}' THEN 1 ELSE 0 END AS c_mktsegment_{v}"
+        for v in MKTSEGMENTS
+    ) + "\nFROM filled, stats",
+)
+def q_create_features(spark, sf_dir):
+    """C4 composite: ordered fill → one-hot → min-max scale, the imputer's
+    whole feature pipeline as one oracle-checked relational plan."""
+    from scikit_learn_imputer_spark.operators.encode import one_hot
+    from scikit_learn_imputer_spark.operators.scale import minmax_scale
+
+    df = with_nulls(_t(spark, sf_dir, "customer"), "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    filled = ffill_bfill(df, "c_custkey", ["c_acctbal", "c_mktsegment"])
+    encoded = one_hot(filled, ["c_mktsegment"], values={"c_mktsegment": MKTSEGMENTS})
+    scaled = minmax_scale(encoded, ["c_acctbal"])
+    return scaled.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal"), 6).alias("c_acctbal"),
+        *[F.col(f"c_mktsegment_{v}") for v in MKTSEGMENTS],
+    )
+
+
 # ---- rows-only checked (non-SQL-expressible or intentionally unoracled) ----
 
 @register("minhash_candidates")
