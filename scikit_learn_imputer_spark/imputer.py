@@ -207,6 +207,7 @@ class SparkImputer:
         test_size: float = 0.1,
         random_seed: int = 42,
         scaler=None,
+        parallelism: int = 4,
     ) -> dict:
         """Train one model per column with missing values; optionally impute
         in the same pass (reference :178-304).
@@ -216,6 +217,12 @@ class SparkImputer:
         plug-in surface the reference exposes for sklearn estimators).
         ``scaler`` defaults to the pure-SQL min-max scaler; pass a callable
         ``(df, cols) -> df`` to substitute.
+
+        Per-column models are INDEPENDENT (reference runs them in a
+        sequential loop, :216); ``parallelism`` > 1 trains them from a
+        driver thread pool so the many small Spark jobs overlap instead of
+        serializing on scheduling latency. Results are deterministic:
+        imputation updates still apply in column order.
         """
         start_overall = time.time()
 
@@ -227,25 +234,33 @@ class SparkImputer:
         info = self.missing_metrics().filter(F.col("missing") > 0)
         to_impute = [r["variable"] for r in info.select("variable").collect()]
 
-        trained_models: dict = {}
-        imputed = self.input_data if transform else None
-
-        for column in to_impute:
+        def train(column: str) -> dict:
             start_time = time.time()
             record = self._fit_one(
                 column, features, classification, regression, test_size,
                 random_seed,
             )
             record["train_time"] = time.time() - start_time
+            return record
 
-            if transform:
+        if parallelism > 1 and len(to_impute) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(parallelism, len(to_impute))
+            ) as pool:
+                futures = {c: pool.submit(train, c) for c in to_impute}
+                trained_models = {c: f.result() for c, f in futures.items()}
+        else:
+            trained_models = {c: train(c) for c in to_impute}
+
+        imputed = self.input_data if transform else None
+        if transform:
+            for column in to_impute:
+                record = trained_models[column]
                 start_imp = time.time()
-                imputed = self._impute_column(
-                    imputed, column, features, record
-                )
+                imputed = self._impute_column(imputed, column, features, record)
                 record["impute_time"] = time.time() - start_imp
-
-            trained_models[column] = record
 
         trained_models["global_scaler"] = {"type": "minmax", "columns": feat_cols}
 

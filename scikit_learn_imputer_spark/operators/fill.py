@@ -48,6 +48,13 @@ def ffill_bfill(
     original_cols = df.columns
     n = num_partitions or spark.sparkContext.defaultParallelism
 
+    order_type = dict(df.dtypes)[order_col]
+    if order_type not in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal"):
+        raise ValueError(
+            f"ffill_bfill needs a numeric order column (the reference's row id "
+            f"is numeric, scikit_learn_imputer.py:38); got {order_col}: {order_type}"
+        )
+
     # Deterministic range bucketing: boundaries are collected ONCE and baked
     # into the plan as literals, so every pass below sees the same buckets.
     probs = [i / n for i in range(1, n)]
