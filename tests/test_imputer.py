@@ -239,6 +239,46 @@ def test_select_model_ranks(territories, tmp_path):
     assert ranks == [1.0, 2.0]
 
 
+def test_select_model_separate_timing(territories, tmp_path):
+    """check_separate_fit_transform_time=True exercises the save→transform
+    rollout path, the model-size probe (S5), and the CSV checkpoint sink
+    (S2)."""
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.regression import DecisionTreeRegressor
+
+    imp = _imputer(territories, tmp_path)
+    csv_path = str(tmp_path / "summary.csv")
+    summary = imp.select_model(
+        [
+            {
+                "classification": DecisionTreeClassifier(maxDepth=3),
+                "regression": DecisionTreeRegressor(maxDepth=3),
+                "check_separate_fit_transform_time": True,
+            }
+        ],
+        path=csv_path,
+    )
+    row = summary.collect()[0]
+    assert row["fit_function_time"] > 0
+    assert row["user_rollout_time_transform"] > 0
+    assert row["model_size"] > 0
+    assert row["time_saved_by_saved_model"] is not None
+    assert os.path.exists(csv_path)
+
+
+def test_csv_report_sink(spark, territories, tmp_path):
+    """S2: small report tables round-trip through the CSV sink."""
+    from scikit_learn_imputer_spark.sources.tables import write_csv_report
+
+    imp = _imputer(territories, tmp_path)
+    metrics = imp.missing_metrics()
+    out = str(tmp_path / "metrics_csv")
+    write_csv_report(metrics, out)
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == metrics.count()
+    assert set(back.columns) == set(metrics.columns)
+
+
 def test_find_imputation_variance(spark, territories, tmp_path):
     """m identical datasets → zero between-imputation variance; differing
     datasets → positive variance for the differing variable."""
