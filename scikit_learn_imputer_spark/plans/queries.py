@@ -628,33 +628,60 @@ def q_lang_id(spark, sf_dir):
 @register(
     "text_quality",
     oracle="""
-SELECT doc_id,
-       length(text) AS q_chars,
-       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS q_tokens,
-       round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-             / length(text), 6) AS alpha_ratio,
-       round(CAST(len(list_filter(string_split(trim(text), ' '),
-                   t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
-             / len(string_split(trim(text), ' ')), 6) AS stop_ratio
-FROM documents
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS q_chars,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS q_tokens,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / length(text) AS alpha_ratio,
+         CAST(len(list_filter(string_split(trim(text), ' '),
+              t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+           / len(string_split(trim(text), ' ')) AS stop_ratio,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio
+  FROM documents
+)
+SELECT doc_id, q_chars, q_tokens, bpe_tokens,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(0.4 * alpha_ratio + 0.3 * least(stop_ratio * 5, 1.0)
+             + 0.3 * (1 - least(punct_ratio * 10, 1.0)), 6) AS q_score
+FROM f
 """,
 )
 def q_text_quality(spark, sf_dir):
-    """Text quality features: char/token counts, alphabetic + stopword
-    ratios — all codegen-friendly column expressions."""
-    from scikit_learn_imputer_spark.functions.text import stopword_count_col
+    """Text quality features: char/whitespace/BPE-ish token counts,
+    alphabetic + stopword ratios, composite 0-1 quality score — all
+    codegen-friendly column expressions."""
+    from scikit_learn_imputer_spark.functions.text import (
+        bpe_token_count_col,
+        stopword_count_col,
+    )
 
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
     n_tokens = token_count_col(t).cast("long")
     n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, "[A-Za-z0-9\\s]", ""))
     n_stop = stopword_count_col(t, LANG_MARKERS["en"])
+    alpha_ratio = n_alpha.cast("double") / F.length(t)
+    stop_ratio = n_stop.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / F.length(t)
+    q_score = (
+        0.4 * alpha_ratio
+        + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.3 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
     return d.select(
         "doc_id",
         F.length(t).alias("q_chars"),
         n_tokens.alias("q_tokens"),
-        F.round(n_alpha.cast("double") / F.length(t), 6).alias("alpha_ratio"),
-        F.round(n_stop.cast("double") / n_tokens, 6).alias("stop_ratio"),
+        bpe_token_count_col(t).cast("long").alias("bpe_tokens"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(q_score, 6).alias("q_score"),
     )
 
 

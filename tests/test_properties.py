@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) — a layer the reference lacks
+(SURVEY.md §5): operators must hold their invariants on arbitrary inputs,
+not just golden frames.
+
+Example counts are kept small: each example spins Spark jobs."""
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from scikit_learn_imputer_spark.functions.stats import avg_rank
+from scikit_learn_imputer_spark.operators.fill import ffill_bfill
+from scikit_learn_imputer_spark.operators.missing import missing_metrics
+from scikit_learn_imputer_spark.operators.scale import minmax_scale
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+maybe_val = st.one_of(
+    st.none(), st.floats(-1e6, 1e6, allow_nan=False).map(lambda x: round(x, 3))
+)
+
+
+@given(vals=st.lists(maybe_val, min_size=1, max_size=25))
+@SETTINGS
+def test_ffill_bfill_property_matches_pandas(spark, vals):
+    schema = StructType(
+        [StructField("id", LongType(), False), StructField("v", DoubleType(), True)]
+    )
+    df = spark.createDataFrame(list(enumerate(vals)), schema)
+    out = {r["id"]: r["v"] for r in ffill_bfill(df, "id", ["v"], num_partitions=3).collect()}
+    expected = pd.Series(vals).ffill().bfill()
+    for i, e in expected.items():
+        want = None if pd.isna(e) else e
+        assert out[i] == want
+
+
+@given(vals=st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=2, max_size=25))
+@SETTINGS
+def test_minmax_bounds_property(spark, vals):
+    schema = StructType(
+        [StructField("id", LongType(), False), StructField("v", DoubleType(), True)]
+    )
+    df = spark.createDataFrame(list(enumerate(vals)), schema)
+    out = [r["v"] for r in minmax_scale(df, ["v"]).collect()]
+    assert all(-1e-9 <= v <= 1 + 1e-9 for v in out)
+    if max(vals) > min(vals):
+        assert any(abs(v) < 1e-9 for v in out) and any(abs(v - 1) < 1e-9 for v in out)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False).map(lambda x: round(x, 1))),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_avg_rank_property_matches_pandas(spark, vals):
+    schema = StructType(
+        [StructField("id", LongType(), False), StructField("v", DoubleType(), True)]
+    )
+    df = spark.createDataFrame(list(enumerate(vals)), schema)
+    got = {r["id"]: r["v_rank"] for r in avg_rank(df, "v").collect()}
+    expected = pd.Series(vals, dtype="float64").rank()
+    for i, e in expected.items():
+        want = None if pd.isna(e) else e
+        assert got[i] == want
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.text(min_size=0, max_size=5)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_missing_metrics_property(spark, vals):
+    schema = StructType(
+        [StructField("id", LongType(), False), StructField("s", StringType(), True)]
+    )
+    df = spark.createDataFrame(list(enumerate(vals)), schema)
+    row = {r["variable"]: r for r in missing_metrics(df, ["s"]).collect()}["s"]
+    n_null = sum(v is None for v in vals)
+    assert row["missing"] == n_null
+    assert row["observed"] == len(vals) - n_null
+    assert row["total"] == len(vals)
+    assert abs(row["imputation_rate"] - n_null / len(vals)) < 1e-12
