@@ -943,6 +943,34 @@ def q_create_features(spark, sf_dir):
     )
 
 
+@register(
+    "events_in_window",
+    oracle="""
+SELECT l.event_id,
+       CAST(count(r.ts) AS BIGINT) AS n_in_window
+FROM events l
+LEFT JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 5 MINUTE
+ AND r.ts < l.ts
+GROUP BY l.event_id
+""",
+)
+def q_events_in_window(spark, sf_dir):
+    """Keyed interval join (operators/rangejoin.py): per event, how many
+    same-user events landed in the preceding 5 minutes. Bucketed into an
+    equi join — never a per-key nested loop."""
+    from scikit_learn_imputer_spark.operators.rangejoin import (
+        interval_join_count,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = interval_join_count(
+        ev, ev, on="user_id", left_ts="ts", right_ts="ts", window_seconds=300
+    )
+    return out.select("event_id", "n_in_window")
+
+
 # ---- rows-only checked (non-SQL-expressible or intentionally unoracled) ----
 
 @register("minhash_candidates")
