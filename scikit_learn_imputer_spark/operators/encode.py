@@ -52,9 +52,21 @@ def one_hot(
     for c in cols:
         for v in values[c]:
             out.append(
-                F.when(F.col(c) == F.lit(v), 1).otherwise(0).alias(f"{c}_{v}")
+                F.when(F.col(c) == F.lit(v), 1)
+                .otherwise(0)
+                .alias(dummy_name(c, v))
             )
     return df.select(*out)
+
+
+def dummy_name(col: str, value) -> str:
+    """Dummy column name ``<col>_<value>`` with characters Spark's
+    unquoted column grammar can't carry (dots, spaces, …) mapped to ``_``
+    — e.g. a numeric categorical value 0.0 becomes ``D_0_0``, where pandas
+    would emit ``D_0.0``."""
+    import re
+
+    return f"{col}_" + re.sub(r"[^0-9A-Za-z_]", "_", str(value))
 
 
 def label_encode(

@@ -971,6 +971,57 @@ def q_events_in_window(spark, sf_dir):
     return out.select("event_id", "n_in_window")
 
 
+@register(
+    "tfidf_top_terms",
+    oracle="""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, tf * ln(n::DOUBLE / df) AS tfidf
+  FROM tf JOIN df USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank
+FROM ranked WHERE rank <= 3
+""",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-3 terms per document: explode → two aggregates (term
+    frequency per doc, document frequency per term) → broadcast idf join →
+    per-doc top-k window. The df table is O(vocabulary) — broadcastable."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    terms = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_t), on="term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rank")
+    )
+
+
 # ---- rows-only checked (non-SQL-expressible or intentionally unoracled) ----
 
 @register("minhash_candidates")

@@ -239,6 +239,80 @@ def test_select_model_ranks(territories, tmp_path):
     assert ranks == [1.0, 2.0]
 
 
+def test_readme_simple_all_continuous(spark, tmp_path):
+    """FIXTURES.md F2 (readme.md:37): all-continuous frame imputes with no
+    nulls left and observed values untouched."""
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.regression import LinearRegression
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("id", LongType(), False)]
+        + [StructField(c, DoubleType(), True) for c in ("A", "B", "C")]
+    )
+    df = spark.createDataFrame(
+        [
+            (0, 1.0, 2.0, None),
+            (1, 2.0, 3.0, 4.0),
+            (2, None, 4.0, 5.0),
+            (3, 4.0, 5.0, None),
+            (4, 5.0, 6.0, 7.0),
+        ],
+        schema,
+    )
+    imp = SparkImputer(df, save_models_to=str(tmp_path / "m2"), id_col="id")
+    out = imp.fit(
+        classification=DecisionTreeClassifier(),
+        regression=LinearRegression(maxIter=25),
+        transform=True,
+    )["imputed_data"]
+    assert out.filter("A IS NULL OR B IS NULL OR C IS NULL").count() == 0
+    observed = {r["id"]: r["A"] for r in out.collect() if r["id"] != 2}
+    assert observed == {0: 1.0, 1: 2.0, 3: 4.0, 4: 5.0}
+
+
+def test_readme_mixed_numeric_categoricals(spark, tmp_path):
+    """FIXTURES.md F3 (readme.md:54-57): DOUBLE-typed 0/1 categorical
+    columns — label encoding must handle numeric categoricals and imputed
+    values must stay in the class domain."""
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.regression import DecisionTreeRegressor
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("id", LongType(), False)]
+        + [StructField(c, DoubleType(), True) for c in ("A", "B", "C", "D", "E", "F")]
+    )
+    df = spark.createDataFrame(
+        [
+            (0, 1.0, 2.0, None, 1.0, 0.0, None),
+            (1, 2.0, 3.0, 4.0, 0.0, None, 1.0),
+            (2, None, 4.0, 5.0, 1.0, 1.0, 0.0),
+            (3, 4.0, 5.0, None, 0.0, None, None),
+            (4, 5.0, 6.0, 7.0, 1.0, 0.0, 1.0),
+        ],
+        schema,
+    )
+    imp = SparkImputer(
+        df,
+        categorical=["D", "E", "F"],
+        save_models_to=str(tmp_path / "m3"),
+        id_col="id",
+    )
+    out = imp.fit(
+        classification=DecisionTreeClassifier(maxDepth=3),
+        regression=DecisionTreeRegressor(maxDepth=3),
+        transform=True,
+    )["imputed_data"]
+    nulls = out.filter(
+        " OR ".join(f"{c} IS NULL" for c in ["A", "C", "D", "E", "F"])
+    ).count()
+    assert nulls == 0
+    for c in ("D", "E", "F"):
+        vals = {r[c] for r in out.collect()}
+        assert vals <= {0.0, 1.0}, f"{c} left the class domain: {vals}"
+
+
 def test_select_model_separate_timing(territories, tmp_path):
     """check_separate_fit_transform_time=True exercises the save→transform
     rollout path, the model-size probe (S5), and the CSV checkpoint sink
