@@ -1022,6 +1022,28 @@ def q_tfidf_top_terms(spark, sf_dir):
     )
 
 
+@register(
+    "price_percentiles",
+    oracle="""
+SELECT c_mktsegment,
+       round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+       round(quantile_cont(c_acctbal, 0.50), 4) AS p50,
+       round(quantile_cont(c_acctbal, 0.75), 4) AS p75
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def q_price_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``). At 100 TB the same plan swaps to
+    ``approx_percentile`` — the exact form is the correctness anchor."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("c_acctbal", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("c_acctbal", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
 # ---- rows-only checked (non-SQL-expressible or intentionally unoracled) ----
 
 @register("minhash_candidates")
