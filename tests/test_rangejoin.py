@@ -22,6 +22,7 @@ def test_interval_join_count_semantics(spark):
             (4, "u1", ts(300)),   # nothing within 60s
             (5, "u2", ts(56)),    # different user — isolated
             (6, "u1", ts(70)),    # simultaneous with id3 — half-open, no self/peer count
+            (7, "u2", ts(116)),   # exactly 60s after id5 — boundary: included (>=)
         ],
         ["event_id", "user_id", "ts"],
     )
@@ -30,6 +31,6 @@ def test_interval_join_count_semantics(spark):
         window_seconds=60,
     )
     got = {r["event_id"]: r["n_in_window"] for r in out.collect()}
-    assert got == {1: 0, 2: 1, 3: 1, 4: 0, 5: 0, 6: 1}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 0, 5: 0, 6: 1, 7: 1}
     # all left rows preserved exactly once
-    assert out.count() == 6
+    assert out.count() == 7
