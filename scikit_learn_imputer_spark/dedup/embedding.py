@@ -67,3 +67,53 @@ def embedding_near_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_near_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """The 100 TB path: MLlib BucketedRandomProjectionLSH over UNIT
+    vectors. On the unit sphere, cosine ≥ t ⟺ euclidean distance ≤
+    √(2 − 2t), so the Euclidean approxSimilarityJoin implements a cosine
+    threshold join; candidate pairs only form inside shared hash buckets
+    (sub-quadratic), and the exact cosine is recomputed on the survivors.
+
+    Approximate: pairs missed by every hash table are lost — increase
+    ``num_hash_tables`` / ``bucket_length`` for recall at more cost.
+    """
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    norm_t = Normalizer(inputCol="__v", outputCol="__unit", p=2.0)
+    unit = norm_t.transform(
+        df.select(
+            F.col(id_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v"),
+        )
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__unit",
+        outputCol="__hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(unit)
+    dist_threshold = math.sqrt(max(2.0 - 2.0 * threshold, 0.0))
+    pairs = lsh.approxSimilarityJoin(unit, unit, dist_threshold, distCol="__dist")
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            (1.0 - F.col("__dist") * F.col("__dist") / 2.0).alias("cosine"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -90,6 +90,27 @@ def test_embedding_near_pairs(spark):
     assert (0, 4) not in pairs and (0, 2) not in pairs
 
 
+def test_embedding_near_pairs_lsh_finds_dups(spark):
+    """The BRP-LSH scale path must recover the true near-dup pairs the
+    exact join finds (unit-sphere euclidean ⟺ cosine mapping)."""
+    from scikit_learn_imputer_spark.dedup.embedding import (
+        embedding_near_pairs_lsh,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_pairs(_vectors(spark), threshold=0.95).collect()
+    }
+    lsh_pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_pairs_lsh(
+            _vectors(spark), threshold=0.95, num_hash_tables=4, bucket_length=1.0
+        ).collect()
+    }
+    assert exact <= set(lsh_pairs)  # every true pair recovered
+    assert all(c >= 0.95 for c in lsh_pairs.values())
+
+
 def test_cosine_topk_exact(spark):
     emb = _vectors(spark)
     out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2)
