@@ -1044,6 +1044,100 @@ def q_price_percentiles(spark, sf_dir):
     )
 
 
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
+""",
+)
+def q_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter+sum — both predicates reach the parquet
+    scan (PushedFilters), one partial-agg pass, one row out."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") < 24) & F.col("l_discount").between(0.05, 0.07)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "q4_priority_exists",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q_q4_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS as a LEFT SEMI join with a non-equi residual
+    condition, then a small aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate)
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "scatter_update_group_mean",
+    oracle=f"""
+WITH customer_nulls AS ({nulls_cte('customer')}),
+gm AS (
+  SELECT c_nationkey, round(avg(c_acctbal), 2) AS fill
+  FROM customer_nulls GROUP BY c_nationkey
+)
+SELECT c_custkey, COALESCE(c_acctbal, fill) AS c_acctbal
+FROM customer_nulls JOIN gm USING (c_nationkey)
+""",
+)
+def q_scatter_update_group_mean(spark, sf_dir):
+    """Grouped-mean imputation: per-nation mean fill via broadcast join +
+    coalesce — the grouped variant of J3 (group stats are O(groups),
+    always broadcastable)."""
+    df = with_nulls(_t(spark, sf_dir, "customer"), "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    gm = df.groupBy("c_nationkey").agg(
+        F.round(F.avg("c_acctbal"), 2).alias("__fill")
+    )
+    return df.join(F.broadcast(gm), on="c_nationkey").select(
+        "c_custkey",
+        F.coalesce(F.col("c_acctbal"), F.col("__fill")).alias("c_acctbal"),
+    )
+
+
+@register(
+    "salted_event_counts",
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+FROM events GROUP BY event_type
+""",
+)
+def q_salted_event_counts(spark, sf_dir):
+    """Skew-safe two-stage aggregation (functions/skew.py): the salt only
+    changes partitioning, never values — so the plain GROUP BY is the
+    oracle."""
+    from scikit_learn_imputer_spark.functions.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev, ["event_type"], {"n": ("*", "count"), "total": ("value", "sum")}
+    )
+    return out.select(
+        "event_type", "n", F.round(F.col("total"), 2).alias("total")
+    )
+
+
 # ---- rows-only checked (non-SQL-expressible or intentionally unoracled) ----
 
 @register("minhash_candidates")
