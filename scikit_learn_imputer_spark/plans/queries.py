@@ -1138,6 +1138,46 @@ def q_salted_event_counts(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_norms_by_label",
+    oracle="""
+SELECT label,
+       round(avg(sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[]))), 6) AS avg_norm,
+       count(*) AS n
+FROM embeddings GROUP BY label
+""",
+)
+def q_embedding_norms_by_label(spark, sf_dir):
+    """Array-function aggregate: L2 norm via zip_with/aggregate (JVM
+    higher-order functions), averaged per label."""
+    from scikit_learn_imputer_spark.dedup.embedding import norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.round(
+            F.avg(norm(F.col("embedding").cast("array<double>"))), 6
+        ).alias("avg_norm"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "users_purchase_and_error",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+""",
+)
+def q_users_purchase_and_error(spark, sf_dir):
+    """Set intersection (INTERSECT DISTINCT) — §2.10 set-op coverage."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
 # ---- rows-only checked (non-SQL-expressible or intentionally unoracled) ----
 
 @register("minhash_candidates")
