@@ -46,12 +46,18 @@ def minhash_signatures(
     shingle: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hasher: str = "fast",
 ) -> DataFrame:
     """(id, sig_0..sig_{K-1}) — K minhash components per document, one
-    explode + ONE map-side-combinable aggregate (K mins)."""
+    explode + ONE map-side-combinable aggregate (K mins).
+
+    ``hasher='fast'`` (xxhash64) for production; ``hasher='md5'`` computes
+    the same signature any engine can reproduce (the DuckDB oracle does),
+    at ~20× the hash cost."""
+    hash_fn = _fast_hash if hasher == "fast" else _md5_hash60
     grams = char_ngrams(df, shingle, id_col, text_col)
     aggs = [
-        F.min(_fast_hash(F.col("gram"), k)).alias(f"sig_{k}")
+        F.min(hash_fn(F.col("gram"), k)).alias(f"sig_{k}")
         for k in range(num_hashes)
     ]
     return grams.groupBy(id_col).agg(*aggs)

@@ -26,14 +26,20 @@ CHUNK_BITS = BITS // CHUNKS
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "fast",
 ) -> DataFrame:
-    """(id, simhash BIGINT) per document."""
+    """(id, simhash BIGINT) per document. ``hasher='md5'`` gives the
+    engine-portable (oracle-reproducible) signature."""
+    from scikit_learn_imputer_spark.dedup.minhash import _md5_hash60
+
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("tok"),
     )
-    h = _fast_hash(F.col("tok"), 0)
+    h = (_fast_hash if hasher == "fast" else _md5_hash60)(F.col("tok"), 0)
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

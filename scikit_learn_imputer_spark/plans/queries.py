@@ -1178,6 +1178,76 @@ def q_users_purchase_and_error(spark, sf_dir):
     return a.intersect(b)
 
 
+def _hex60_sql(arg: str) -> str:
+    """DuckDB: first 15 hex chars of md5(arg) folded to a 60-bit BIGINT —
+    value-equal to Spark's conv(substr(md5(..),1,15),16,10)."""
+    return (
+        "list_reduce(list_transform(generate_series(1, 15), "
+        f"i -> CAST(strpos('0123456789abcdef', substr(md5({arg}), CAST(i AS INT), 1)) - 1 AS BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
+_MINHASH_K = 8
+
+@register(
+    "minhash_signatures_md5",
+    oracle="""
+WITH grams AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(len(text) - 4, 0))) AS i
+        FROM documents)
+)
+SELECT doc_id,
+""" + ",\n".join(
+        "       min(" + _hex60_sql(f"'{k}|' || gram") + f") AS sig_{k}"
+        for k in range(_MINHASH_K)
+    ) + "\nFROM grams GROUP BY doc_id",
+)
+def q_minhash_signatures_md5(spark, sf_dir):
+    """MinHash signatures with the engine-portable md5 hash family — the
+    oracle-checked anchor for the xxhash64 production path (identical
+    algorithm, different hash family)."""
+    from scikit_learn_imputer_spark.dedup.minhash import minhash_signatures
+
+    return minhash_signatures(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_MINHASH_K,
+        shingle=5,
+        hasher="md5",
+    )
+
+
+@register(
+    "simhash_md5",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id, {_hex60_sql("'0|' || tok")} AS h FROM toks
+),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, (SELECT unnest(generate_series(0, 59)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+)
+def q_simhash_md5(spark, sf_dir):
+    """SimHash signatures with the md5 hash family — oracle-checked anchor
+    for the xxhash64 production path."""
+    from scikit_learn_imputer_spark.dedup.simhash import simhash_signatures
+
+    return simhash_signatures(_t(spark, sf_dir, "documents"), hasher="md5")
+
+
 # ---- rows-only checked (non-SQL-expressible or intentionally unoracled) ----
 
 @register("minhash_candidates")
