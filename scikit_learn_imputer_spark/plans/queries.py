@@ -1248,6 +1248,388 @@ def q_simhash_md5(spark, sf_dir):
     return simhash_signatures(_t(spark, sf_dir, "documents"), hasher="md5")
 
 
+# =====================================================================
+# Relational breadth pack: TPC-H shapes, window analytics, pivot/cube,
+# scalar-function suites, grouped executor-side ML (SURVEY.md §2.10 gaps)
+# =====================================================================
+
+@register(
+    "q13_custdist",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+)
+def q_q13_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: left outer join + two-level aggregation (order
+    count per customer, then customer count per order count). The second
+    aggregate's input is one row per customer — already small."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT round(
+  100.0 * sum(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+""",
+)
+def q_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a fact⨝dim join with
+    a pushed-down date-range predicate; the part side is broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_pct")
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+WITH brand_parts AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'
+),
+brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN brand_parts ON l_partkey = p_partkey
+),
+part_avg AS (
+  SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_limit
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM brand_li JOIN part_avg ON l_partkey = pk
+WHERE l_quantity < qty_limit
+""",
+)
+def q_q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (correlated scalar subquery decorrelated): semi-join
+    the fact table down to the brand's parts FIRST, so the per-part average
+    is computed over the reduced set and its result is broadcast back —
+    never a big-big self-join on the full fact table."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).drop("p_partkey")
+    part_avg = brand_li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_limit")
+    )
+    return (
+        brand_li.join(F.broadcast(part_avg), brand_li.l_partkey == part_avg.pk)
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS o_totalprice,
+       round(sum(l_quantity), 1) AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_orderdate, o_totalprice
+HAVING sum(l_quantity) > 250
+""",
+)
+def q_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: join + group-by with a HAVING filter on the
+    aggregate (large-volume orders, ~top 1%% of quantity sums)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("qty", 1).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "daily_revenue_ma7",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+         round(sum(o_totalprice), 2) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT d, rev,
+  round(avg(rev) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+    AS rev_ma7,
+  round(rev - lag(rev) OVER (ORDER BY d), 2) AS rev_delta
+FROM daily
+""",
+)
+def q_daily_revenue_ma7(spark, sf_dir):
+    """Time-series analytics: daily revenue, 7-day moving average, and
+    day-over-day delta (lag). The unpartitioned window is safe here because
+    its input is the POST-aggregation frame — one row per distinct day
+    (bounded by the calendar, ~2.4k rows regardless of fact-table scale)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w_ma = Window.orderBy("d").rowsBetween(-6, 0)
+    w_lag = Window.orderBy("d")
+    return daily.select(
+        "d",
+        "rev",
+        F.round(F.avg("rev").over(w_ma), 2).alias("rev_ma7"),
+        F.round(F.col("rev") - F.lag("rev").over(w_lag), 2).alias("rev_delta"),
+    )
+
+
+@register(
+    "pivot_priority_status",
+    oracle="""
+SELECT o_orderpriority,
+  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS status_F,
+  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS status_O,
+  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS status_P
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_pivot_priority_status(spark, sf_dir):
+    """Pivot (long→wide): revenue by priority × status. Pivot values are
+    passed explicitly so the plan needs no extra distinct-values job."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F").alias("status_F"),
+        F.col("O").alias("status_O"),
+        F.col("P").alias("status_P"),
+    )
+
+
+@register(
+    "part_unpivot",
+    oracle="""
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice', round(p_retailprice, 2) FROM part
+""",
+)
+def q_part_unpivot(spark, sf_dir):
+    """Unpivot (wide→long): melt numeric part attributes into
+    (key, metric, value) — narrow scan, no shuffle at all."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.round("p_retailprice", 2).alias("p_retailprice"),
+    )
+    return p.unpivot(
+        ["p_partkey"], ["p_size", "p_retailprice"], "metric", "value"
+    )
+
+
+@register(
+    "cube_revenue",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube_revenue(spark, sf_dir):
+    """CUBE grouping sets: all 4 aggregation levels in one pass (partial
+    aggregation expands grouping sets map-side — no 4 separate scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "grouped_linreg",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(regr_slope(l_extendedprice, l_quantity), 3) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       regr_count(l_extendedprice, l_quantity) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_grouped_linreg(spark, sf_dir):
+    """Per-group OLS fit executor-side via applyInPandas (operators/
+    grouped_ml.py) — the M4 per-column-model loop generalized to
+    per-GROUP models that never touch the driver. Oracled against
+    DuckDB's regr_* aggregates."""
+    from scikit_learn_imputer_spark.operators.grouped_ml import (
+        grouped_linreg_pandas,
+    )
+
+    out = grouped_linreg_pandas(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        x_col="l_quantity",
+        y_col="l_extendedprice",
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("slope", 3).alias("slope"),
+        F.round("intercept", 2).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+        "n",
+    )
+
+
+@register(
+    "string_funcs",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_u,
+       substr(p_name, 1, 4) AS name_pre,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       concat_ws('-', p_brand, p_type) AS brand_type,
+       replace(p_name, ' ', '_') AS name_us,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+       CAST(strpos(p_name, 'e') AS BIGINT) AS first_e,
+       reverse(p_name) AS name_rev,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
+FROM part
+""",
+)
+def q_string_funcs(spark, sf_dir):
+    """Scalar string-function suite (§2.10 gap) — all JVM built-ins inside
+    whole-stage codegen; integer widths cast to BIGINT for parity."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_u"),
+        F.substring("p_name", 1, 4).alias("name_pre"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.instr("p_name", "e").cast("bigint").alias("first_e"),
+        F.reverse("p_name").alias("name_rev"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS y,
+       CAST(month(o_orderdate) AS BIGINT) AS m,
+       CAST(day(o_orderdate) AS BIGINT) AS dom,
+       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       last_day(o_orderdate) AS month_end,
+       strftime(o_orderdate, '%Y-%m') AS ym,
+       date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_y2k
+FROM orders
+""",
+)
+def q_date_funcs(spark, sf_dir):
+    """Scalar date/time-function suite (§2.10 gap): extraction, truncation,
+    calendar arithmetic, formatting — all codegen'd built-ins."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+        F.quarter("o_orderdate").cast("bigint").alias("q"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.datediff(
+            F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("bigint")
+        .alias("days_to_y2k"),
+    )
+
+
+@register(
+    "events_sliding",
+    oracle="""
+WITH bucketed AS (
+  SELECT event_type, value,
+         make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS b
+  FROM events
+),
+assigned AS (
+  SELECT b AS window_start, event_type, value FROM bucketed
+  UNION ALL
+  SELECT b - INTERVAL 30 MINUTE, event_type, value FROM bucketed
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM assigned GROUP BY 1, 2
+""",
+)
+def q_events_sliding(spark, sf_dir):
+    """Sliding event-time windows (1h window / 30m slide): each event lands
+    in exactly two windows. The oracle reproduces Spark's epoch-aligned
+    window assignment with half-open [start, start+1h) intervals."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # ---- rows-only checked (non-SQL-expressible or intentionally unoracled) ----
 
 @register("minhash_candidates")
