@@ -747,6 +747,25 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+@register("cosine_topk_numpy", oracle=ORACLE["cosine_topk"])
+def q_cosine_topk_numpy(spark, sf_dir):
+    """Same exact top-k, BLAS path (similarity/knn.py:cosine_topk_numpy):
+    one matmul per Arrow batch + per-batch top-k, so the shuffle into the
+    final ranking carries partitions×|Q|×k rows instead of the corpus.
+    Shares cosine_topk's oracle — the two physical strategies must agree."""
+    from scikit_learn_imputer_spark.similarity.knn import cosine_topk_numpy
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_numpy(emb, queries, k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    )
+
+
 @register(
     "asof_last_signup",
     oracle="""

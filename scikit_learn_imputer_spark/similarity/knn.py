@@ -65,6 +65,67 @@ def cosine_topk(
     )
 
 
+def cosine_topk_numpy(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k cosine via BLAS: the throughput path for brute-force ANN.
+
+    The (small, by contract) query matrix is broadcast to every executor;
+    each Arrow batch of the corpus is scored with ONE ``C @ Q.T`` matmul and
+    reduced to its local top-k per query, so the shuffle that feeds the final
+    global top-k carries at most ``partitions × |Q| × k`` rows — never the
+    corpus. Same result as ``cosine_topk`` (same tie-break: cosine desc,
+    neighbor id asc); floats differ only by summation order (pairwise vs
+    sequential), i.e. last-ulp."""
+    import numpy as np
+
+    query_id_col = query_id_col or id_col
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype="int64")
+    Q = np.array([r[1] for r in qrows], dtype="float64")
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((qids, Qn))
+
+    schema = "query_id bigint, neighbor_id bigint, cosine double"
+
+    def score(batches):
+        import pandas as pd
+
+        q_ids, q_mat = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            C = np.array(list(pdf[vec_col]), dtype="float64")
+            C /= np.linalg.norm(C, axis=1, keepdims=True)
+            S = C @ q_mat.T  # (batch, |Q|)
+            S[ids[:, None] == q_ids[None, :]] = -np.inf  # self-match mask
+            kk = min(k, len(ids))
+            # lexsort: primary cosine desc, secondary neighbor id asc
+            order = np.lexsort((ids[:, None].repeat(len(q_ids), 1), -S), axis=0)[:kk]
+            out = {
+                "query_id": np.repeat(q_ids, kk),
+                "neighbor_id": ids[order].T.ravel(),
+                "cosine": np.take_along_axis(S, order, axis=0).T.ravel(),
+            }
+            df = pd.DataFrame(out)
+            yield df[np.isfinite(df["cosine"])]
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return candidates.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def _projection_bit(vec, dim: int, plane: int) -> "F.Column":
     """Sign bit of a deterministic pseudo-random hyperplane projection.
 
