@@ -214,7 +214,10 @@ class SparkImputer:
 
         ``classification``/``regression`` are MLlib estimators (anything
         with .fit returning a .transform-able model — the same duck-typed
-        plug-in surface the reference exposes for sklearn estimators).
+        plug-in surface the reference exposes for sklearn estimators), or
+        per-column maps ``{column_name: estimator, "*": default}`` when
+        different targets warrant different models (extends the
+        reference's one-estimator-for-all-columns surface, :241-245).
         ``scaler`` defaults to the pure-SQL min-max scaler; pass a callable
         ``(df, cols) -> df`` to substitute.
 
@@ -317,7 +320,8 @@ class SparkImputer:
         assembler = VectorAssembler(
             inputCols=model_features, outputCol="__vec", handleInvalid="keep"
         )
-        est = (classification if is_cat else regression).copy()
+        spec = classification if is_cat else regression
+        est = _resolve_estimator(spec, column).copy()
         est = est.setFeaturesCol("__vec").setLabelCol("label")
         if est.hasParam("seed"):
             est = est.setSeed(random_seed)
@@ -534,8 +538,8 @@ class SparkImputer:
         for option in options:
             model_name = str(
                 {
-                    "classification": type(option["classification"]).__name__,
-                    "regression": type(option["regression"]).__name__,
+                    "classification": _est_name(option["classification"]),
+                    "regression": _est_name(option["regression"]),
                 }
             )
             fit_time = transform_time = model_size = None
@@ -603,6 +607,28 @@ class SparkImputer:
     # ------------------------------------------------------------------ util
     def _data_cols(self) -> list[str]:
         return [c for c in self.input_data.columns if c != self.id_col]
+
+
+def _resolve_estimator(spec, column: str):
+    """An estimator, or a per-column map ``{column: est, "*": default}``.
+
+    The map form generalizes the reference's single classifier/regressor
+    pair (reference :241-245) without changing the plug-in duck typing."""
+    if isinstance(spec, dict):
+        if column in spec:
+            return spec[column]
+        if "*" in spec:
+            return spec["*"]
+        raise KeyError(
+            f"no estimator mapped for column '{column}' and no '*' default"
+        )
+    return spec
+
+
+def _est_name(spec) -> str:
+    if isinstance(spec, dict):
+        return str({k: type(v).__name__ for k, v in spec.items()})
+    return type(spec).__name__
 
 
 def _dir_size(path: str) -> int:
