@@ -1629,23 +1629,132 @@ FROM assigned GROUP BY 1, 2
 )
 def q_events_sliding(spark, sf_dir):
     """Sliding event-time windows (1h window / 30m slide): each event lands
-    in exactly two windows. The oracle reproduces Spark's epoch-aligned
-    window assignment with half-open [start, start+1h) intervals."""
-    ev = _t(spark, sf_dir, "events")
+    in exactly two windows. Shares the streaming module's window logic
+    (streaming/events.py — the stream==batch test covers the same plan);
+    the oracle reproduces Spark's epoch-aligned window assignment with
+    half-open [start, start+1h) intervals."""
+    from scikit_learn_imputer_spark.streaming.events import (
+        windowed_event_counts_batch,
+    )
+
+    out = windowed_event_counts_batch(spark, sf_dir, "1 hour", slide="30 minutes")
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive mixed-table predicates. Catalyst
+    extracts the common per-table disjuncts (brand/size on part, quantity
+    on lineitem) and pushes them below the join as scan filters."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+                li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(10, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+""",
+)
+def q_q22_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: scalar-subquery threshold (computed once, joined as
+    a broadcast single-row frame — never a driver collect in the plan) +
+    anti join against the filtered orders side, then grouped aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
     return (
-        ev.groupBy(
-            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
-        )
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
         .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       round((embedding::DOUBLE[])[1], 6) AS first_val,
+       round(list_max(embedding::DOUBLE[]), 6) AS max_val,
+       round(list_min(embedding::DOUBLE[]), 6) AS min_val,
+       [round(x, 6) FOR x IN list_sort(list_slice(embedding::DOUBLE[], 1, 4))]
+         AS head_sorted,
+       round(list_sum([x*x FOR x IN embedding::DOUBLE[]]), 6) AS sq_norm
+FROM embeddings
+""",
+)
+def q_array_funcs(spark, sf_dir):
+    """Array-function suite (§2.10 gap) over the embedding column: size,
+    element access, min/max, slice+sort, and a transform+aggregate lambda —
+    all JVM higher-order functions, no UDFs."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.element_at(v, 1), 6).alias("first_val"),
+        F.round(F.array_max(v), 6).alias("max_val"),
+        F.round(F.array_min(v), 6).alias("min_val"),
+        F.transform(
+            F.array_sort(F.slice(v, 1, 4)), lambda x: F.round(x, 6)
+        ).alias("head_sorted"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("sq_norm"),
     )
 
 

@@ -41,16 +41,23 @@ def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts + value sums per event_type with a watermark
-    for late-data state eviction. Works on both batch and streaming frames
-    (watermark is a no-op in batch mode)."""
+    """Tumbling (or, with ``slide``, sliding/overlapping) window counts +
+    value sums per event_type with a watermark for late-data state eviction.
+    Works on both batch and streaming frames (watermark is a no-op in batch
+    mode). With a slide of window/k each event lands in exactly k windows —
+    state grows k×, which the watermark still bounds."""
     src = events
     if events.isStreaming:
         src = events.withWatermark("ts", watermark)
+    win = (
+        F.window(F.col("ts"), window, slide) if slide
+        else F.window(F.col("ts"), window)
+    )
     return (
         src.groupBy(
-            F.window(F.col("ts"), window).alias("w"),
+            win.alias("w"),
             F.col("event_type"),
         )
         .agg(
@@ -67,9 +74,12 @@ def windowed_event_counts(
 
 
 def windowed_event_counts_batch(
-    spark: SparkSession, sf_dir: str, window: str = "1 hour"
+    spark: SparkSession, sf_dir: str, window: str = "1 hour",
+    slide: str | None = None,
 ) -> DataFrame:
     """Batch twin of the streaming aggregation (oracle-checkable)."""
     from scikit_learn_imputer_spark.sources.tables import load_table
 
-    return windowed_event_counts(load_table(spark, sf_dir, "events"), window)
+    return windowed_event_counts(
+        load_table(spark, sf_dir, "events"), window, slide=slide
+    )

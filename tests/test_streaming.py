@@ -35,3 +35,40 @@ def test_stream_matches_batch(spark, sf_smoke):
     }
     assert got == expected
     assert len(expected) > 0
+
+
+def test_sliding_stream_matches_batch(spark, sf_smoke):
+    """1h/30m sliding windows: every event in exactly two windows, stream
+    result equals the batch twin (and the events_sliding oracle query)."""
+    stream = stream_events_from_parquet(spark, sf_smoke)
+    agg = windowed_event_counts(
+        stream, window="1 hour", watermark="2 hours", slide="30 minutes"
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("ev_sliding")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+            for r in spark.table("ev_sliding").collect()
+        }
+    finally:
+        query.stop()
+
+    batch = windowed_event_counts_batch(
+        spark, sf_smoke, "1 hour", slide="30 minutes"
+    )
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in batch.collect()
+    }
+    assert got == expected
+    tumbling = windowed_event_counts_batch(spark, sf_smoke, "1 hour")
+    # each event contributes to exactly 2 sliding windows
+    n_sliding = sum(v[0] for v in expected.values())
+    n_events = sum(r["n_events"] for r in tumbling.collect())
+    assert n_sliding == 2 * n_events
