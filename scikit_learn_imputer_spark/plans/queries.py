@@ -1758,6 +1758,57 @@ def q_array_funcs(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id, sha256(text) AS sha256,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+""",
+)
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal binary pipeline end-to-end: documents → binary payload
+    column (JVM-side encode) → Arrow-batched mapInPandas feature extraction
+    (sources/multimodal.py) → per-item digest + size. The payload bytes are
+    derived from text so the oracle can recompute the digests — the
+    Spark-side plumbing (BinaryType schema, batch shapes, stubbed codec) is
+    exactly the production path."""
+    from scikit_learn_imputer_spark.sources.multimodal import (
+        extract_media_features,
+        media_from_documents,
+    )
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    feats = extract_media_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"), "sha256", "n_bytes"
+    )
+
+
+@register("ann_ivf_topk", oracle=ORACLE["cosine_topk"])
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate ANN (similarity/ivf.py) run in its exact limit
+    (nprobe == nlist), where it must equal brute force — the correctness
+    anchor for the approximation, sharing cosine_topk's oracle. The
+    KMeans build is the one-shuffle index construction; search probes
+    cells via a broadcast of the exploded query×cell frame."""
+    from scikit_learn_imputer_spark.similarity.ivf import (
+        build_ivf_index,
+        cosine_topk_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = build_ivf_index(emb, nlist=8)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_ivf(assigned, centroids, queries, k=10, nprobe=8)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    )
+
+
 # ---- rows-only checked (non-SQL-expressible or intentionally unoracled) ----
 
 @register("minhash_candidates")

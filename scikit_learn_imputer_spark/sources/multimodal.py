@@ -81,6 +81,25 @@ def synthetic_media_df(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def media_from_documents(documents: DataFrame) -> DataFrame:
+    """Derive a media table from the documents corpus: payload = the
+    document's utf-8 bytes (a deterministic, oracle-checkable stand-in for
+    real image bytes — DuckDB can recompute sha256/octet_length from the
+    text). Encoding happens JVM-side (F.encode), so the binary column is
+    born columnar; the payload never round-trips through Python until a
+    mapInPandas stage asks for it."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.lit(None).cast(IntegerType()).alias("width"),
+            F.lit(None).cast(IntegerType()).alias("height"),
+            F.lit(None).cast(LongType()).alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
 def _decode_image_stub(payload: bytes, mime: str):
     """Codec stub — production swaps in PIL/libvips/ffmpeg. Raises for
     formats the deterministic fake can't stand in for."""
