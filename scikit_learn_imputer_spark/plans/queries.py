@@ -1809,6 +1809,72 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+@register(
+    "null_cond_funcs",
+    oracle=f"""
+WITH orders_nulls AS ({nulls_cte('orders')})
+SELECT o_orderkey,
+       round(coalesce(o_totalprice, 0.0), 2) AS price_or_zero,
+       nullif(o_orderpriority, '5-LOW') AS prio_or_null,
+       CASE WHEN o_totalprice IS NULL THEN 'missing'
+            WHEN o_totalprice > 100000 THEN 'big'
+            ELSE 'small' END AS size_bucket,
+       round(greatest(o_totalprice, 50000.0), 2) AS floored,
+       round(least(o_totalprice, 50000.0), 2) AS capped,
+       o_totalprice IS NULL AS price_missing
+FROM orders_nulls
+""",
+)
+def q_null_cond_funcs(spark, sf_dir):
+    """Null-handling / conditional scalar suite (§2.10 gap): coalesce,
+    nullif, CASE, greatest/least (both engines skip NULL operands) — all
+    codegen built-ins over the null-injected orders table."""
+    df = with_nulls(_t(spark, sf_dir, "orders"), "orders")
+    price = F.col("o_totalprice")
+    return df.select(
+        "o_orderkey",
+        F.round(F.coalesce(price, F.lit(0.0)), 2).alias("price_or_zero"),
+        F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")).alias("prio_or_null"),
+        F.when(price.isNull(), "missing")
+        .when(price > 100000, "big")
+        .otherwise("small")
+        .alias("size_bucket"),
+        F.round(F.greatest(price, F.lit(50000.0)), 2).alias("floored"),
+        F.round(F.least(price, F.lit(50000.0)), 2).alias("capped"),
+        price.isNull().alias("price_missing"),
+    )
+
+
+@register(
+    "regex_funcs",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(text, '[0-9]+', '#', 'g') AS no_digits,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+       regexp_extract(text, '^([A-Za-z]+)', 1) AS first_word,
+       regexp_matches(text, '[0-9]') AS has_digit,
+       split_part(text, ' ', 1) AS first_tok
+FROM documents
+""",
+)
+def q_regex_funcs(spark, sf_dir):
+    """Regex scalar suite (§2.10 gap): replace-all (DuckDB needs the 'g'
+    flag to match Spark's default), extract-all count, anchored capture,
+    boolean match, split_part — JVM regex, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(t, "[0-9]+", "#").alias("no_digits"),
+        F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]+"), 0))
+        .cast("bigint")
+        .alias("n_words"),
+        F.regexp_extract(t, "^([A-Za-z]+)", 1).alias("first_word"),
+        t.rlike("[0-9]").alias("has_digit"),
+        F.split_part(t, F.lit(" "), F.lit(1)).alias("first_tok"),
+    )
+
+
 # ---- rows-only checked (non-SQL-expressible or intentionally unoracled) ----
 
 @register("minhash_candidates")
