@@ -1875,6 +1875,107 @@ def q_regex_funcs(spark, sf_dir):
     )
 
 
+@register(
+    "stratified_sample",
+    oracle="""
+WITH ranked AS (
+  SELECT c_custkey, c_mktsegment,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY (c_custkey * 2654435761) % 1000003,
+                                     c_custkey) AS rn,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer
+)
+SELECT c_custkey, c_mktsegment FROM ranked
+WHERE rn <= CAST(ceil(0.1 * n) AS BIGINT)
+""",
+)
+def q_stratified_sample(spark, sf_dir):
+    """Exact 10%-per-stratum sample with a portable deterministic order
+    (Knuth multiplicative hash on the key — no engine RNG, reproducible
+    across engines/runs). One window pass per stratum; at scale this is a
+    single shuffle on the stratum key, no driver-side sampling."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        (F.col("c_custkey") * 2654435761) % 1000003, F.col("c_custkey")
+    )
+    wn = Window.partitionBy("c_mktsegment")
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .filter(F.col("rn") <= F.ceil(0.1 * F.col("n")).cast("bigint"))
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@register(
+    "group_split",
+    oracle="""
+SELECT split, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+FROM (
+  SELECT user_id,
+         CASE WHEN (user_id * 2654435761) % 10 < 8 THEN 'train'
+              WHEN (user_id * 2654435761) % 10 < 9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM events
+)
+GROUP BY split
+""",
+)
+def q_group_split(spark, sf_dir):
+    """Group-aware train/val/test split: every event of a user lands in the
+    SAME split (no leakage across splits), assigned by a portable
+    deterministic hash of the group key — a map-only projection, no
+    shuffle until the verification aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    h = (F.col("user_id") * 2654435761) % 10
+    split = (
+        F.when(h < 8, "train").when(h < 9, "val").otherwise("test")
+    )
+    return (
+        ev.select(F.col("user_id"), split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+SELECT user_id, event_id, ts, event_type
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def q_latest_event_per_user(spark, sf_dir):
+    """Keep-newest-per-key dedup (the snapshot/compaction primitive):
+    window partitioned by the key — parallel across keys, deterministic
+    tie-break, one shuffle. The dropDuplicates() equivalent has no ordering
+    guarantee; this form is the correct one."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 # ---- rows-only checked (non-SQL-expressible or intentionally unoracled) ----
 
 @register("minhash_candidates")
