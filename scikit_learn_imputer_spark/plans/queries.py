@@ -1798,7 +1798,12 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    assigned, centroids = build_ivf_index(emb, nlist=8)
+    # Cheap build (3 iters, random init): with nprobe == nlist the result
+    # is exact regardless of cell quality — the build cost is pure overhead
+    # for the correctness anchor.
+    assigned, centroids = build_ivf_index(
+        emb, nlist=8, max_iter=3, init_mode="random", build_partitions=4
+    )
     queries = emb.filter(F.col("vec_id") < 5)
     out = cosine_topk_ivf(assigned, centroids, queries, k=10, nprobe=8)
     return out.select(

@@ -27,6 +27,9 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 20,
+    init_mode: str = "k-means||",
+    build_partitions: int | None = None,
 ):
     """Fit KMeans over the corpus and return (assigned_corpus, centroids):
     the corpus with a ``cell`` column, and the centroid list (python floats,
@@ -34,11 +37,31 @@ def build_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    vecs = corpus.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("__arr"),
-    ).withColumn("__vec", array_to_vector("__arr"))
-    model = KMeans(k=nlist, seed=seed, featuresCol="__vec").fit(vecs)
+    vecs = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__arr"),
+        )
+        .withColumn("__vec", array_to_vector("__arr"))
+    )
+    if build_partitions:
+        # Right-size partitions to the corpus: Lloyd iterations are barrier
+        # rounds, so thousands of near-empty tasks cost more than the math.
+        vecs = vecs.coalesce(build_partitions)
+    vecs = (
+        vecs
+        # KMeans is iterative — without a cache every Lloyd iteration
+        # re-reads parquet and re-assembles vectors. Standard practice for
+        # iterative MLlib fits at any scale (memory-and-disk by default).
+        .cache()
+    )
+    # Cell quality only affects RECALL at nprobe < nlist, never correctness
+    # of the re-ranked results — cheap builds (few iters, random init) are a
+    # legitimate trade on huge corpora.
+    model = KMeans(
+        k=nlist, seed=seed, featuresCol="__vec", maxIter=max_iter,
+        initMode=init_mode,
+    ).fit(vecs)
     assigned = (
         model.transform(vecs)
         .select(
@@ -48,6 +71,9 @@ def build_ivf_index(
         )
     )
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    assigned = assigned.cache()
+    assigned.count()  # materialize so the build cache can be dropped
+    vecs.unpersist()
     return assigned, centroids
 
 
