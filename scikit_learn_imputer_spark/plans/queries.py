@@ -1981,6 +1981,32 @@ def q_latest_event_per_user(spark, sf_dir):
     )
 
 
+@register(
+    "events_dedup",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, round(value, 6) AS value
+FROM events
+""",
+)
+def q_events_dedup(spark, sf_dir):
+    """Exactly-once from at-least-once: the source is doubled (simulated
+    redelivery), then deduplicated by event id (streaming/events.py —
+    the stream version bounds its state with
+    dropDuplicatesWithinWatermark). Dedup of the doubled stream must
+    reproduce the original table exactly."""
+    from scikit_learn_imputer_spark.streaming.events import deduped_events
+
+    ev = _t(spark, sf_dir, "events")
+    redelivered = ev.withColumn(
+        "__copy", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("__copy")
+    out = deduped_events(redelivered)
+    return out.select(
+        "event_id", "ts", "user_id", "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
 # ---- rows-only checked (non-SQL-expressible or intentionally unoracled) ----
 
 @register("minhash_candidates")

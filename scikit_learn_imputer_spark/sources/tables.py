@@ -67,3 +67,19 @@ def write_csv_report(df: DataFrame, path: str) -> None:
     """CSV sink for small report tables (S2) — coalesce(1) is safe because
     reports are per-column/per-model summaries, never data-sized."""
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    max_records_per_file: int | None = None,
+) -> None:
+    """Data-sized parquet sink, hive-partitioned on low-cardinality keys so
+    downstream readers get PARTITION pruning (directory-level skip) on top
+    of row-group pruning. ``maxRecordsPerFile`` caps file size without a
+    repartition; never coalesce(1) a data-sized frame."""
+    writer = df.write.mode("overwrite").partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

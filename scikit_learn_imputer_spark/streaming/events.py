@@ -83,3 +83,17 @@ def windowed_event_counts_batch(
     return windowed_event_counts(
         load_table(spark, sf_dir, "events"), window, slide=slide
     )
+
+
+def deduped_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once view of an at-least-once event stream: drop duplicate
+    event ids. Streaming uses ``dropDuplicatesWithinWatermark`` so the
+    dedup state is BOUNDED (ids older than the watermark are evicted —
+    unbounded-state dropDuplicates would OOM a long-running stream); batch
+    uses plain dropDuplicates. Duplicates are full-row copies (redelivery),
+    so which copy survives is immaterial."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])

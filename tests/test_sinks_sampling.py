@@ -1,0 +1,74 @@
+"""Partitioned sink layout/pruning, stratified-sample exactness, and
+approx-percentile tolerance."""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from scikit_learn_imputer_spark.plans.queries import QUERIES
+from scikit_learn_imputer_spark.sources.tables import load_table, write_partitioned
+
+
+def test_write_partitioned_layout_and_pruning(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    out = os.path.join(tempfile.mkdtemp(), "ev_part")
+    try:
+        write_partitioned(ev, out, ["event_type"])
+        subdirs = sorted(
+            d for d in os.listdir(out) if d.startswith("event_type=")
+        )
+        types = sorted(
+            r[0] for r in ev.select("event_type").distinct().collect()
+        )
+        assert subdirs == [f"event_type={t}" for t in types]
+
+        back = spark.read.parquet(out)
+        assert back.count() == ev.count()
+        # The partition predicate must prune directories at planning time,
+        # not filter rows after a full scan.
+        plan = (
+            back.filter(F.col("event_type") == types[0])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters: [isnotnull(event_type" in plan
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stratified_sample_exact_fraction(spark, sf_smoke):
+    c = load_table(spark, sf_smoke, "customer")
+    totals = {
+        r["c_mktsegment"]: r["n"]
+        for r in c.groupBy("c_mktsegment").agg(F.count("*").alias("n")).collect()
+    }
+    sampled = QUERIES["stratified_sample"](spark, sf_smoke)
+    got = {
+        r["c_mktsegment"]: r["n"]
+        for r in sampled.groupBy("c_mktsegment").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {k: math.ceil(0.1 * n) for k, n in totals.items()}
+
+
+def test_approx_percentile_within_tolerance(spark, sf_smoke):
+    """approx_percentile (the 100TB path — mergeable sketch, one pass) must
+    land within its accuracy contract of the exact percentile."""
+    li = load_table(spark, sf_smoke, "lineitem")
+    acc = 100  # relative error <= 1/acc
+    row = li.agg(
+        F.percentile("l_extendedprice", 0.5).alias("exact"),
+        F.percentile_approx("l_extendedprice", 0.5, acc).alias("approx"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    # rank error <= n/acc -> compare by rank, conservatively via value band
+    band = li.filter(
+        (F.col("l_extendedprice") >= F.least(F.lit(row["approx"]), F.lit(row["exact"])))
+        & (F.col("l_extendedprice") <= F.greatest(F.lit(row["approx"]), F.lit(row["exact"])))
+    ).count()
+    assert band <= row["n"] / acc + 1

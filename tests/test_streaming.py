@@ -72,3 +72,36 @@ def test_sliding_stream_matches_batch(spark, sf_smoke):
     n_sliding = sum(v[0] for v in expected.values())
     n_events = sum(r["n_events"] for r in tumbling.collect())
     assert n_sliding == 2 * n_events
+
+
+def test_stream_dedup_exactly_once(spark, sf_smoke):
+    """At-least-once redelivery (every event twice) deduped back to
+    exactly-once, with watermark-bounded state in the streaming path."""
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.streaming.events import deduped_events
+
+    def doubled(df):
+        return df.withColumn(
+            "__copy", F.explode(F.array(F.lit(1), F.lit(2)))
+        ).drop("__copy")
+
+    stream = doubled(stream_events_from_parquet(spark, sf_smoke))
+    out = deduped_events(stream)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("ev_dedup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        got = sorted(r["event_id"] for r in spark.table("ev_dedup").collect())
+    finally:
+        query.stop()
+
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    batch = load_table(spark, sf_smoke, "events")
+    expected = sorted(r["event_id"] for r in batch.select("event_id").collect())
+    assert got == expected
