@@ -452,6 +452,31 @@ class SparkImputer:
         }
 
     # ------------------------------------------------------------------ C7
+    def multiple_impute(
+        self,
+        classification,
+        regression,
+        m: int = 5,
+        base_seed: int = 42,
+        **fit_kwargs,
+    ) -> dict[str, DataFrame]:
+        """The readme's multiple-imputation workflow (readme.md:18-23) as
+        one call: m independent imputations with varied seeds (split and
+        estimator randomness both derive from the seed), returned keyed
+        ``imp_0..imp_{m-1}`` — feed directly to find_imputation_variance
+        for the Rubin's-rule B term."""
+        out: dict[str, DataFrame] = {}
+        for i in range(m):
+            res = self.fit(
+                classification,
+                regression,
+                transform=True,
+                random_seed=base_seed + i,
+                **fit_kwargs,
+            )
+            out[f"imp_{i}"] = res["imputed_data"]
+        return out
+
     def validate(self, validation_set: DataFrame) -> dict:
         """Score saved models against a validation set's OBSERVED values.
 

@@ -371,3 +371,45 @@ def test_find_imputation_variance(spark, territories, tmp_path):
     out = {r["variable"]: r["imputation_variance"] for r in var.collect()}
     assert set(out) == {"Name", "Location", "km2", "gdp_per_capita", "population"}
     assert abs(out["km2"]) < 1e-9  # identical datasets → B = 0
+
+
+def test_multiple_impute_rubins_variance(spark):
+    """m independent imputations feed find_imputation_variance; the B-term
+    frame covers every imputed variable with finite nonnegative variance."""
+    import os
+    import tempfile
+
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.regression import DecisionTreeRegressor
+
+    from scikit_learn_imputer_spark.imputer import (
+        SparkImputer,
+        find_imputation_variance,
+    )
+    from scikit_learn_imputer_spark.sources.territories import territories_df
+
+    imp = SparkImputer(
+        territories_df(spark),
+        categorical=["Name", "Location"],
+        save_models_to=os.path.join(tempfile.mkdtemp(), "m"),
+        round_column=["population"],
+        class_threshold=14,
+        id_col="id",
+    )
+    frames = imp.multiple_impute(
+        DecisionTreeClassifier(maxDepth=4),
+        DecisionTreeRegressor(maxDepth=4),
+        m=3,
+        parallelism=1,
+    )
+    assert sorted(frames) == ["imp_0", "imp_1", "imp_2"]
+    for df in frames.values():
+        assert df.filter(
+            "Location IS NULL OR km2 IS NULL OR gdp_per_capita IS NULL"
+        ).count() == 0
+    var = find_imputation_variance(
+        frames, categorical=["Name", "Location"], id_col="id"
+    )
+    rows = {r["variable"]: r["imputation_variance"] for r in var.collect()}
+    for c in ("km2", "gdp_per_capita", "Location"):
+        assert c in rows and rows[c] is not None and rows[c] >= 0.0

@@ -1,0 +1,40 @@
+"""Plan lint: scale-hazard operators must not appear in any registered
+query's physical plan unless the query intentionally uses them.
+
+Guards against regressions that pass the value-correctness oracle but
+would fall over at 100 TB: an accidental cartesian product, or a
+nested-loop join materializing where an equi join was intended.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from scikit_learn_imputer_spark.plans.queries import QUERIES
+
+# Queries where a broadcast nested-loop/cross join is the DESIGN, with the
+# non-broadcast side bounded: a handful of ANN query vectors, a one-row
+# scalar-threshold frame, or the documented exact pair-join baselines whose
+# sub-quadratic scale paths exist separately.
+INTENDED_NON_EQUI = {
+    "cosine_topk",            # broadcast |Q|=5 query vectors
+    "q22_idle_rich_customers",  # broadcast 1-row scalar threshold
+    "minmax_scale",           # broadcast 1-row global min/max frame
+    "create_features",        # ditto (scaling stage)
+    "scatter_update_mean",    # broadcast 1-row mean-fill frame
+    "embedding_near_pairs",   # exact baseline; BRP-LSH is the scale path
+    "ngram_jaccard_pairs",    # exact baseline; MinHash-LSH is the scale path
+}
+
+HEAVY_BUILD = {"spark_imputer_e2e"}  # fit() executes ML jobs at build time
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - HEAVY_BUILD))
+def test_no_unintended_cartesian_or_nested_loop(spark, sf_smoke, name):
+    df = QUERIES[name](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in INTENDED_NON_EQUI:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unintended nested-loop join"
+        )
