@@ -2007,6 +2007,235 @@ def q_events_dedup(spark, sf_dir):
     )
 
 
+@register(
+    "q7_nation_volume",
+    oracle="""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE (cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+   OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+""",
+)
+def q_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year —
+    the same dim table (nation) joined twice under different roles, both
+    broadcast; the disjunctive pair filter applies post-join on dim
+    columns only."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        ((F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2"))
+        | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .filter(pair)
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(round(sum(l_extendedprice * (1 - l_discount)), 2)
+             - round(sum(p_retailprice * l_quantity * 0.6), 2), 2) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 1, 2
+""",
+)
+def q_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: no partsupp table, so cost is a retail
+    fraction): profit per supplier nation per year for parts matching a
+    name pattern. The LIKE filter reduces part BEFORE its broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cost = F.col("p_retailprice") * F.col("l_quantity") * 0.6
+    # Revenue and cost are summed SEPARATELY (each all-positive, stable
+    # under 2-decimal rounding) and differenced after — a single
+    # mixed-sign sum's float noise can cross the rounding boundary.
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.round(F.sum(rev), 2) - F.round(F.sum(cost), 2), 2
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: lost revenue from returned items, top-20
+    customers — selective fact filter pushed to the scan, TakeOrdered
+    top-k (never a global sort)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q16_supplier_diversity",
+    oracle="""
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
+GROUP BY p_brand, p_type
+""",
+)
+def q_q16_supplier_diversity(spark, sf_dir):
+    """TPC-H Q16 shape (lineitem stands in for partsupp): distinct
+    supplier count per part attribute group with exclusion + IN-list
+    filters, all pushed into the broadcast side's scan."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q2_min_price_part",
+    oracle="""
+SELECT p_type, p_size, p_partkey, p_retailprice
+FROM (
+  SELECT p_type, p_size, p_partkey, p_retailprice,
+         min(p_retailprice) OVER (PARTITION BY p_type, p_size) AS min_price
+  FROM part
+) WHERE p_retailprice = min_price
+""",
+)
+def q_q2_min_price_part(spark, sf_dir):
+    """TPC-H Q2 shape (correlated min decorrelated): cheapest part(s) per
+    (type, size) via a grouped window min — one shuffle on the group key,
+    no self-join."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type", "p_size")
+    return (
+        p.withColumn("min_price", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+        .select("p_type", "p_size", "p_partkey", "p_retailprice")
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    oracle="""
+WITH vol AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+  SELECT l_partkey AS pk, sum(supp_qty) AS part_qty FROM vol GROUP BY 1
+)
+SELECT l_partkey, l_suppkey, round(supp_qty, 1) AS supp_qty,
+       round(supp_qty / part_qty, 4) AS share
+FROM vol JOIN tot ON l_partkey = pk
+WHERE supp_qty > 0.15 * part_qty
+""",
+)
+def q_q20_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted): suppliers carrying >15% of a part's
+    total volume. Re-aggregating the first aggregate (partial→per-part
+    total) replaces the correlated subquery; the share threshold is a
+    window-free join on the already-small aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    vol = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    tot = vol.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    return (
+        vol.join(tot, vol.l_partkey == tot.pk)
+        .filter(F.col("supp_qty") > 0.15 * F.col("part_qty"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.round("supp_qty", 1).alias("supp_qty"),
+            F.round(F.col("supp_qty") / F.col("part_qty"), 4).alias("share"),
+        )
+    )
+
+
 # ---- rows-only checked (non-SQL-expressible or intentionally unoracled) ----
 
 @register("minhash_candidates")
