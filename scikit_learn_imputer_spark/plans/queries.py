@@ -2236,6 +2236,29 @@ def q_q20_dominant_suppliers(spark, sf_dir):
     )
 
 
+@register(
+    "doc_tokens_positional",
+    oracle="""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, parts[CAST(i AS INT)] AS token
+FROM s, unnest(generate_series(1, len(parts))) AS t(i)
+WHERE parts[CAST(i AS INT)] <> ''
+""",
+)
+def q_doc_tokens_positional(spark, sf_dir):
+    """Lateral tokenization (the UDTF-shaped operator done Spark-first):
+    posexplode keeps token positions without any Python in the loop —
+    generators are the one row-multiplying operator class, and the
+    built-in stays in the JVM."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+        )
+        .filter(F.col("token") != "")
+    )
+
+
 # ---- rows-only checked (non-SQL-expressible or intentionally unoracled) ----
 
 @register("minhash_candidates")

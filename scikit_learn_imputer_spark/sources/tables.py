@@ -69,6 +69,33 @@ def write_csv_report(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    tmp_suffix: str = "__compact_tmp",
+) -> int:
+    """Small-file compaction (the maintenance op every long-lived ingest
+    needs): rewrite a parquet directory into ``target_files`` files via
+    coalesce (narrow — no shuffle), staging into a sibling tmp dir and
+    swapping only after the rewrite succeeds. Returns the file count
+    before compaction. Not concurrency-safe against writers — run it like
+    any table-maintenance job, exclusively."""
+    import shutil
+
+    before = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    tmp = path.rstrip("/") + tmp_suffix
+    spark.read.parquet(path).coalesce(target_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(before)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -127,6 +127,56 @@ def test_asof_join_property_matches_pandas_merge_asof(spark, left_ts, right_ts):
         assert got[i] == want, f"id {i}: {got[i]} != {want}"
 
 
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+@given(
+    left_ts=st.lists(st.integers(0, 120), min_size=1, max_size=12),
+    right_ts=st.lists(st.integers(0, 120), min_size=0, max_size=12),
+)
+@SETTINGS
+def test_asof_join_directions_match_pandas(spark, direction, left_ts, right_ts):
+    """forward and nearest as-of directions must equal pandas merge_asof
+    (nearest ties resolve backward, pandas semantics)."""
+    import datetime
+
+    from scikit_learn_imputer_spark.operators.asof import asof_join
+
+    base = datetime.datetime(2024, 1, 1)
+    right_ts = sorted(set(right_ts))
+    ldf = pd.DataFrame(
+        {
+            "id": range(len(left_ts)),
+            "k": "a",
+            "t": [base + datetime.timedelta(seconds=s) for s in left_ts],
+        }
+    )
+    rdf = pd.DataFrame(
+        {
+            "k": "a",
+            "rt": [base + datetime.timedelta(seconds=s) for s in right_ts],
+            "v": [float(s) for s in right_ts],
+        }
+    )
+    if len(rdf):
+        expected = pd.merge_asof(
+            ldf.sort_values("t"), rdf, left_on="t", right_on="rt", by="k",
+            direction=direction,
+        ).set_index("id")["v"]
+    else:
+        expected = pd.Series([float("nan")] * len(ldf), index=ldf["id"])
+
+    left = spark.createDataFrame(ldf)
+    right = (
+        spark.createDataFrame(rdf)
+        if len(rdf)
+        else spark.createDataFrame([], "k string, rt timestamp, v double")
+    )
+    out = asof_join(left, right, ["k"], "t", "rt", ["v"], direction=direction)
+    got = {r["id"]: r["v"] for r in out.collect()}
+    for i, e in expected.items():
+        want = None if pd.isna(e) else e
+        assert got[i] == want, f"id {i}: {got[i]} != {want}"
+
+
 @given(
     vals=st.lists(
         st.one_of(st.none(), st.text(min_size=0, max_size=5)),

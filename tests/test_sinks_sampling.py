@@ -72,3 +72,20 @@ def test_approx_percentile_within_tolerance(spark, sf_smoke):
         & (F.col("l_extendedprice") <= F.greatest(F.lit(row["approx"]), F.lit(row["exact"])))
     ).count()
     assert band <= row["n"] / acc + 1
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_smoke):
+    from scikit_learn_imputer_spark.sources.tables import compact_parquet
+
+    ev = load_table(spark, sf_smoke, "events")
+    out = os.path.join(tempfile.mkdtemp(), "ev_small_files")
+    try:
+        ev.repartition(16).write.parquet(out)  # simulate a fragmented ingest
+        n_rows = ev.count()
+        before = compact_parquet(spark, out, target_files=2)
+        assert before >= 16
+        files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+        assert len(files) <= 2
+        assert spark.read.parquet(out).count() == n_rows
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
