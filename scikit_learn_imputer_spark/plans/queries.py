@@ -2259,6 +2259,60 @@ def q_doc_tokens_positional(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_clean",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, text, lang,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / length(text) AS alpha_ratio,
+         CAST(len(list_filter(string_split(trim(text), ' '),
+              t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+           / len(string_split(trim(text), ' ')) AS stop_ratio,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, text, lang, n_tokens,
+         0.4 * alpha_ratio + 0.3 * least(stop_ratio * 5, 1.0)
+         + 0.3 * (1 - least(punct_ratio * 10, 1.0)) AS q_score
+  FROM f
+),
+kept AS (
+  SELECT * FROM scored WHERE q_score >= 0.5 AND n_tokens >= 20
+),
+keepers AS (
+  SELECT min(doc_id) AS keep_id
+  FROM kept
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+)
+SELECT doc_id, lang, n_tokens, round(q_score, 6) AS q_score
+FROM kept JOIN keepers ON doc_id = keep_id
+""",
+)
+def q_corpus_clean(spark, sf_dir):
+    """The composed corpus-cleaning pipeline a training-data run executes:
+    quality scoring (pure projection, pipelined with the scan) → threshold
+    filters → exact-dedup survivor semi-join (32-byte digests shuffle, not
+    documents). One job, no intermediate materialization."""
+    from scikit_learn_imputer_spark.dedup.exact import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    scored = quality_features(d)
+    kept = scored.filter(
+        (F.col("q_score") >= 0.5) & (F.col("q_tokens") >= 20)
+    )
+    deduped = exact_dedup(kept)
+    return deduped.select(
+        "doc_id",
+        "lang",
+        F.col("q_tokens").alias("n_tokens"),
+        F.round("q_score", 6).alias("q_score"),
+    )
+
+
 # ---- rows-only checked (non-SQL-expressible or intentionally unoracled) ----
 
 @register("minhash_candidates")

@@ -149,6 +149,80 @@ def extract_media_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return df.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched resize over the payload column. The codec is stubbed
+    (production swaps PIL/libvips in ``_resize_stub``); the Spark-side
+    contract — binary in/binary out, per-batch processing, typed output
+    schema — is the real pipeline."""
+
+    def _resize_stub(payload: bytes) -> bytes:
+        # Deterministic fake: truncate/tile bytes to width*height "pixels".
+        need = width * height
+        tiled = (payload * (need // max(len(payload), 1) + 1))[:need]
+        return tiled
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"].apply(
+                        lambda b: _resize_stub(bytes(b)) if b is not None else None
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_no", IntegerType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 32, every_nth: int = 2
+) -> DataFrame:
+    """Frame sampling for video-like payloads: one row per sampled frame
+    (row-multiplying, like a generator). The decoder is stubbed — frames
+    are fixed-width byte windows — but the batch-in/many-rows-out shape,
+    frame numbering, and binary schema match a real ffmpeg-backed UDF."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if b is None:
+                    continue
+                data = bytes(b)
+                n_frames = max(len(data) // frame_bytes, 1)
+                for fno in range(0, n_frames, every_nth):
+                    ids.append(mid)
+                    nos.append(fno)
+                    frames.append(data[fno * frame_bytes: (fno + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": nos, "frame": frames}
+            )
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
 def filter_by_meta(
     df: DataFrame,
     mime: str | None = None,

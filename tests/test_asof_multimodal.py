@@ -88,3 +88,32 @@ def test_media_decode_stub_raises_for_unknown_mime(spark):
 
     with pytest.raises(NotImplementedError):
         _decode_image_stub(b"xx", "video/mp4")
+
+
+def test_media_resize_and_frame_sampling(spark):
+    from scikit_learn_imputer_spark.sources.multimodal import (
+        resize_media,
+        sample_frames,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, n=12)
+
+    resized = resize_media(media, width=8, height=4).collect()
+    assert len(resized) == 12
+    for r in resized:
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(r["payload"]) == 8 * 4
+
+    frames = sample_frames(media, frame_bytes=32, every_nth=2)
+    rows = frames.collect()
+    assert set(frames.columns) == {"media_id", "frame_no", "frame"}
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r["frame_no"])
+        assert len(r["frame"]) <= 32
+    # payloads are sha256*(1+id%4) = 32*(1+id%4) bytes -> 1..4 frames,
+    # sampled every 2nd -> 1..2 rows per media; frame numbers are even
+    for mid, nos in by_media.items():
+        assert sorted(nos) == list(range(0, 2 * len(nos), 2))
+    assert len(by_media) == 12
