@@ -2019,8 +2019,8 @@ JOIN customer ON o_custkey = c_custkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation cn ON c_nationkey = cn.n_nationkey
 JOIN nation sn ON s_nationkey = sn.n_nationkey
-WHERE (cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
-   OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1')
+WHERE (cn.n_name = 'NATION_19' AND sn.n_name = 'NATION_18')
+   OR (cn.n_name = 'NATION_18' AND sn.n_name = 'NATION_19')
 GROUP BY 1, 2, 3
 """,
 )
@@ -2041,8 +2041,8 @@ def q_q7_nation_volume(spark, sf_dir):
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
     pair = (
-        ((F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2"))
-        | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+        ((F.col("cust_nation") == "NATION_19") & (F.col("supp_nation") == "NATION_18"))
+        | ((F.col("cust_nation") == "NATION_18") & (F.col("supp_nation") == "NATION_19"))
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -2310,6 +2310,103 @@ def q_corpus_clean(spark, sf_dir):
         "lang",
         F.col("q_tokens").alias("n_tokens"),
         F.round("q_score", 6).alias("q_score"),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+SELECT c_custkey,
+       round(abs(c_acctbal), 6) AS abs_bal,
+       round(sqrt(abs(c_acctbal)), 6) AS sqrt_bal,
+       round(ln(abs(c_acctbal) + 1), 6) AS ln_bal,
+       round(log10(abs(c_acctbal) + 1), 6) AS log10_bal,
+       round(pow(c_acctbal / 1000, 2), 6) AS pow_bal,
+       CAST(sign(c_acctbal) AS DOUBLE) AS sign_bal,
+       floor(c_acctbal) AS floor_bal,
+       ceil(c_acctbal) AS ceil_bal,
+       round(c_acctbal % 97, 6) AS mod_bal
+FROM customer
+""",
+)
+def q_math_funcs(spark, sf_dir):
+    """Math scalar suite (§2.10 gap): abs/sqrt/ln/log10/pow/sign/floor/
+    ceil/fmod — all codegen built-ins; floats rounded identically on both
+    sides."""
+    c = _t(spark, sf_dir, "customer")
+    b = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.round(F.abs(b), 6).alias("abs_bal"),
+        F.round(F.sqrt(F.abs(b)), 6).alias("sqrt_bal"),
+        F.round(F.log(F.abs(b) + 1), 6).alias("ln_bal"),
+        F.round(F.log10(F.abs(b) + 1), 6).alias("log10_bal"),
+        F.round(F.pow(b / 1000, 2), 6).alias("pow_bal"),
+        F.signum(b).alias("sign_bal"),
+        F.floor(b).alias("floor_bal"),
+        F.ceil(b).alias("ceil_bal"),
+        F.round(b % 97, 6).alias("mod_bal"),
+    )
+
+
+@register(
+    "customer_running_spend",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW), 2) AS running_spend
+FROM orders
+""",
+)
+def q_customer_running_spend(spark, sf_dir):
+    """Per-key running total: the window is PARTITIONED by customer —
+    parallel across keys, a running (never re-scanning) frame within each,
+    deterministic tie-break on the order key."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "party_directory_union",
+    oracle="""
+SELECT party_type, count(*) AS n, count(DISTINCT nationkey) AS n_nations
+FROM (
+  SELECT 'customer' AS party_type, c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT 'supplier', s_nationkey FROM supplier
+)
+GROUP BY party_type
+""",
+)
+def q_party_directory_union(spark, sf_dir):
+    """Schema-aligned UNION ALL across entity tables with a type tag —
+    unionByName keeps it order-safe; a narrow two-column scan per side."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("party_type"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("party_type"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("party_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("nationkey").alias("n_nations"),
+        )
     )
 
 

@@ -69,6 +69,21 @@ def write_csv_report(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 
 
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines scan. Pass an explicit schema in pipelines — schema
+    inference reads the data twice and infers the union of keys, both of
+    which are wrong at scale."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (one object per line, splittable for re-ingest)."""
+    df.write.mode("overwrite").json(path)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -89,3 +89,20 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_smoke):
         assert spark.read.parquet(out).count() == n_rows
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_jsonl_roundtrip(spark, sf_smoke):
+    from scikit_learn_imputer_spark.sources.tables import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_smoke, "documents")
+    out = os.path.join(tempfile.mkdtemp(), "docs_jsonl")
+    try:
+        write_jsonl(docs, out)
+        back = read_jsonl(spark, out, schema=docs.schema)
+        assert back.count() == docs.count()
+        assert back.schema == docs.schema
+        a = {r["doc_id"]: r["text"] for r in docs.collect()}
+        b = {r["doc_id"]: r["text"] for r in back.collect()}
+        assert a == b
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
