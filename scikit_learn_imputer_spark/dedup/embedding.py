@@ -69,6 +69,61 @@ def embedding_near_pairs(
     )
 
 
+def embedding_near_pairs_blas(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_rows: int = 200_000,
+) -> DataFrame:
+    """Same exact pair semantics as ``embedding_near_pairs``, BLAS path:
+    the normalized corpus matrix is broadcast (the exact pair join is only
+    viable while n is broadcast-sized anyway — the guard makes the bound
+    explicit), and each partition scores its row block against everything
+    with one matmul. The O(n²) compute stays distributed across blocks;
+    only pairs above threshold leave Python. ~d× fewer interpreter steps
+    than the per-pair expression form. Cosines differ from the expression
+    path only by float summation order (pairwise vs sequential)."""
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).collect()
+    n = len(rows)
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"exact pair join over {n} rows exceeds max_broadcast_rows="
+            f"{max_broadcast_rows}; use embedding_near_pairs_lsh at scale"
+        )
+    all_ids = np.array([r[0] for r in rows], dtype="int64")
+    M = np.array([r[1] for r in rows], dtype="float64")
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    bcast = df.sparkSession.sparkContext.broadcast((all_ids, M))
+
+    schema = "id_a bigint, id_b bigint, cosine double"
+
+    def score(batches):
+        import pandas as pd
+
+        ids_all, mat = bcast.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_blk = pdf[id_col].to_numpy(dtype="int64")
+            C = np.array(list(pdf[vec_col]), dtype="float64")
+            C /= np.linalg.norm(C, axis=1, keepdims=True)
+            S = C @ mat.T
+            mask = (S >= threshold) & (ids_all[None, :] > ids_blk[:, None])
+            bi, bj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": ids_blk[bi],
+                    "id_b": ids_all[bj],
+                    "cosine": S[bi, bj],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(score, schema)
+
+
 def embedding_near_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.95,

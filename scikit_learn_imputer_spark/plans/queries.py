@@ -710,6 +710,23 @@ def q_embedding_near_pairs(spark, sf_dir):
     )
 
 
+@register("embedding_near_pairs_blas", oracle=ORACLE["embedding_near_pairs"])
+def q_embedding_near_pairs_blas(spark, sf_dir):
+    """Same exact pair join, BLAS path (dedup/embedding.py): broadcast
+    normalized matrix + one matmul per row block — shares the expression
+    path's oracle, ~5-10x its wall clock at bench SF."""
+    from scikit_learn_imputer_spark.dedup.embedding import (
+        embedding_near_pairs_blas,
+    )
+
+    pairs = embedding_near_pairs_blas(
+        _t(spark, sf_dir, "embeddings"), threshold=0.8
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")
+    )
+
+
 @register(
     "cosine_topk",
     oracle="""

@@ -128,3 +128,39 @@ def test_cosine_topk_lsh_recovers_nearest(spark):
     )
     got = {r["neighbor_id"] for r in out.collect()}
     assert 1 in got  # the true nearest neighbor shares the sign bucket
+
+
+def test_embedding_pairs_blas_equals_expression_path(spark, sf_smoke):
+    from scikit_learn_imputer_spark.dedup.embedding import (
+        embedding_near_pairs,
+        embedding_near_pairs_blas,
+    )
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    a = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_pairs(emb, threshold=0.3).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_pairs_blas(emb, threshold=0.3).collect()
+    }
+    assert set(a) == set(b) and len(a) > 0
+    import math
+
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_embedding_pairs_blas_guard(spark, sf_smoke):
+    import pytest as _pytest
+
+    from scikit_learn_imputer_spark.dedup.embedding import (
+        embedding_near_pairs_blas,
+    )
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    with _pytest.raises(ValueError, match="max_broadcast_rows"):
+        embedding_near_pairs_blas(emb, max_broadcast_rows=10)
