@@ -86,7 +86,12 @@ def _rows_equal(a, b) -> bool:
 def test_all_queries_return_rows(spark, sf_smoke):
     """Every registered query (oracled or not) must run and be non-empty —
     except pair-finding queries that may legitimately be empty at tiny SF."""
-    may_be_empty = {"ngram_jaccard_pairs", "embedding_near_pairs", "minhash_candidates"}
+    may_be_empty = {
+        "ngram_jaccard_pairs",
+        "embedding_near_pairs",
+        "embedding_near_pairs_blas",
+        "minhash_candidates",
+    }
     for name, fn in QUERIES.items():
         if name == "spark_imputer_e2e":
             continue  # exercised in test_imputer.py end-to-end
