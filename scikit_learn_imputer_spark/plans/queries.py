@@ -2427,6 +2427,102 @@ def q_party_directory_union(spark, sf_dir):
     )
 
 
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+)
+def q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: quarterly revenue view + max-revenue supplier(s).
+    The scalar max is a one-row aggregate of the ALREADY-aggregated view,
+    joined back as a broadcast — the view computes once per branch but
+    both branches read the same small per-supplier aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q21_sole_returning_supplier",
+    oracle="""
+WITH multi AS (
+  SELECT l_orderkey AS ok
+  FROM lineitem GROUP BY l_orderkey
+  HAVING count(DISTINCT l_suppkey) >= 2
+),
+returns AS (
+  SELECT DISTINCT l_orderkey AS rok, l_suppkey AS rsk
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+sole AS (
+  SELECT rok, min(rsk) AS suppkey
+  FROM returns GROUP BY rok
+  HAVING count(*) = 1
+)
+SELECT s_name, count(*) AS numwait
+FROM sole
+JOIN multi ON rok = ok
+JOIN supplier ON suppkey = s_suppkey
+GROUP BY s_name
+""",
+)
+def q_q21_sole_returning_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (adapted to this schema): in multi-supplier orders,
+    suppliers who were the ONLY one with returned lines. The exists /
+    not-exists self-joins decorrelate into two aggregates over lineitem
+    (distinct-supplier count; sole-returner per order) joined on the
+    order key — no correlated per-row probes."""
+    li = _t(spark, sf_dir, "lineitem")
+    multi = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .drop("ns")
+    )
+    returns = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("rok"), F.col("l_suppkey").alias("rsk"))
+        .distinct()
+    )
+    sole = (
+        returns.groupBy("rok")
+        .agg(F.min("rsk").alias("suppkey"), F.count("*").alias("nr"))
+        .filter(F.col("nr") == 1)
+        .drop("nr")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        sole.join(multi, sole.rok == multi.ok)
+        .join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 # ---- rows-only checked (non-SQL-expressible or intentionally unoracled) ----
 
 @register("minhash_candidates")
