@@ -97,3 +97,22 @@ def deduped_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
             ["event_id"]
         )
     return events.dropDuplicates(["event_id"])
+
+
+def stream_events_to_parquet(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """Checkpointed file sink: the end-to-end exactly-once pattern
+    (replayable file source + checkpointed offsets + atomic file-manifest
+    commit). ``availableNow`` drains everything pending and stops —
+    re-running after completion writes NOTHING new (the checkpoint
+    remembers committed offsets), which is the restart-safety contract a
+    production ingest relies on. Returns the StreamingQuery."""
+    ev = stream_events_from_parquet(spark, sf_dir)
+    return (
+        ev.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -105,3 +105,21 @@ def test_stream_dedup_exactly_once(spark, sf_smoke):
     batch = load_table(spark, sf_smoke, "events")
     expected = sorted(r["event_id"] for r in batch.select("event_id").collect())
     assert got == expected
+
+
+def test_stream_to_parquet_exactly_once_across_restart(spark, sf_smoke, tmp_path):
+    from scikit_learn_imputer_spark.sources.tables import load_table
+    from scikit_learn_imputer_spark.streaming.events import (
+        stream_events_to_parquet,
+    )
+
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = stream_events_to_parquet(spark, sf_smoke, out, cp)
+    q.awaitTermination(120)
+    n_batch = load_table(spark, sf_smoke, "events").count()
+    assert spark.read.parquet(out).count() == n_batch
+
+    # Restart against the same checkpoint: nothing new to commit.
+    q2 = stream_events_to_parquet(spark, sf_smoke, out, cp)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_batch
