@@ -38,3 +38,19 @@ def test_no_unintended_cartesian_or_nested_loop(spark, sf_smoke, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: unintended nested-loop join"
         )
+
+
+@pytest.mark.parametrize(
+    "name,fragment",
+    [
+        # Selective predicates must reach the parquet scan, not sit above a
+        # full-table read.
+        ("q6_forecast_revenue", "PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_discount), LessThan(l_quantity"),
+        ("q14_promo_revenue", "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+        ("q10_returned_items", "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"),
+    ],
+)
+def test_selective_predicates_reach_the_scan(spark, sf_smoke, name, fragment):
+    df = QUERIES[name](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert fragment in plan, f"{name}: predicate not pushed to scan"
