@@ -40,6 +40,22 @@ def _fast_hash(col, salt: int):
     return F.xxhash64(F.lit(salt), col)
 
 
+# Affine minhash family: ONE base hash per gram, K components derived as
+# (a_k·h + b_k) mod P — the standard universal-hash construction. Cuts the
+# per-gram hashing cost K× versus K independent salted hashes; the a/b
+# constants are fixed module literals (seeded PRNG, no engine randomness)
+# so any engine reproduces the signatures.
+MINHASH_P = 2_147_483_647  # 2^31 - 1, prime
+import random as _random
+
+_rng = _random.Random(42)
+AFFINE_COEFFS: list[tuple[int, int]] = [
+    (_rng.randrange(1, MINHASH_P), _rng.randrange(0, MINHASH_P))
+    for _ in range(64)
+]
+del _rng
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 16,
@@ -49,16 +65,23 @@ def minhash_signatures(
     hasher: str = "fast",
 ) -> DataFrame:
     """(id, sig_0..sig_{K-1}) — K minhash components per document, one
-    explode + ONE map-side-combinable aggregate (K mins).
+    explode + ONE map-side-combinable aggregate (K mins over the affine
+    family of a single base hash per gram).
 
-    ``hasher='fast'`` (xxhash64) for production; ``hasher='md5'`` computes
-    the same signature any engine can reproduce (the DuckDB oracle does),
-    at ~20× the hash cost."""
-    hash_fn = _fast_hash if hasher == "fast" else _md5_hash60
+    ``hasher='fast'`` (xxhash64 base) for production; ``hasher='md5'``
+    computes the same signature any engine can reproduce (the DuckDB
+    oracle does), at the md5 hash cost — but still one hash per gram."""
+    if num_hashes > len(AFFINE_COEFFS):
+        raise ValueError(f"num_hashes > {len(AFFINE_COEFFS)} not supported")
+    base_fn = _fast_hash if hasher == "fast" else _md5_hash60
     grams = char_ngrams(df, shingle, id_col, text_col)
+    h31 = F.pmod(base_fn(F.col("gram"), 0), F.lit(MINHASH_P))
+    grams = grams.withColumn("__h", h31)
     aggs = [
-        F.min(hash_fn(F.col("gram"), k)).alias(f"sig_{k}")
-        for k in range(num_hashes)
+        F.min(
+            (F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+        ).alias(f"sig_{k}")
+        for k, (a, b) in enumerate(AFFINE_COEFFS[:num_hashes])
     ]
     return grams.groupBy(id_col).agg(*aggs)
 

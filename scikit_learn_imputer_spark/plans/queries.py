@@ -1226,25 +1226,41 @@ def _hex60_sql(arg: str) -> str:
 
 _MINHASH_K = 8
 
-@register(
-    "minhash_signatures_md5",
-    oracle="""
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB twin of the affine minhash family: one md5-derived base hash
+    per gram, K components (a_k·h + b_k) mod P with the module's fixed
+    coefficients."""
+    from scikit_learn_imputer_spark.dedup.minhash import (
+        AFFINE_COEFFS,
+        MINHASH_P,
+    )
+
+    sigs = ",\n".join(
+        f"       min((CAST({a} AS BIGINT) * h + {b}) % {MINHASH_P}) AS sig_{k}"
+        for k, (a, b) in enumerate(AFFINE_COEFFS[:_MINHASH_K])
+    )
+    return f"""
 WITH grams AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS gram
   FROM (SELECT doc_id, text,
                unnest(generate_series(1, greatest(len(text) - 4, 0))) AS i
         FROM documents)
+),
+hashed AS (
+  SELECT doc_id, ({_hex60_sql("'0|' || gram")}) % {MINHASH_P} AS h FROM grams
 )
 SELECT doc_id,
-""" + ",\n".join(
-        "       min(" + _hex60_sql(f"'{k}|' || gram") + f") AS sig_{k}"
-        for k in range(_MINHASH_K)
-    ) + "\nFROM grams GROUP BY doc_id",
-)
+{sigs}
+FROM hashed GROUP BY doc_id
+"""
+
+
+@register("minhash_signatures_md5", oracle=_minhash_oracle_sql())
 def q_minhash_signatures_md5(spark, sf_dir):
-    """MinHash signatures with the engine-portable md5 hash family — the
+    """MinHash signatures with the engine-portable md5 base hash — the
     oracle-checked anchor for the xxhash64 production path (identical
-    algorithm, different hash family)."""
+    affine-family algorithm, different base hash)."""
     from scikit_learn_imputer_spark.dedup.minhash import minhash_signatures
 
     return minhash_signatures(
