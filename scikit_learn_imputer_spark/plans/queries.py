@@ -2539,6 +2539,101 @@ def q_q21_sole_returning_supplier(spark, sf_dir):
     )
 
 
+@register(
+    "stats_by_returnflag",
+    oracle="""
+WITH means AS (
+  SELECT l_returnflag AS rf, avg(l_extendedprice) AS mp
+  FROM lineitem GROUP BY 1
+),
+moments AS (
+  SELECT l_returnflag,
+         avg(pow(l_extendedprice - mp, 2)) AS m2,
+         avg(pow(l_extendedprice - mp, 3)) AS m3,
+         avg(pow(l_extendedprice - mp, 4)) AS m4
+  FROM lineitem JOIN means ON l_returnflag = rf
+  GROUP BY l_returnflag
+),
+aggs AS (
+  SELECT l_returnflag,
+         round(stddev_samp(l_extendedprice), 4) AS sd_price,
+         round(var_samp(l_quantity), 4) AS var_qty,
+         round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+         round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_pq,
+         round(median(l_extendedprice), 1) AS median_price,
+         bool_and(l_quantity > 0) AS all_positive,
+         bool_or(l_discount > 0.09) AS any_big_discount
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT a.l_returnflag, sd_price, var_qty, corr_pq, covar_pq, median_price,
+       -- Spark's skewness/kurtosis are POPULATION estimators (g1, g2);
+       -- DuckDB's built-ins are sample-adjusted, so compute from moments.
+       round(m.m3 / pow(m.m2, 1.5), 6) AS skew_price,
+       round(m.m4 / pow(m.m2, 2) - 3, 6) AS kurt_price,
+       all_positive, any_big_discount
+FROM aggs a JOIN moments m ON a.l_returnflag = m.l_returnflag
+""",
+)
+def q_stats_by_returnflag(spark, sf_dir):
+    """Statistical-aggregate suite (§2.4 extension): stddev/variance/
+    correlation/covariance/median/skewness/kurtosis/bool aggregates — all
+    single-pass algebraic (or sketch-backed) built-ins with map-side
+    partial aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    p, q = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp(p), 4).alias("sd_price"),
+        F.round(F.var_samp(q), 4).alias("var_qty"),
+        F.round(F.corr(p, q), 6).alias("corr_pq"),
+        F.round(F.covar_samp(p, q), 2).alias("covar_pq"),
+        F.round(F.median(p), 1).alias("median_price"),
+        F.round(F.skewness(p), 6).alias("skew_price"),
+        F.round(F.kurtosis(p), 6).alias("kurt_price"),
+        F.bool_and(q > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_discount"),
+    )
+
+
+@register(
+    "window_funcs_suite",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       round(first_value(o_totalprice) OVER w, 2) AS first_price,
+       round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price,
+       round(lead(o_totalprice) OVER w2, 2) AS next_price,
+       CAST(ntile(4) OVER w2 AS INT) AS spend_quartile,
+       round(percent_rank() OVER w2, 6) AS pct_rank,
+       CAST(dense_rank() OVER w2 AS BIGINT) AS drank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q_window_funcs_suite(spark, sf_dir):
+    """Window-function suite (§2.5 extension): first/nth value over a
+    running frame, lead, ntile, percent_rank, dense_rank — ALL windows
+    partitioned by the customer key (parallel across keys, never a global
+    sort), deterministic tie-breaks."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+        F.round(F.lead("o_totalprice").over(w2), 2).alias("next_price"),
+        F.ntile(4).over(w2).alias("spend_quartile"),
+        F.round(F.percent_rank().over(w2), 6).alias("pct_rank"),
+        F.dense_rank().over(w2).cast("bigint").alias("drank"),
+    )
+
+
 # ---- rows-only checked (non-SQL-expressible or intentionally unoracled) ----
 
 @register("minhash_candidates")
