@@ -1,14 +1,14 @@
 """Embedding-cosine near-duplicate detection.
 
-Exact path: normalized vectors + self-join restricted by an LSH-style
-coarse bucket (sign of random-ish projections derived deterministically from
-vector components) so the pair space stays sub-quadratic; cosine itself is a
-JVM higher-order expression (zip_with + aggregate), no UDF.
+Exact path: normalized vectors + a FULL self pair-join (crossJoin on
+id < id) — intentionally O(n²), the small-scale correctness anchor; cosine
+itself is a JVM higher-order expression (zip_with + aggregate), no UDF.
+A NumPy/BLAS twin computes the same oracle via a broadcast matrix product
+(guarded to ≤200k rows).
 
-At 100 TB you would run MLlib's BucketedRandomProjectionLSH over normalized
-vectors (Euclidean on unit vectors ≡ cosine ordering); the brute pair join
-here is the exact small-scale reference the approximate path is judged
-against.
+At 100 TB you run ``near_pairs_lsh`` — MLlib's BucketedRandomProjectionLSH
+over normalized vectors (Euclidean on unit vectors ≡ cosine ordering) —
+which IS sub-quadratic; the exact paths exist to judge its recall.
 """
 
 from __future__ import annotations

@@ -300,10 +300,24 @@ class SparkImputer:
         observed = target.filter(F.col("__target").isNotNull())
 
         if is_cat:
-            labels = sorted(
-                r[0]
-                for r in observed.select("__target").distinct().collect()
+            # Bounded label collect: features are gated by class_threshold
+            # at construction, but the TARGET's label domain is collected
+            # here — cap it the same way so a high-cardinality categorical
+            # target fails fast instead of OOMing the driver. limit(T+1)
+            # bounds both the job output and driver memory; when the
+            # distinct count is within the gate, the limit is not reached
+            # and the collect is exact.
+            cap = self.class_threshold
+            distinct = (
+                observed.select("__target").distinct().limit(cap + 1).collect()
             )
+            if len(distinct) > cap:
+                raise ValueError(
+                    f"categorical target '{column}' has more than "
+                    f"{cap} distinct values (class_threshold); raise "
+                    f"class_threshold or drop the column"
+                )
+            labels = sorted(r[0] for r in distinct)
             encoded, _ = label_encode(
                 observed, "__target", labels=labels, out_col="label"
             )
@@ -325,6 +339,17 @@ class SparkImputer:
         est = est.setFeaturesCol("__vec").setLabelCol("label")
         if est.hasParam("seed"):
             est = est.setSeed(random_seed)
+        # MLP usability: layers depend on the per-column feature count and
+        # label arity, which only exist here — derive them when the caller
+        # left ``layers`` unset (reference pair 'mlp', tests.py:225).
+        if (
+            is_cat
+            and type(est).__name__ == "MultilayerPerceptronClassifier"
+            and not est.isSet(est.layers)
+        ):
+            est.setLayers(
+                [len(model_features), max(4, 2 * len(labels)), len(labels)]
+            )
 
         train = train_keys.join(features, on=self.id_col, how="inner")
         pipeline_model = Pipeline(stages=[assembler, est]).fit(train)

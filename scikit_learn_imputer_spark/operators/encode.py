@@ -45,16 +45,26 @@ def one_hot(
         if c not in values:
             values[c] = distinct_values(df, c)
     out: list[Column] = []
+    seen: set[str] = set()
     for c in df.columns:
         if c in cols and drop_encoded:
             continue
         out.append(F.col(c))
+        seen.add(c)
     for c in cols:
         for v in values[c]:
+            name = dummy_name(c, v)
+            # Sanitizing can collide distinct categories ('a b' vs 'a_b',
+            # 1.0 vs '1_0') into one name; pandas keeps them distinct.
+            # Deterministic de-dup: append _2, _3, … in value-sorted order.
+            if name in seen:
+                i = 2
+                while f"{name}_{i}" in seen:
+                    i += 1
+                name = f"{name}_{i}"
+            seen.add(name)
             out.append(
-                F.when(F.col(c) == F.lit(v), 1)
-                .otherwise(0)
-                .alias(dummy_name(c, v))
+                F.when(F.col(c) == F.lit(v), 1).otherwise(0).alias(name)
             )
     return df.select(*out)
 
@@ -63,7 +73,8 @@ def dummy_name(col: str, value) -> str:
     """Dummy column name ``<col>_<value>`` with characters Spark's
     unquoted column grammar can't carry (dots, spaces, …) mapped to ``_``
     — e.g. a numeric categorical value 0.0 becomes ``D_0_0``, where pandas
-    would emit ``D_0.0``."""
+    would emit ``D_0.0``. Collisions between sanitized names are resolved
+    in ``one_hot`` with a deterministic numeric suffix."""
     import re
 
     return f"{col}_" + re.sub(r"[^0-9A-Za-z_]", "_", str(value))

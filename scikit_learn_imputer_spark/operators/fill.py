@@ -48,23 +48,40 @@ def ffill_bfill(
     original_cols = df.columns
     n = num_partitions or spark.sparkContext.defaultParallelism
 
+    # Order-column support: any numeric (including parameterized
+    # decimal(p,s)), date, or timestamp. Bucketing needs a NUMERIC key for
+    # approxQuantile, so non-numeric orderables get a monotone numeric
+    # surrogate (unix_micros / days-since-epoch); the surrogate is used
+    # ONLY for boundary estimation + bucket assignment — the windows and
+    # first/last structs below order by the ORIGINAL column, so a
+    # precision-collapsed surrogate tie merely co-locates rows in one
+    # bucket (harmless), never reorders them.
     order_type = dict(df.dtypes)[order_col]
-    if order_type not in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal"):
+    numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    if order_type in numeric or order_type.startswith("decimal"):
+        surrogate = F.col(order_col).cast("double")
+    elif order_type.startswith("timestamp"):
+        surrogate = F.unix_micros(F.col(order_col)).cast("double")
+    elif order_type == "date":
+        surrogate = F.datediff(F.col(order_col), F.lit("1970-01-01")).cast("double")
+    else:
         raise ValueError(
-            f"ffill_bfill needs a numeric order column (the reference's row id "
-            f"is numeric, scikit_learn_imputer.py:38); got {order_col}: {order_type}"
+            f"ffill_bfill needs an orderable numeric/date/timestamp order "
+            f"column (the reference's row id is numeric, "
+            f"scikit_learn_imputer.py:38); got {order_col}: {order_type}"
         )
 
     # Deterministic range bucketing: boundaries are collected ONCE and baked
     # into the plan as literals, so every pass below sees the same buckets.
     probs = [i / n for i in range(1, n)]
+    with_sur = df.withColumn("__osur", surrogate)
     boundaries = sorted(
-        set(df.stat.approxQuantile(order_col, probs, 0.001))
+        set(with_sur.stat.approxQuantile("__osur", probs, 0.001))
     ) if n > 1 else []
     bucket = F.lit(0)
     for b in boundaries:
-        bucket = bucket + F.when(F.col(order_col) > F.lit(b), 1).otherwise(0)
-    part = df.withColumn("__pid", bucket.cast("int"))
+        bucket = bucket + F.when(F.col("__osur") > F.lit(b), 1).otherwise(0)
+    part = with_sur.withColumn("__pid", bucket.cast("int")).drop("__osur")
 
     # Pass 1: per-partition first/last observed value of every column.
     # max/min over (order, value) structs ignores NULL structs, i.e. rows

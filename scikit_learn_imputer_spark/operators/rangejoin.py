@@ -29,14 +29,20 @@ def interval_join_count(
     timestamp falls in ``[left_ts - window, left_ts)`` (half-open —
     simultaneous events don't count themselves). Returns all left columns
     + the count."""
+    # Bucket ids via integer DIV (same convention as sources/tables.py):
+    # float division would round-trip microsecond longs through a double
+    # mantissa and truncate toward zero. DIV also truncates toward zero,
+    # but bucket BOUNDARIES stay at exact multiples of the window, so the
+    # "b or b+1" candidate property below still holds for pre-1970
+    # timestamps; the exact interval filter does the rest.
     win_us = window_seconds * 1_000_000
     l = left.withColumn("__lus", F.unix_micros(F.col(left_ts))).withColumn(
-        "__lb", (F.col("__lus") / win_us).cast("long")
+        "__lb", F.expr(f"__lus DIV {win_us}")
     )
     r = right.select(
         F.col(on).alias("__rk"),
         F.unix_micros(F.col(right_ts)).alias("__rus"),
-    ).withColumn("__rb", (F.col("__rus") / win_us).cast("long"))
+    ).withColumn("__rb", F.expr(f"__rus DIV {win_us}"))
 
     # A right row in bucket b matches left rows in buckets b and b+1.
     r2 = r.select("__rk", "__rus", F.col("__rb").alias("__b")).unionAll(

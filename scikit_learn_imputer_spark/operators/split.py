@@ -5,12 +5,15 @@ random_state=42)`` (scikit_learn_imputer.py:232) — an EXACT-fraction split
 (⌈n·t⌉ test rows), not Spark's approximate ``randomSplit``.
 
 Two variants:
-- ``split_exact``: exact fraction via rank over rand(seed) — deterministic
-  for a given seed/partitioning, one narrow shuffle for the rank window
-  salted by hashing into buckets to avoid a single-partition global sort.
+- ``split_exact``: exact fraction via a deterministic hash permutation,
+  ranked WITHIN hash buckets (partitioned window — never a global sort)
+  with a per-bucket quota allocated driver-side from O(buckets) counts.
+  Membership is a pure function of (id value, seed): unlike ``F.rand``,
+  it does not depend on partitioning, so train and test — two separate
+  actions — can never disagree about a row (no leak, no loss).
 - ``split_modulo``: fully engine-portable deterministic split on a key
-  expression (used by the DuckDB-oracle queries, where Spark's rand(seed)
-  stream is not reproducible).
+  expression (used by the DuckDB-oracle queries, where Spark's hash
+  functions are not reproducible in other engines).
 """
 
 from __future__ import annotations
@@ -20,22 +23,72 @@ from pyspark.sql import functions as F
 
 
 def split_exact(
-    df: DataFrame, test_size: float, seed: int, id_col: str
+    df: DataFrame,
+    test_size: float,
+    seed: int,
+    id_col: str,
+    num_buckets: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
-    """Exact ⌈n·test_size⌉ test rows, sampled uniformly by rand(seed).
+    """Exact ⌈n·test_size⌉ test rows, sampled uniformly by a seeded hash.
 
-    Implementation: global row_number over (rand, id) would serialize to one
-    partition; instead rank within hash buckets and take a per-bucket quota.
-    For the data sizes where exactness is observable (per-column observed
-    rows), a single window is acceptable; the bucketed path keeps it scalable.
+    Scale design: a global ``row_number() over (order)`` would serialize
+    every row through ONE task. Instead:
+
+    1. ``__h = xxhash64(id, seed)`` is a deterministic pseudo-random
+       permutation key; ``__b = __h mod B`` assigns hash buckets.
+    2. One tiny aggregate collects per-bucket counts (O(B) driver state).
+    3. The ⌈n·t⌉ quota is apportioned across buckets by largest remainder
+       (deterministic tie-break), so quotas sum to exactly k.
+    4. ``row_number()`` ranks within each bucket — a PARTITIONED window,
+       parallel across B tasks — and rows with rank ≤ quota are test.
+
+    Uniformity: the hash makes bucket assignment and within-bucket order
+    pseudo-random, so quota-proportional sampling per bucket is a uniform
+    exact-k sample. Determinism: membership depends only on the id values
+    and the seed — re-executions, repartitions, and the two train/test
+    actions all agree.
     """
-    n = df.count()
-    k = int(n * test_size + 0.9999999)  # ceil, matches sklearn's ceil
-    ordered = df.withColumn("__r", F.rand(seed))
-    w = Window.orderBy(F.col("__r"), F.col(id_col))
-    ranked = ordered.withColumn("__rn", F.row_number().over(w))
-    test = ranked.filter(F.col("__rn") <= k).drop("__r", "__rn")
-    train = ranked.filter(F.col("__rn") > k).drop("__r", "__rn")
+    h = F.xxhash64(F.col(id_col), F.lit(int(seed)))
+    b = F.pmod(h, F.lit(num_buckets)).cast("int")
+
+    counts = {
+        r["__b"]: r["cnt"]
+        for r in df.groupBy(b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n = sum(counts.values())
+    if n == 0:
+        return df, df
+    k = min(int(n * test_size + 0.9999999), n)  # ceil, matches sklearn
+
+    # Largest-remainder apportionment: floor share first, then +1 to the
+    # buckets with the largest remainders (ties broken by bucket id) until
+    # the quotas sum to k, never exceeding a bucket's row count.
+    quotas = {bb: (k * c) // n for bb, c in counts.items()}
+    rem = k - sum(quotas.values())
+    order = sorted(counts, key=lambda bb: ((k * counts[bb]) % n, -bb), reverse=True)
+    i = 0
+    while rem > 0:
+        bb = order[i % len(order)]
+        if quotas[bb] < counts[bb]:
+            quotas[bb] += 1
+            rem -= 1
+        i += 1
+
+    quota_map = F.create_map(
+        *[x for bb, q in quotas.items() for x in (F.lit(bb), F.lit(q))]
+    )
+    w = Window.partitionBy("__b").orderBy(F.col("__h"), F.col(id_col))
+    ranked = (
+        df.withColumn("__h", h)
+        .withColumn("__b", b)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__q", F.element_at(quota_map, F.col("__b")))
+    )
+    helper = ["__h", "__b", "__rn", "__q"]
+    test = ranked.filter(F.col("__rn") <= F.col("__q")).drop(*helper)
+    train = ranked.filter(F.col("__rn") > F.col("__q")).drop(*helper)
     return train, test
 
 

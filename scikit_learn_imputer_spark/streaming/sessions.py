@@ -109,6 +109,17 @@ def sessionize_stream(
         else:
             num, start_us, end_us, n = 1, None, None, 0
 
+        # Cross-batch out-of-order handling: a late event inside the open
+        # session's span (or within the gap before its start) is FOLDED in
+        # with min/max so session_start can only move earlier and
+        # session_end can only move later — a late arrival never shrinks
+        # the session (the pre-fix bug: `end_us = t` walked the end
+        # backwards). Divergence vs sessionize_batch remains when an event
+        # arrives more than `gap` before the open session's start AFTER a
+        # later batch opened that session — batch semantics would have made
+        # it its own earlier session; here it extends the open one. That is
+        # inherent to append-mode streaming without watermark reordering
+        # and is documented here.
         closed = []
         for t in ts_us:
             if start_us is None:
@@ -117,7 +128,7 @@ def sessionize_stream(
                 closed.append((num, start_us, end_us, n))
                 num, start_us, end_us, n = num + 1, t, t, 1
             else:
-                end_us, n = t, n + 1
+                start_us, end_us, n = min(start_us, t), max(end_us, t), n + 1
 
         state.update((num, start_us, end_us, n))
         if use_timeout:

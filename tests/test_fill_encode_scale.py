@@ -152,6 +152,41 @@ def test_split_exact_fraction_and_determinism(spark):
     assert len(ids) == 100
 
 
+def test_split_exact_membership_is_partitioning_invariant(spark):
+    # F.rand(seed)-based splits change membership when the upstream
+    # partitioning changes (ADVICE r1); the hash-based split must not.
+    df = spark.range(200)
+    _, test1 = split_exact(df, 0.25, seed=7, id_col="id")
+    _, test2 = split_exact(df.repartition(7), 0.25, seed=7, id_col="id")
+    assert sorted(r["id"] for r in test1.collect()) == sorted(
+        r["id"] for r in test2.collect()
+    )
+    # train and test are separate actions; membership must be consistent
+    # between them (disjoint + complete) even on a repartitioned frame.
+    train3, test3 = split_exact(df.repartition(13), 0.1, seed=3, id_col="id")
+    tr = {r["id"] for r in train3.collect()}
+    te = {r["id"] for r in test3.collect()}
+    assert not (tr & te) and len(tr | te) == 200 and len(te) == 20
+
+
+def test_split_exact_bucket_count_keeps_exactness(spark):
+    df = spark.range(101)
+    for b in (1, 4, 64, 256):
+        train, test = split_exact(df, 0.1, seed=42, id_col="id", num_buckets=b)
+        assert test.count() == 11 and train.count() == 90, b
+
+
+def test_split_exact_plan_has_no_single_partition_exchange(spark):
+    # The rank window must be partitioned by hash bucket — a global
+    # orderBy window would show up as an Exchange SinglePartition.
+    df = spark.range(1000)
+    train, test = split_exact(df, 0.1, seed=42, id_col="id")
+    for side in (train, test):
+        plan = side._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan
+        assert "hashpartitioning" in plan
+
+
 def test_split_modulo_portable(spark):
     df = spark.range(100)
     train, test = split_modulo(df, "id", 10, (0,))

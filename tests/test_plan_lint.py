@@ -24,6 +24,9 @@ INTENDED_NON_EQUI = {
     "scatter_update_mean",    # broadcast 1-row mean-fill frame
     "embedding_near_pairs",   # exact baseline; BRP-LSH is the scale path
     "ngram_jaccard_pairs",    # exact baseline; MinHash-LSH is the scale path
+    "imputation_variance",    # broadcast 1-row fill-scalar frame
+    "tfidf_top_terms",        # broadcast 1-row corpus-size frame
+    "q11_important_parts",    # broadcast 1-row total-value threshold
 }
 
 HEAVY_BUILD = {"spark_imputer_e2e"}  # fit() executes ML jobs at build time
