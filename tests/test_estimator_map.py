@@ -53,3 +53,41 @@ def test_fit_with_per_column_regressor_map(spark):
         "Location IS NULL OR km2 IS NULL OR gdp_per_capita IS NULL"
     ).count()
     assert nulls == 0
+
+
+# ------------------------------------------------------- dummy estimators
+def test_dummy_estimator_fit_constants_and_persistence(spark, tmp_path):
+    from scikit_learn_imputer_spark.estimators import (
+        DummyClassifier,
+        DummyClassifierModel,
+        DummyRegressor,
+    )
+
+    df = spark.createDataFrame([(0.0,), (1.0,), (1.0,), (2.0,)], ["label"])
+
+    clf = DummyClassifier(strategy="most_frequent").setLabelCol("label")
+    model = clf.fit(df)
+    assert {r["prediction"] for r in model.transform(df).collect()} == {1.0}
+
+    strat = DummyClassifier(strategy="stratified", seed=7).setLabelCol("label")
+    preds = {r["prediction"] for r in strat.fit(df).transform(df).collect()}
+    assert preds <= {0.0, 1.0, 2.0} and preds
+
+    mean_m = DummyRegressor(strategy="mean").setLabelCol("label").fit(df)
+    assert mean_m.transform(df).first()["prediction"] == 1.0
+    med_m = DummyRegressor(strategy="median").setLabelCol("label").fit(df)
+    assert med_m.transform(df).first()["prediction"] == 1.0
+
+    # Params-only persistence round-trip (model state lives in Params).
+    path = str(tmp_path / "dummy_clf")
+    model.write().overwrite().save(path)
+    loaded = DummyClassifierModel.load(path)
+    assert loaded.transform(df).first()["prediction"] == 1.0
+
+
+def test_reference_estimator_map_documents_all_eight_pairs():
+    from scikit_learn_imputer_spark.estimators import REFERENCE_ESTIMATOR_MAP
+
+    assert len(REFERENCE_ESTIMATOR_MAP) == 8
+    assert REFERENCE_ESTIMATOR_MAP["knn"]["classifier"] is None
+    assert REFERENCE_ESTIMATOR_MAP["mlp"]["regressor"] is None

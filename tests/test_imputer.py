@@ -120,7 +120,30 @@ def _make_pair(name):
         RandomForestRegressor,
     )
 
+    from pyspark.ml.classification import (
+        GBTClassifier,
+        MultilayerPerceptronClassifier,
+        OneVsRest,
+    )
+    from pyspark.ml.regression import GBTRegressor
+
+    from scikit_learn_imputer_spark.estimators import (
+        DummyClassifier,
+        DummyRegressor,
+    )
+
     return {
+        # Reference tests.py:218-234 — all eight pairs, via the mapping in
+        # estimators.REFERENCE_ESTIMATOR_MAP (KNN / MLP-regressor are the
+        # documented-unsupported entries and have no pair here).
+        "dummy_most_frequent": lambda: (
+            DummyClassifier(strategy="most_frequent"),
+            DummyRegressor(strategy="mean"),
+        ),
+        "dummy_stratified": lambda: (
+            DummyClassifier(strategy="stratified", seed=42),
+            DummyRegressor(strategy="median"),
+        ),
         "logistic_linear": lambda: (
             LogisticRegression(maxIter=25),
             LinearRegression(maxIter=25),
@@ -133,11 +156,28 @@ def _make_pair(name):
             RandomForestClassifier(numTrees=5),
             RandomForestRegressor(numTrees=5),
         ),
+        "extra_trees_gbt": lambda: (
+            OneVsRest(classifier=GBTClassifier(maxIter=5, maxDepth=3)),
+            GBTRegressor(maxIter=5, maxDepth=3),
+        ),
+        "mlp": lambda: (
+            MultilayerPerceptronClassifier(maxIter=40),  # layers auto-set
+            LinearRegression(maxIter=25),  # MLlib has no MLP regressor
+        ),
     }[name]()
 
 
 @pytest.mark.parametrize(
-    "pair_name", ["logistic_linear", "decision_tree", "random_forest"]
+    "pair_name",
+    [
+        "dummy_most_frequent",
+        "dummy_stratified",
+        "logistic_linear",
+        "decision_tree",
+        "random_forest",
+        "extra_trees_gbt",
+        "mlp",
+    ],
 )
 def test_fit_transform_no_nulls_invariant(territories, tmp_path, pair_name):
     """Reference tests.py:206-283: for every estimator pair, the imputed
