@@ -37,15 +37,55 @@ def main() -> None:
     from scikit_learn_imputer_spark.dedup.ngram import ngram_jaccard_pairs
     from scikit_learn_imputer_spark.sources.tables import load_table
 
+    # ann_ivf_topk: the KMeans index BUILD is a once-per-corpus cost that
+    # at scale is amortized across every query; timing it inside the search
+    # query masks search-path regressions. The bench reports the phases as
+    # separate entries: ann_ivf_build (index construction, materialized)
+    # and ann_ivf_topk (probe + exact re-rank against the built index).
+    from scikit_learn_imputer_spark.similarity.ivf import (
+        build_ivf_index,
+        cosine_topk_ivf,
+    )
+
+    _ivf: dict[str, object] = {}
+
+    def _ivf_build(s, d):
+        emb = load_table(s, d, "embeddings")
+        assigned, centroids = build_ivf_index(
+            emb, nlist=8, max_iter=3, init_mode="random", build_partitions=4
+        )
+        _ivf["assigned"], _ivf["centroids"] = assigned, centroids
+        return assigned
+
+    def _ivf_search(s, d):
+        emb = load_table(s, d, "embeddings")
+        out = cosine_topk_ivf(
+            _ivf["assigned"],
+            _ivf["centroids"],
+            emb.filter(F.col("vec_id") < 5),
+            k=10,
+            nprobe=8,
+        )
+        return out.select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine"), 6).alias("cosine"),
+            "rank",
+        )
+
     overrides = {
         "ngram_jaccard_pairs": lambda s, d: ngram_jaccard_pairs(
             load_table(s, d, "documents"), n=3, threshold=0.82, max_df=200
         ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")),
+        "ann_ivf_build": _ivf_build,
+        "ann_ivf_topk": _ivf_search,
     }
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name in sorted(QUERIES):
+    # "ann_ivf_build" sorts directly before "ann_ivf_topk", so the index
+    # exists by the time the search entry runs.
+    for name in sorted(set(QUERIES) | {"ann_ivf_build"}):
         fn = overrides.get(name, QUERIES[name])
         start = time.time()
         try:

@@ -308,13 +308,22 @@ def q_imputation_variance(spark, sf_dir):
     """A7/A8/C9: Rubin's-rule between-imputation variance across m simple
     imputations (exercises find_imputation_variance's aggregate shape)."""
     df = with_nulls(_t(spark, sf_dir, "customer"), "customer").select("c_acctbal")
-    mean_v = df.agg(F.avg("c_acctbal")).collect()[0][0]
-    min_v = df.agg(F.min("c_acctbal")).collect()[0][0]
-    fills = {"mean_fill": mean_v, "zero_fill": 0.0, "min_fill": min_v}
+    # Fill scalars stay IN-PLAN: a one-row aggregate broadcast onto the
+    # data, not collected to the driver (no extra Spark jobs at build
+    # time; Catalyst reuses the broadcast exchange across the branches).
+    scalars = df.agg(
+        F.avg("c_acctbal").alias("__mean"), F.min("c_acctbal").alias("__min")
+    )
+    base = df.crossJoin(F.broadcast(scalars))
+    fills = {
+        "mean_fill": F.col("__mean"),
+        "zero_fill": F.lit(0.0),
+        "min_fill": F.col("__min"),
+    }
     parts = []
     for name, v in fills.items():
         parts.append(
-            df.select(F.coalesce(F.col("c_acctbal"), F.lit(v)).alias("x")).agg(
+            base.select(F.coalesce(F.col("c_acctbal"), v).alias("x")).agg(
                 F.lit(name).alias("dataset"), F.avg("x").alias("value")
             )
         )
@@ -1035,7 +1044,9 @@ def q_tfidf_top_terms(spark, sf_dir):
     frequency per doc, document frequency per term) → broadcast idf join →
     per-doc top-k window. The df table is O(vocabulary) — broadcastable."""
     d = _t(spark, sf_dir, "documents")
-    n_docs = d.count()
+    # Corpus size stays in-plan: a one-row aggregate broadcast onto the
+    # scored frame instead of a build-time d.count() job.
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     terms = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("term")
     )
@@ -1043,10 +1054,14 @@ def q_tfidf_top_terms(spark, sf_dir):
     df_t = terms.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    scored = tf.join(F.broadcast(df_t), on="term").select(
-        "doc_id",
-        "term",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df_t), on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("__n") / F.col("df"))).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
@@ -2682,3 +2697,147 @@ def q_spark_imputer_e2e(spark, sf_dir):
         transform=True,
     )
     return result["imputed_data"]
+
+
+# =====================================================================
+# Round-2 TPC shapes: Q8 / Q11 / Q12 (adapted to the available schema —
+# no partsupp / l_shipmode columns in the driver testdata)
+# =====================================================================
+
+@register(
+    "q8_market_share",
+    oracle="""
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN part     ON l_partkey = p_partkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+) v
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's yearly trade
+    volume — conditional-sum ratio over a 6-way star join. All dims
+    (nation×2, region, part-filtered, supplier) broadcast; the only
+    shuffles are the two fact-fact joins and the final tiny groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey"))
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", volume).otherwise(0.0)
+    ) / F.sum(volume)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.round(share, 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+WITH val AS (
+  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, round(value, 2) AS value
+FROM val
+WHERE value > (SELECT sum(value) * 0.001 FROM val)
+ORDER BY value DESC, l_partkey
+""",
+)
+def q_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (partsupp adapted to lineitem value): per-part
+    traded value for one nation's suppliers, kept only above a fraction of
+    the TOTAL — the scalar-subquery threshold stays IN-PLAN as a one-row
+    broadcast, and Catalyst reuses the per-part aggregate exchange for
+    both the detail rows and the total."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    val = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    threshold = val.agg((F.sum("value") * 0.001).alias("__thresh"))
+    return (
+        val.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("__thresh"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q12_late_shipment_priority",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_q12_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode adapted to returnflag): conditional
+    priority counts over LATE shipments — date arithmetic across the two
+    fact tables (ship > order + 60 days). The shipdate range predicate is
+    pushed to the lineitem scan; the cross-table date comparison runs
+    post-join in codegen."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -3,6 +3,8 @@ aggregation equivalence, and bucketed shuffle-free joins."""
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from scikit_learn_imputer_spark.functions.skew import salted_agg
 from scikit_learn_imputer_spark.sources.bucketing import write_bucketed
 from scikit_learn_imputer_spark.sources.tables import load_table
@@ -39,10 +41,16 @@ def test_sessionize_batch_gap_semantics(spark):
     assert out == {(1, 1): 3, (1, 2): 2, (2, 1): 1}
 
 
-def test_sessionize_stream_matches_batch_closed_sessions(spark, sf_smoke):
+@pytest.mark.parametrize("sf_fixture", ["sf_smoke", "sf_correct"])
+def test_sessionize_stream_matches_batch_closed_sessions(
+    spark, request, sf_fixture
+):
     """The stateful streaming operator must emit exactly the CLOSED sessions
-    the batch twin computes (open tail sessions stay in state)."""
-    batch_events = load_table(spark, sf_smoke, "events").select("user_id", "ts")
+    the batch twin computes (open tail sessions stay in state). Runs at
+    sf0.001 AND sf0.01 — the larger SF exercises real multi-batch state
+    handling, not just the toy fixture."""
+    sf_dir = request.getfixturevalue(sf_fixture)
+    batch_events = load_table(spark, sf_dir, "events").select("user_id", "ts")
     batch = {
         (r["user_id"], r["session_num"]): (
             r["session_start"],
@@ -56,13 +64,13 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, sf_smoke):
     for (u, num) in batch:
         last_per_user[u] = max(last_per_user.get(u, 0), num)
 
-    stream = stream_events_from_parquet(spark, sf_smoke).select("user_id", "ts")
+    stream = stream_events_from_parquet(spark, sf_dir).select("user_id", "ts")
     # NoTimeout → the query settles once the source drains (the timeout mode
     # keeps scheduling state-cleanup batches and never goes idle).
     sessions = sessionize_stream(stream, gap_minutes=30, state_timeout_ms=None)
     q = (
         sessions.writeStream.format("memory")
-        .queryName("sess")
+        .queryName(f"sess_{sf_fixture}")
         .outputMode("append")
         .start()
     )
@@ -74,7 +82,7 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, sf_smoke):
                 r["session_end"],
                 r["n_events"],
             )
-            for r in spark.table("sess").collect()
+            for r in spark.table(f"sess_{sf_fixture}").collect()
         }
     finally:
         q.stop()
