@@ -1,0 +1,75 @@
+"""Near-duplicate CLUSTERS from candidate pairs — distributed connected
+components.
+
+Pair-level dedup (minhash/simhash/ngram/embedding modules) emits edges;
+keep-one-per-cluster policies need the transitive closure: if A≈B and
+B≈C, one survivor for {A,B,C}. This is connected components over the
+candidate graph, computed with hash-to-min label propagation:
+
+- every vertex starts labeled with its own id;
+- each round, a vertex takes the min of its label and its neighbors'
+  labels (one shuffle join + one aggregate per round);
+- converges in O(graph diameter) rounds — near-dup graphs are unions of
+  small cliques/chains, so the diameter is tiny in practice.
+
+Scale notes (the 100 TB path): per round the work is one equi join on
+vertex id and one min-aggregate — both hash-partitioned, no global
+structure, no driver-side graph. Driver state is ONE changed-row count
+per round (O(1)); lineage is truncated each round with an eager
+``localCheckpoint`` so the plan doesn't grow with iterations (the
+standard Spark iterative-algorithm pattern). ``max_iter`` bounds the
+worst case; the loop exits early on convergence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return (id, label) where ``label`` is the minimum vertex id in the
+    component — a canonical, deterministic cluster id. Only vertices that
+    appear in ``edges`` are returned (singletons have no near-dup)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["a"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("nlabel"), labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

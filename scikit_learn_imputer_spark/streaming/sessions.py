@@ -165,3 +165,85 @@ def sessionize_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def sessionize_stream_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization on the Spark 4 ``transformWithStateInPandas`` API —
+    the successor to ``applyInPandasWithState`` (typed per-key value state
+    via a ``StatefulProcessor``, explicit time modes, composable state
+    variables). Same semantics as :func:`sessionize_stream` with
+    ``state_timeout_ms=None``: emits CLOSED sessions in append mode, keeps
+    one open-session record per user in the state store, folds late
+    events with min/max so a session never shrinks.
+
+    Scale notes: identical shuffle shape to the applyInPandasWithState
+    form (one exchange on user_id); state is one small tuple per open
+    session, RocksDB-backable.
+
+    Environment gate: the transformWithState Python runner requires
+    ``google.protobuf`` (its state-server protocol) and the RocksDB state
+    store provider; on clusters without protobuf the
+    ``applyInPandasWithState`` twin above is the supported path (the test
+    suite skips this operator when protobuf is absent).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "open_session",
+                "num LONG, start_us LONG, end_us LONG, n LONG",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            ts_us: list[int] = []
+            for pdf in rows:
+                ts_us.extend(int(t.value // 1000) for t in pdf["ts"])
+            ts_us.sort()
+
+            if self._state.exists():
+                num, start_us, end_us, n = self._state.get()
+            else:
+                num, start_us, end_us, n = 1, None, None, 0
+
+            closed = []
+            for t in ts_us:
+                if start_us is None:
+                    start_us, end_us, n = t, t, 1
+                elif t - end_us > gap_us:
+                    closed.append((num, start_us, end_us, n))
+                    num, start_us, end_us, n = num + 1, t, t, 1
+                else:
+                    start_us, end_us, n = min(start_us, t), max(end_us, t), n + 1
+
+            self._state.update((num, start_us, end_us, n))
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id] * len(closed),
+                        "session_num": [c[0] for c in closed],
+                        "session_start": [
+                            pd.Timestamp(c[1], unit="us") for c in closed
+                        ],
+                        "session_end": [
+                            pd.Timestamp(c[2], unit="us") for c in closed
+                        ],
+                        "n_events": [c[3] for c in closed],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionProcessor(),
+        outputStructType=SESSION_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

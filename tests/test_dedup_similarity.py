@@ -164,3 +164,17 @@ def test_embedding_pairs_blas_guard(spark, sf_smoke):
     emb = load_table(spark, sf_smoke, "embeddings")
     with _pytest.raises(ValueError, match="max_broadcast_rows"):
         embedding_near_pairs_blas(emb, max_broadcast_rows=10)
+
+
+def test_connected_components_chain_and_islands(spark):
+    from scikit_learn_imputer_spark.dedup.cluster import connected_components
+
+    # chain 1-2-3-4 (diameter 3, needs >1 round), island {10,11}, and an
+    # edge listed in both directions (must not duplicate)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10)], ["src", "dst"]
+    )
+    got = {
+        r["id"]: r["label"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}

@@ -146,3 +146,70 @@ def test_bucketed_join_has_no_shuffle(spark, sf_smoke):
         assert joined.count() == lineitem.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+@pytest.mark.skipif(
+    not __import__("importlib").util.find_spec("google"),
+    reason="transformWithStateInPandas needs google.protobuf (absent in "
+    "this container); the operator is gated accordingly",
+)
+def test_sessionize_stream_tws_matches_batch_closed_sessions(spark, sf_smoke):
+    """transformWithStateInPandas twin: same closed-session outputs as the
+    applyInPandasWithState path and the batch oracle."""
+    from scikit_learn_imputer_spark.streaming.sessions import (
+        sessionize_stream_tws,
+    )
+
+    batch_events = load_table(spark, sf_smoke, "events").select("user_id", "ts")
+    batch = {
+        (r["user_id"], r["session_num"]): (
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+        )
+        for r in sessionize_batch(batch_events, gap_minutes=30).collect()
+    }
+    last_per_user = {}
+    for (u, num) in batch:
+        last_per_user[u] = max(last_per_user.get(u, 0), num)
+
+    # transformWithState requires the RocksDB state store provider.
+    old = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_events_from_parquet(spark, sf_smoke).select("user_id", "ts")
+        q = (
+            sessionize_stream_tws(stream, gap_minutes=30)
+            .writeStream.format("memory")
+            .queryName("sess_tws")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["user_id"], r["session_num"]): (
+                    r["session_start"],
+                    r["session_end"],
+                    r["n_events"],
+                )
+                for r in spark.table("sess_tws").collect()
+            }
+        finally:
+            q.stop()
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    assert len(got) > 0
+    for key, val in got.items():
+        assert batch[key] == val, f"session {key}: {val} != {batch[key]}"
+    closed_expected = {k for k in batch if k[1] < last_per_user[k[0]]}
+    assert closed_expected <= set(got)
