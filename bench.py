@@ -101,7 +101,7 @@ def main() -> None:
     # "ann_ivf_build" sorts directly before "ann_ivf_topk", so the index
     # exists by the time the search entry runs.
     for name in sorted(set(QUERIES) | {"ann_ivf_build"}):
-        fn = overrides.get(name, QUERIES[name])
+        fn = overrides.get(name) or QUERIES[name]
         start = time.time()
         try:
             df = fn(spark, sf_dir)
