@@ -3040,3 +3040,124 @@ def q_near_dup_clusters(spark, sf_dir):
         F.col("id").alias("doc_id"),
         F.col("label").cast("bigint").alias("cluster_id"),
     ).orderBy("doc_id")
+
+
+@register(
+    "purchase_error_join",
+    oracle="""
+SELECT p.user_id, p.ts AS p_ts, e.ts AS e_ts,
+       round(p.value, 6) AS purchase_value
+FROM events p
+JOIN events e
+  ON p.user_id = e.user_id
+WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+  AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 60 MINUTE
+""",
+)
+def q_purchase_error_join(spark, sf_dir):
+    """Batch twin of the watermarked STREAM-STREAM join
+    (streaming/events.py:purchase_error_pairs): errors paired with the
+    same user's purchases in the preceding hour. The streaming form holds
+    only watermark+window state per side; the batch form is this exact
+    plan (equi join on user + time-range residual) and is the oracle the
+    stream==batch test checks against."""
+    from scikit_learn_imputer_spark.streaming.events import purchase_error_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    out = purchase_error_pairs(ev, window_minutes=60)
+    return out.select(
+        "user_id", "p_ts", "e_ts",
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+
+
+@register(
+    "doc_chunks_udtf",
+    oracle="""
+WITH parts AS (
+  SELECT doc_id, string_split(text, ' ') AS p FROM documents
+),
+idx AS (
+  SELECT doc_id, p,
+         unnest(generate_series(1, CAST(ceil(len(p) / 8.0) AS BIGINT))) AS i
+  FROM parts
+)
+SELECT doc_id,
+       CAST(i - 1 AS INT) AS chunk_id,
+       CAST(len(list_slice(p, (i - 1) * 8 + 1, least(i * 8, len(p)))) AS INT)
+         AS n_tokens,
+       array_to_string(list_slice(p, (i - 1) * 8 + 1, least(i * 8, len(p))), ' ')
+         AS chunk
+FROM idx
+""",
+)
+def q_doc_chunks_udtf(spark, sf_dir):
+    """Python UDTF (Spark 4 table function API): fixed-size token
+    chunking — the context-window chunking step of an LLM training-data
+    pipeline — as a LATERAL table function over documents. One input row
+    fans out to ceil(tokens/8) chunk rows with per-chunk token counts.
+
+    The UDTF runs Arrow-batched Python; for pure-splitting workloads the
+    JVM posexplode path (`doc_tokens_positional`) is faster — the UDTF is
+    the right tool when the per-row expansion logic needs real Python
+    (tokenizers, samplers), and this entry pins the API's semantics to a
+    SQL oracle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id: int, n_tokens: int, chunk: string")
+    class ChunkTokens:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").split(" ") if t]
+            k = 8
+            for i in range(0, len(toks), k):
+                c = toks[i : i + k]
+                yield i // k, len(c), " ".join(c)
+
+    spark.udtf.register("sli_chunk_tokens", ChunkTokens)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__sli_docs_udtf")
+    return spark.sql(
+        """
+        SELECT doc_id, t.chunk_id, t.n_tokens, t.chunk
+        FROM __sli_docs_udtf, LATERAL sli_chunk_tokens(text) t
+        """
+    )
+
+
+@register(
+    "bigram_counts",
+    oracle="""
+WITH parts AS (
+  SELECT doc_id, string_split(text, ' ') AS p FROM documents
+),
+idx AS (
+  SELECT doc_id, p, unnest(generate_series(1, len(p) - 1)) AS i FROM parts
+)
+SELECT p[i] || ' ' || p[i + 1] AS bigram, count(*) AS n
+FROM idx
+GROUP BY 1
+ORDER BY n DESC, bigram
+LIMIT 20
+""",
+)
+def q_bigram_counts(spark, sf_dir):
+    """Corpus bigram counts (n-gram language-model statistics): positional
+    tokenization (posexplode — JVM-side), adjacent pairing via lead() over
+    per-doc windows (partitioned by doc — parallel, no global sort), then
+    a count aggregate with a deterministic total order for the top-k cut.
+    At scale the LIMIT becomes TakeOrderedAndProject — no full sort."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.withColumn("nxt", F.lead("term").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    return (
+        pairs.groupBy(
+            F.concat_ws(" ", F.col("term"), F.col("nxt")).alias("bigram")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )

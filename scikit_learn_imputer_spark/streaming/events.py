@@ -116,3 +116,51 @@ def stream_events_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def purchase_error_pairs(
+    events: DataFrame,
+    window_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join (or its batch twin when ``events`` is a
+    batch frame): pair every error with the same user's purchases in the
+    preceding ``window_minutes``.
+
+    Streaming semantics: both sides carry a watermark and the join
+    condition bounds event time on both sides, so Spark can expire join
+    state — the state store holds only the last watermark+window of each
+    side (bounded memory at any throughput). Without the time bound the
+    state would grow forever; this is THE canonical watermarked
+    stream-stream join shape.
+
+    Batch semantics: identical plan modulo state — the same function
+    builds the oracle-checked batch query (`purchase_error_join`).
+    """
+    is_streaming = events.isStreaming
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    e = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    if is_streaming:
+        p = p.withWatermark("p_ts", watermark)
+        e = e.withWatermark("e_ts", watermark)
+    cond = (
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("p_ts"))
+        & (
+            F.col("e_ts")
+            <= F.col("p_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        )
+    )
+    return p.join(e, cond, "inner").select(
+        F.col("p_user").alias("user_id"),
+        "p_ts",
+        "e_ts",
+        "purchase_value",
+    )

@@ -123,3 +123,42 @@ def test_stream_to_parquet_exactly_once_across_restart(spark, sf_smoke, tmp_path
     q2 = stream_events_to_parquet(spark, sf_smoke, out, cp)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n_batch
+
+
+def test_stream_stream_join_matches_batch(spark, sf_smoke):
+    """Watermarked stream-stream self-join (purchase↔error pairs): the
+    append-mode streaming result must equal the batch twin once the
+    source drains — the watermark bounds state, not results, for a finite
+    replay."""
+    from scikit_learn_imputer_spark.sources.tables import load_table
+    from scikit_learn_imputer_spark.streaming.events import (
+        purchase_error_pairs,
+        stream_events_from_parquet,
+    )
+
+    batch = {
+        (r["user_id"], r["p_ts"], r["e_ts"])
+        for r in purchase_error_pairs(
+            load_table(spark, sf_smoke, "events"), window_minutes=60
+        ).collect()
+    }
+
+    stream = stream_events_from_parquet(spark, sf_smoke)
+    q = (
+        purchase_error_pairs(stream, window_minutes=60)
+        .writeStream.format("memory")
+        .queryName("pe_pairs")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["p_ts"], r["e_ts"])
+            for r in spark.table("pe_pairs").collect()
+        }
+    finally:
+        q.stop()
+
+    assert len(batch) > 0
+    assert got == batch
