@@ -3161,3 +3161,37 @@ def q_bigram_counts(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(20)
     )
+
+
+@register(
+    "set_ops_suite",
+    oracle="""
+WITH big AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000
+),
+y98 AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+)
+SELECT 'both' AS segment, o_custkey FROM (SELECT o_custkey FROM big INTERSECT SELECT o_custkey FROM y98)
+UNION ALL
+SELECT 'only_big', o_custkey FROM (SELECT o_custkey FROM big EXCEPT SELECT o_custkey FROM y98)
+UNION ALL
+SELECT 'only_98', o_custkey FROM (SELECT o_custkey FROM y98 EXCEPT SELECT o_custkey FROM big)
+ORDER BY segment, o_custkey
+""",
+)
+def q_set_ops_suite(spark, sf_dir):
+    """ANSI set operations (§2.10): INTERSECT and EXCEPT between two
+    customer segments, tagged and unioned. Spark lowers both to
+    aggregates/joins on the hashed key — no sort, distinct pushed into
+    each branch."""
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 200000).select("o_custkey").distinct()
+    y98 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey").distinct()
+    tag = lambda df, t: df.select(F.lit(t).alias("segment"), "o_custkey")
+    return (
+        tag(big.intersect(y98), "both")
+        .unionAll(tag(big.exceptAll(y98), "only_big"))
+        .unionAll(tag(y98.exceptAll(big), "only_98"))
+        .orderBy("segment", "o_custkey")
+    )

@@ -192,3 +192,35 @@ def test_split_modulo_portable(spark):
     train, test = split_modulo(df, "id", 10, (0,))
     assert test.count() == 10
     assert all(r["id"] % 10 == 0 for r in test.collect())
+
+
+def test_ffill_bfill_timestamp_and_decimal_order_keys(spark):
+    """ADVICE r1: decimal(p,s) order columns were rejected by the dtype
+    string gate; timestamps are the common real-world fill order. Both now
+    go through the same two-pass partitioned plan."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (t0 + datetime.timedelta(hours=i), None if i % 3 == 1 else float(i))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "v"])
+    out = {r["ts"]: r["v"] for r in ffill_bfill(df, "ts", ["v"], num_partitions=4).collect()}
+    expect = {}
+    last = None
+    for ts, v in rows:
+        if v is not None:
+            last = v
+        expect[ts] = last
+    # leading nulls bfill: none here since i=0 observed
+    assert out == expect
+
+    dec = spark.createDataFrame(rows, ["ts", "v"]).select(
+        F.col("ts"),
+        F.row_number().over(__import__("pyspark").sql.Window.orderBy("ts")).cast("decimal(10,2)").alias("k"),
+        F.col("v"),
+    ).drop("ts")
+    got = {float(r["k"]): r["v"] for r in ffill_bfill(dec, "k", ["v"], num_partitions=3).collect()}
+    exp = {float(i + 1): expect[rows[i][0]] for i in range(30)}
+    assert got == exp

@@ -51,6 +51,7 @@ def test_no_unintended_cartesian_or_nested_loop(spark, sf_smoke, name):
         ("q6_forecast_revenue", "PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_discount), LessThan(l_quantity"),
         ("q14_promo_revenue", "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
         ("q10_returned_items", "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"),
+        ("q12_late_shipment_priority", "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
     ],
 )
 def test_selective_predicates_reach_the_scan(spark, sf_smoke, name, fragment):
