@@ -75,16 +75,29 @@ def main() -> None:
 
     from scikit_learn_imputer_spark.dedup.cluster import connected_components
 
-    def _clusters_guarded(s, d):
+    def _guarded_edges(s, d):
         # Same stop-gram guard as the ngram override: the oracle config is
         # exact; the bench config is the documented at-scale knob.
-        edges = ngram_jaccard_pairs(
+        return ngram_jaccard_pairs(
             load_table(s, d, "documents"), n=3, threshold=0.82, max_df=200
         ).select("id_a", "id_b")
-        labels = connected_components(edges, src="id_a", dst="id_b")
+
+    def _clusters_guarded(s, d):
+        labels = connected_components(_guarded_edges(s, d), src="id_a", dst="id_b")
         return labels.select(
             F.col("id").alias("doc_id"),
             F.col("label").cast("bigint").alias("cluster_id"),
+        )
+
+    def _survivors_guarded(s, d):
+        labels = connected_components(_guarded_edges(s, d), src="id_a", dst="id_b")
+        losers = labels.filter(F.col("label") != F.col("id")).select(
+            F.col("id").alias("doc_id")
+        )
+        return (
+            load_table(s, d, "documents")
+            .join(F.broadcast(losers), on="doc_id", how="left_anti")
+            .select("doc_id")
         )
 
     overrides = {
@@ -92,6 +105,7 @@ def main() -> None:
             load_table(s, d, "documents"), n=3, threshold=0.82, max_df=200
         ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")),
         "near_dup_clusters": _clusters_guarded,
+        "near_dup_survivors": _survivors_guarded,
         "ann_ivf_build": _ivf_build,
         "ann_ivf_topk": _ivf_search,
     }

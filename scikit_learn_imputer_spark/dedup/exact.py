@@ -35,3 +35,31 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.join(
         groups.select(F.col("keep_id").alias(id_col)), on=id_col, how="left_semi"
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-data decontamination: drop every corpus document whose
+    NORMALIZED content matches any benchmark/eval document (the standard
+    pre-training hygiene step — eval sets must not leak into training
+    data).
+
+    Scale design: both sides reduce to 16-byte digests before the join;
+    the benchmark side is tiny (an eval set) and distinct-on-digest, so
+    Catalyst broadcasts it and the anti join is a broadcast hash join —
+    the corpus never shuffles."""
+    bench_digests = (
+        benchmark.select(fingerprint_col(F.col(text_col)).alias("fingerprint"))
+        .distinct()
+    )
+    return corpus.withColumn(
+        "__fp", fingerprint_col(F.col(text_col))
+    ).join(
+        F.broadcast(bench_digests),
+        F.col("__fp") == F.col("fingerprint"),
+        how="left_anti",
+    ).drop("__fp")

@@ -3195,3 +3195,78 @@ def q_set_ops_suite(spark, sf_dir):
         .unionAll(tag(y98.exceptAll(big), "only_98"))
         .orderBy("segment", "o_custkey")
     )
+
+
+@register(
+    "decontaminate_corpus",
+    oracle="""
+WITH bench AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id % 20 = 0
+)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+WHERE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN
+      (SELECT fp FROM bench)
+ORDER BY doc_id
+""",
+)
+def q_decontaminate_corpus(spark, sf_dir):
+    """Decontamination (dedup/exact.py:decontaminate): remove corpus docs
+    whose normalized content appears in a benchmark set (here: the
+    doc_id%20==0 slice stands in for an eval set). Digest-anti-join with
+    the tiny benchmark side broadcast — the corpus side never shuffles."""
+    from scikit_learn_imputer_spark.dedup.exact import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    clean = decontaminate(docs, bench)
+    return clean.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    ).orderBy("doc_id")
+
+
+@register(
+    "near_dup_survivors",
+    oracle=f"""
+WITH RECURSIVE
+pairs AS ({_NGRAM_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+clusters AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT d.doc_id
+FROM documents d
+LEFT JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.cluster_id = c.doc_id
+ORDER BY d.doc_id
+""",
+)
+def q_near_dup_survivors(spark, sf_dir):
+    """Survivor selection after near-dup clustering: keep every singleton
+    plus the canonical (min-id) member of each near-dup cluster — the
+    keep-one-per-cluster corpus a dedup pipeline actually emits. Built as
+    an anti join of documents against the non-canonical cluster members
+    (the clusters frame is O(duplicates) — broadcastable)."""
+    from scikit_learn_imputer_spark.dedup.cluster import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = QUERIES["ngram_jaccard_pairs"](spark, sf_dir).select("id_a", "id_b")
+    clusters = connected_components(edges, src="id_a", dst="id_b")
+    losers = clusters.filter(F.col("label") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(losers), on="doc_id", how="left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

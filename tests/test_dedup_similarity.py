@@ -178,3 +178,30 @@ def test_connected_components_chain_and_islands(spark):
         r["id"]: r["label"] for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_decontaminate_removes_benchmark_matches(spark):
+    from scikit_learn_imputer_spark.dedup.exact import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "THE  QUICK   BROWN FOX"),  # normalized match of doc 1
+            (3, "something else entirely"),
+            (4, "eval question one"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "eval question one")],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r["doc_id"] for r in decontaminate(corpus, bench).collect())
+    assert kept == [3]
+    # anti join must be a broadcast hash join on the digest (no shuffle of
+    # the corpus side)
+    plan = (
+        decontaminate(corpus, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

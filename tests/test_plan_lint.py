@@ -58,3 +58,23 @@ def test_selective_predicates_reach_the_scan(spark, sf_smoke, name, fragment):
     df = QUERIES[name](spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert fragment in plan, f"{name}: predicate not pushed to scan"
+
+
+def test_no_buildtime_collects_in_query_registry():
+    """VERDICT r1 #6: query construction must not run Spark jobs — scalars
+    stay in-plan (one-row broadcast frames). Static scan of the registry
+    source for .collect()/.count() calls; operator LIBRARY modules may
+    collect only under documented O(buckets)/O(labels) contracts (those
+    live outside plans/queries.py and are covered by their own tests)."""
+    import inspect
+
+    import scikit_learn_imputer_spark.plans.queries as q
+
+    src = inspect.getsource(q)
+    offenders = [
+        (i + 1, line.strip())
+        for i, line in enumerate(src.splitlines())
+        if (".collect()" in line or ".count()" in line)
+        and not line.strip().startswith("#")
+    ]
+    assert offenders == [], f"build-time Spark actions in registry: {offenders}"
