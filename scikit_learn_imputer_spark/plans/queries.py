@@ -3270,3 +3270,68 @@ def q_near_dup_survivors(spark, sf_dir):
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corr_covar_by_flag",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+       round(stddev_samp(l_extendedprice), 4) AS price_sd
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_corr_covar_by_flag(spark, sf_dir):
+    """Bivariate statistics (corr / covar_samp / stddev_samp) per group —
+    single-pass partial-aggregable moments, ANSI on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_covar"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_sd"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "acctbal_histogram",
+    oracle="""
+SELECT CAST(CASE WHEN c_acctbal < -1000.0 THEN 0
+            WHEN c_acctbal >= 10000.0 THEN 23
+            ELSE floor((c_acctbal - (-1000.0)) / (10000.0 - (-1000.0)) * 22) + 1
+       END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(c_acctbal), 2) AS lo,
+       round(max(c_acctbal), 2) AS hi
+FROM customer
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def q_acctbal_histogram(spark, sf_dir):
+    """Equi-width histogram via width_bucket — the one-pass distributed
+    histogram shape (bucket id is a pure projection; the aggregate is
+    map-side combinable; no sort until the O(buckets) result). DuckDB has
+    no width_bucket, so the oracle replicates the ANSI formula
+    (floor((x-lo)/(hi-lo)*n)+1 with under/overflow buckets 0 and n+1)."""
+    c = _t(spark, sf_dir, "customer")
+    b = F.width_bucket(F.col("c_acctbal"), F.lit(-1000.0), F.lit(10000.0), F.lit(22))
+    return (
+        c.groupBy(b.cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -196,3 +196,26 @@ def test_missing_metrics_property(spark, vals):
     assert row["observed"] == len(vals) - n_null
     assert row["total"] == len(vals)
     assert abs(row["imputation_rate"] - n_null / len(vals)) < 1e-12
+
+
+@given(
+    st.integers(min_value=1, max_value=400),
+    st.floats(min_value=0.01, max_value=0.99),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@SETTINGS
+def test_split_exact_property(spark, n, t, seed):
+    """⌈n·t⌉ test rows exactly, disjoint + complete, for arbitrary sizes,
+    fractions, and seeds (hash-bucketed path, 16 buckets)."""
+    import math
+
+    from scikit_learn_imputer_spark.operators.split import split_exact
+
+    df = spark.range(n)
+    train, test = split_exact(df, t, seed=seed, id_col="id", num_buckets=16)
+    # the implementation's ceil: int(n*t + 0.9999999), capped at n
+    k = min(int(n * t + 0.9999999), n)
+    te = {r["id"] for r in test.collect()}
+    tr = {r["id"] for r in train.collect()}
+    assert len(te) == k
+    assert not (te & tr) and len(te | tr) == n
