@@ -3335,3 +3335,53 @@ def q_acctbal_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "ewma_daily_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY 1
+),
+offs AS (SELECT unnest(generate_series(0, 119)) AS o),
+pairs AS (
+  SELECT d.day, d2.rev, pow(0.7, o) AS w
+  FROM daily d
+  CROSS JOIN offs
+  JOIN daily d2 ON d2.day = d.day - CAST(o AS INT)
+)
+SELECT day, round(sum(rev * w) / sum(w), 4) AS ewma
+FROM pairs GROUP BY day ORDER BY day
+""",
+)
+def q_ewma_daily_revenue(spark, sf_dir):
+    """Exponentially-weighted moving average of daily revenue — an
+    order-dependent RECURSIVE statistic expressed declaratively: weights
+    below double precision are truncated (0.7^119 ≈ 4e-19), so EWMA
+    becomes a bounded-lag weighted sum — a 120-row offset table
+    cross-joined (broadcast) onto the O(days) daily aggregate, then an
+    EQUI self-join on (day - offset) and one weighted-average aggregate.
+    No sequential scan, no UDF, no unpartitioned data-sized window; every
+    step is partial-aggregable. Normalization uses only PRESENT days
+    (pandas ewm(adjust=True) over an irregular calendar)."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    offs = spark.range(120).select(F.col("id").cast("int").alias("o"))
+    lagged = daily.select(F.col("day").alias("d2"), "rev")
+    return (
+        daily.select("day")
+        .crossJoin(F.broadcast(offs))
+        .withColumn("w", F.pow(F.lit(0.7), F.col("o")))
+        .join(
+            F.broadcast(lagged),
+            F.expr("d2 = date_sub(day, o)"),
+            "inner",
+        )
+        .groupBy("day")
+        .agg(F.round(F.sum(F.col("rev") * F.col("w")) / F.sum("w"), 4).alias("ewma"))
+        .orderBy("day")
+    )

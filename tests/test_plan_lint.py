@@ -27,6 +27,7 @@ INTENDED_NON_EQUI = {
     "imputation_variance",    # broadcast 1-row fill-scalar frame
     "tfidf_top_terms",        # broadcast 1-row corpus-size frame
     "q11_important_parts",    # broadcast 1-row total-value threshold
+    "ewma_daily_revenue",     # broadcast 120-row lag-offset table
 }
 
 HEAVY_BUILD = {"spark_imputer_e2e"}  # fit() executes ML jobs at build time
