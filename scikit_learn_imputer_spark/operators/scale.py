@@ -37,3 +37,29 @@ def minmax_scale(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         else:
             out.append(F.col(c))
     return joined.select(*out)
+
+
+def zscore_scale(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Standard (z-score) scaling: x' = (x - mean) / stddev_samp; a
+    constant column (zero variance) scales to 0.0, mirroring sklearn
+    StandardScaler's zero-variance handling. Same two-narrow-stage plan as
+    :func:`minmax_scale` — one aggregate pass, a one-row broadcast, then a
+    pure projection."""
+    cols = list(cols) if cols else list(df.columns)
+    aggs = []
+    for c in cols:
+        aggs.append(F.avg(F.col(c)).alias(f"__mu_{c}"))
+        aggs.append(F.stddev_samp(F.col(c)).alias(f"__sd_{c}"))
+    stats = df.agg(*aggs)
+    joined = df.crossJoin(F.broadcast(stats))
+    out = []
+    for c in df.columns:
+        if c in cols:
+            sd = F.col(f"__sd_{c}")
+            scaled = F.when(
+                sd.isNull() | (sd == 0), F.lit(0.0)
+            ).otherwise((F.col(c) - F.col(f"__mu_{c}")) / sd)
+            out.append(scaled.cast("double").alias(c))
+        else:
+            out.append(F.col(c))
+    return joined.select(*out)

@@ -3385,3 +3385,56 @@ def q_ewma_daily_revenue(spark, sf_dir):
         .agg(F.round(F.sum(F.col("rev") * F.col("w")) / F.sum("w"), 4).alias("ewma"))
         .orderBy("day")
     )
+
+
+@register(
+    "zscore_scale",
+    oracle="""
+SELECT c_custkey,
+       round((c_acctbal - avg(c_acctbal) OVER ()) / stddev_samp(c_acctbal) OVER (), 6)
+         AS acctbal_z
+FROM customer
+""",
+)
+def q_zscore_scale(spark, sf_dir):
+    """Standard scaling (operators/scale.py:zscore_scale): one aggregate
+    pass + one-row broadcast + projection — the z-score twin of
+    minmax_scale (sklearn StandardScaler semantics incl. zero-variance →
+    0.0)."""
+    from scikit_learn_imputer_spark.operators.scale import zscore_scale
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    out = zscore_scale(c, ["c_acctbal"])
+    return out.select(
+        "c_custkey", F.round(F.col("c_acctbal"), 6).alias("acctbal_z")
+    )
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       CAST(levenshtein(a.n_name, b.n_name) AS INT) AS edit_dist
+FROM nation a JOIN nation b ON a.n_name < b.n_name
+WHERE levenshtein(a.n_name, b.n_name) <= 2
+ORDER BY name_a, name_b
+""",
+)
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Edit-distance fuzzy matching over a DIM table: all name pairs
+    within levenshtein distance 2. The self-join is bounded to the
+    broadcast-sized dimension (25 rows); at corpus scale fuzzy joins
+    first block by a cheap key (length band, first-char, phonetic code, or
+    the MinHash/SimHash buckets in dedup/) — this entry pins the distance
+    function's semantics to the SQL oracle."""
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    a = n.select(F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "edit_dist", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .orderBy("name_a", "name_b")
+    )

@@ -224,3 +224,21 @@ def test_ffill_bfill_timestamp_and_decimal_order_keys(spark):
     got = {float(r["k"]): r["v"] for r in ffill_bfill(dec, "k", ["v"], num_partitions=3).collect()}
     exp = {float(i + 1): expect[rows[i][0]] for i in range(30)}
     assert got == exp
+
+
+def test_zscore_scale_semantics(spark):
+    from scikit_learn_imputer_spark.operators.scale import zscore_scale
+
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("a", DoubleType(), True),
+            StructField("k", DoubleType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(0, 10.0, 5.0), (1, 20.0, 5.0), (2, 30.0, 5.0)], schema
+    )
+    out = {r["id"]: (r["a"], r["k"]) for r in zscore_scale(df, ["a", "k"]).collect()}
+    # sd of (10,20,30) = 10 → z = (-1, 0, 1); constant col → 0.0
+    assert out == {0: (-1.0, 0.0), 1: (0.0, 0.0), 2: (1.0, 0.0)}

@@ -28,6 +28,8 @@ INTENDED_NON_EQUI = {
     "tfidf_top_terms",        # broadcast 1-row corpus-size frame
     "q11_important_parts",    # broadcast 1-row total-value threshold
     "ewma_daily_revenue",     # broadcast 120-row lag-offset table
+    "zscore_scale",           # broadcast 1-row mean/sd frame
+    "fuzzy_name_pairs",       # broadcast 25-row dim self-pair join
 }
 
 HEAVY_BUILD = {"spark_imputer_e2e"}  # fit() executes ML jobs at build time
