@@ -3438,3 +3438,143 @@ def q_fuzzy_name_pairs(spark, sf_dir):
         .filter(F.col("edit_dist") <= 2)
         .orderBy("name_a", "name_b")
     )
+
+
+@register(
+    "user_sessions_native",
+    oracle="""
+WITH lagged AS (
+  SELECT user_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN gap_us IS NULL OR gap_us >= 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_num
+""",
+)
+def q_user_sessions_native(spark, sf_dir):
+    """Spark's BUILT-IN gap sessionization (`session_window`) — the
+    one-aggregate native form of the lag+running-sum plan in
+    `user_sessions`. Boundary semantics: session_window starts a new
+    session when the gap is >= the duration (window end exclusive), so
+    the oracle flags `gap >= 30min` where the lag-based twin uses
+    `> 30min`; both are pinned to their own oracles."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS n_orders
+FROM lines a
+JOIN lines b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+""",
+)
+def q_basket_part_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order. The self-join is an EQUI join on orderkey (shuffle once,
+    co-partitioned) with fan-out bounded by per-order line count squared
+    — never all-pairs over the catalog; deterministic top-k via total
+    order."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (a.l_orderkey == b.__ok) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "yoy_revenue_growth",
+    oracle="""
+WITH yearly AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT yr, round(rev, 2) AS revenue,
+       round(100.0 * (rev - lag(rev) OVER (ORDER BY yr))
+             / lag(rev) OVER (ORDER BY yr), 4) AS yoy_pct
+FROM yearly ORDER BY yr
+""",
+)
+def q_yoy_revenue_growth(spark, sf_dir):
+    """Year-over-year growth: lag over the post-aggregation O(years)
+    frame (an unpartitioned window over ≤10 rows — the documented
+    tiny-frame exception, same as daily_revenue_ma7)."""
+    o = _t(spark, sf_dir, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").cast("bigint").alias("yr")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return yearly.select(
+        "yr",
+        F.round("rev", 2).alias("revenue"),
+        F.round(100.0 * (F.col("rev") - prev) / prev, 4).alias("yoy_pct"),
+    ).orderBy("yr")
+
+
+@register(
+    "winsorize_acctbal",
+    oracle="""
+WITH q AS (
+  SELECT quantile_cont(c_acctbal, 0.05) AS p5,
+         quantile_cont(c_acctbal, 0.95) AS p95
+  FROM customer
+)
+SELECT c_custkey,
+       round(least(greatest(c_acctbal, p5), p95), 4) AS acctbal_wins
+FROM customer, q
+""",
+)
+def q_winsorize_acctbal(spark, sf_dir):
+    """Winsorization (clip at the 5th/95th percentile) — outlier taming
+    for feature pipelines: one exact-percentile aggregate broadcast as a
+    one-row frame, then a pure least/greatest projection. At 100 TB the
+    percentile swaps to approx_percentile; the exact form anchors
+    correctness."""
+    c = _t(spark, sf_dir, "customer")
+    q = c.agg(
+        F.percentile("c_acctbal", F.lit(0.05)).alias("p5"),
+        F.percentile("c_acctbal", F.lit(0.95)).alias("p95"),
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "c_custkey",
+            F.round(
+                F.least(F.greatest(F.col("c_acctbal"), F.col("p5")), F.col("p95")), 4
+            ).alias("acctbal_wins"),
+        )
+    )

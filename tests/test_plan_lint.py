@@ -30,6 +30,7 @@ INTENDED_NON_EQUI = {
     "ewma_daily_revenue",     # broadcast 120-row lag-offset table
     "zscore_scale",           # broadcast 1-row mean/sd frame
     "fuzzy_name_pairs",       # broadcast 25-row dim self-pair join
+    "winsorize_acctbal",      # broadcast 1-row percentile frame
 }
 
 HEAVY_BUILD = {"spark_imputer_e2e"}  # fit() executes ML jobs at build time
