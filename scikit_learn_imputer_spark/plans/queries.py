@@ -3578,3 +3578,87 @@ def q_winsorize_acctbal(spark, sf_dir):
             ).alias("acctbal_wins"),
         )
     )
+
+
+@register(
+    "conversion_funnel",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id, t_view, t_click, t_purchase
+FROM firsts
+WHERE t_view < t_click AND t_click < t_purchase
+ORDER BY user_id
+""",
+)
+def q_conversion_funnel(spark, sf_dir):
+    """Ordered-event funnel (view → click → purchase, by first
+    occurrence): ONE conditional-min aggregate per user — sequence
+    detection without self-joins or windows, partial-aggregable, one
+    shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            first("view").alias("t_view"),
+            first("click").alias("t_click"),
+            first("purchase").alias("t_purchase"),
+        )
+        .filter(
+            (F.col("t_view") < F.col("t_click"))
+            & (F.col("t_click") < F.col("t_purchase"))
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "revenue_share_by_nation",
+    oracle="""
+WITH rev AS (
+  SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, round(revenue, 2) AS revenue,
+       round(100.0 * revenue / sum(revenue) OVER (), 4) AS pct_of_total
+FROM rev ORDER BY n_name
+""",
+)
+def q_revenue_share_by_nation(spark, sf_dir):
+    """Percent-of-total (ratio-to-report): the share window runs over the
+    POST-AGGREGATION O(nations) frame (25 rows) — an unpartitioned window
+    is the documented tiny-frame exception; the data-sized work is the
+    star join + one aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(100.0 * F.col("revenue") / F.sum("revenue").over(w), 4).alias(
+            "pct_of_total"
+        ),
+    ).orderBy("n_name")
