@@ -100,7 +100,20 @@ def main() -> None:
             .select("doc_id")
         )
 
+    def _pagerank_guarded(s, d):
+        from scikit_learn_imputer_spark.graph import pagerank
+
+        pairs = _guarded_edges(s, d)
+        edges = pairs.unionAll(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        ranks = pagerank(edges, src="id_a", dst="id_b", iters=8)
+        return ranks.select(
+            F.col("id").alias("doc_id"), F.round("rank", 9).alias("rank")
+        )
+
     overrides = {
+        "near_dup_pagerank": _pagerank_guarded,
         "ngram_jaccard_pairs": lambda s, d: ngram_jaccard_pairs(
             load_table(s, d, "documents"), n=3, threshold=0.82, max_df=200
         ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")),

@@ -3662,3 +3662,24 @@ def q_revenue_share_by_nation(spark, sf_dir):
             "pct_of_total"
         ),
     ).orderBy("n_name")
+
+
+@register("near_dup_pagerank")
+def q_near_dup_pagerank(spark, sf_dir):
+    """PageRank centrality over the (symmetrized) near-dup graph — which
+    documents sit at the center of duplication clusters. Iterative
+    fixpoint (graph.py:pagerank, 8 rounds) — NOT SQL-expressible without
+    bounded recursion+aggregation, so this entry takes the driver's
+    rows-only check; the algorithm itself is pinned by exact unit tests
+    (triangle/star reference recurrences) and the edge set is the oracled
+    `ngram_jaccard_pairs`."""
+    from scikit_learn_imputer_spark.graph import pagerank
+
+    pairs = QUERIES["ngram_jaccard_pairs"](spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.unionAll(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    ranks = pagerank(edges, src="id_a", dst="id_b", iters=8)
+    return ranks.select(
+        F.col("id").alias("doc_id"), F.round("rank", 9).alias("rank")
+    ).orderBy(F.col("rank").desc(), "doc_id")

@@ -205,3 +205,29 @@ def test_decontaminate_removes_benchmark_matches(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_pagerank_triangle_and_star(spark):
+    from scikit_learn_imputer_spark.graph import pagerank
+
+    # symmetric triangle: uniform stationary distribution
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1), (3, 2), (1, 3)], ["src", "dst"]
+    )
+    ranks = {r["id"]: r["rank"] for r in pagerank(tri, iters=20).collect()}
+    assert all(abs(v - 1 / 3) < 1e-9 for v in ranks.values()), ranks
+
+    # star 1->2, 3->2: reference recurrence computed in plain python
+    star = spark.createDataFrame([(1, 2), (3, 2)], ["src", "dst"])
+    got = {r["id"]: r["rank"] for r in pagerank(star, iters=10).collect()}
+    n, d = 3, 0.85
+    py = {1: 1 / n, 2: 1 / n, 3: 1 / n}
+    for _ in range(10):
+        nxt = {}
+        for v in (1, 2, 3):
+            contrib = 0.0
+            if v == 2:
+                contrib = py[1] / 1 + py[3] / 1
+            nxt[v] = (1 - d) / n + d * contrib
+        py = nxt
+    assert all(abs(got[v] - py[v]) < 1e-9 for v in (1, 2, 3)), (got, py)
