@@ -183,7 +183,12 @@ def main() -> None:
         return json.dumps(payload, separators=(",", ":"), sort_keys=True)
 
     shown = {k: round(v, 2) for k, v in timings.items()}
-    fastest_last = sorted(shown, key=lambda k: (-shown[k], k))
+    # Failed queries carry a -1.0 sentinel; keep them out of the drop
+    # candidates so trimming can never silently hide a failure from the
+    # stdout line the driver parses (ADVICE r3).
+    fastest_last = sorted(
+        (k for k in shown if shown[k] >= 0), key=lambda k: (-shown[k], k)
+    )
     out = _line(shown, 0)
     while len(out) > budget and fastest_last:
         shown.pop(fastest_last.pop())

@@ -705,14 +705,18 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.8
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.42
 """,
 )
 def q_embedding_near_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact small-SF reference for the
-    LSH scale path)."""
+    LSH scale path). Threshold 0.42: the testdata embeddings are random
+    (max pairwise cosine ≈0.51), so a "near-dup" 0.8+ cut matches zero
+    rows at every SF and the driver's hash check was vacuous (VERDICT r3
+    #4); 0.42 yields ~30 pairs at sf0.01 / ~440 at sf0.1 so the oracled
+    join is actually exercised."""
     pairs = embedding_near_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.8
+        _t(spark, sf_dir, "embeddings"), threshold=0.42
     )
     return pairs.select(
         "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")
@@ -729,7 +733,7 @@ def q_embedding_near_pairs_blas(spark, sf_dir):
     )
 
     pairs = embedding_near_pairs_blas(
-        _t(spark, sf_dir, "embeddings"), threshold=0.8
+        _t(spark, sf_dir, "embeddings"), threshold=0.42
     )
     return pairs.select(
         "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")

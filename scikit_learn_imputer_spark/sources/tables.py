@@ -30,20 +30,42 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one star-schema table.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; it is read as raw nanos (legacy nanosAsLong) and
-    converted to a microsecond timestamp — matching what DuckDB/pandas
-    surface for the same file."""
+    ``events.ts`` has shipped under two physical encodings across testdata
+    generations: TIMESTAMP(NANOS) int64 (which Spark's parquet reader only
+    surfaces via legacy ``nanosAsLong``) and plain ``timestamp[us]``. The
+    conversion is therefore conditional on the *scanned* dtype, so a
+    driver-side regeneration can't break every events consumer again:
+
+    - ``bigint``  → legacy nanos; integer-divide to micros (float division
+      would round-trip ~1.7e18 nanos through a double's 53-bit mantissa and
+      drift by ±1µs) and ``timestamp_micros``.
+    - ``timestamp``/``timestamp_ntz`` → pass through, cast to session-tz
+      TIMESTAMP (session tz is pinned UTC, so the cast is value-preserving
+      and keeps one stable output dtype for watermarks & oracles).
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # nanosAsLong only affects files that physically store nanos; it is
+        # harmless for micros files, and must be set BEFORE the scan.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        raw = spark.read.parquet(path)
-        # Integer division — float division would round-trip ~1.7e18 nanos
-        # through a double (53-bit mantissa) and drift by ±1µs.
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
+
+
+def normalize_events_ts(raw: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-tz TIMESTAMP whatever the scanned
+    dtype (shared by the batch loader above and the streaming source in
+    ``streaming/events.py`` — round 3 broke because they each hard-coded
+    one encoding)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

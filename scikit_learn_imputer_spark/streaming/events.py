@@ -22,8 +22,11 @@ from pyspark.sql import functions as F
 def stream_events_from_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (one-file-per-trigger so tests see
     deterministic micro-batches). Schema comes from a batch peek — parquet
-    streams require an explicit schema. ``ts`` is TIMESTAMP(NANOS) on disk
-    (read as long, converted — see sources/tables.py)."""
+    streams require an explicit schema. ``ts`` has shipped as both int64
+    nanos and timestamp[us]; normalization is dtype-driven and shared with
+    the batch loader (sources/tables.py:normalize_events_ts)."""
+    from ..sources.tables import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file stream source requires a DIRECTORY; narrow it to the events
@@ -34,7 +37,7 @@ def stream_events_from_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_events_ts(raw)
 
 
 def windowed_event_counts(
