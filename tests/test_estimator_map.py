@@ -89,5 +89,94 @@ def test_reference_estimator_map_documents_all_eight_pairs():
     from scikit_learn_imputer_spark.estimators import REFERENCE_ESTIMATOR_MAP
 
     assert len(REFERENCE_ESTIMATOR_MAP) == 8
-    assert REFERENCE_ESTIMATOR_MAP["knn"]["classifier"] is None
+    assert REFERENCE_ESTIMATOR_MAP["knn"]["classifier"] is not None
+    assert REFERENCE_ESTIMATOR_MAP["knn"]["regressor"] is not None
     assert REFERENCE_ESTIMATOR_MAP["mlp"]["regressor"] is None
+
+
+# ----------------------------------------------------------- KNN estimators
+def test_knn_classifier_vote_and_regressor_mean(spark):
+    from pyspark.ml.feature import VectorAssembler
+    from scikit_learn_imputer_spark.estimators import KNNClassifier, KNNRegressor
+
+    train = spark.createDataFrame(
+        [(0.0, 0.0, 0.0), (0.1, 0.0, 0.0), (0.0, 0.1, 0.0),
+         (5.0, 5.0, 1.0), (5.1, 5.0, 1.0), (5.0, 5.1, 1.0)],
+        ["x", "y", "label"],
+    )
+    asm = VectorAssembler(inputCols=["x", "y"], outputCol="features")
+    tr = asm.transform(train)
+    test = asm.transform(
+        spark.createDataFrame([(0.05, 0.05), (5.05, 5.05)], ["x", "y"])
+    )
+
+    clf = KNNClassifier(k=3).fit(tr)
+    got = [r["prediction"] for r in clf.transform(test).orderBy("x").collect()]
+    assert got == [0.0, 1.0]
+
+    reg = KNNRegressor(k=3).fit(tr)
+    got = [r["prediction"] for r in reg.transform(test).orderBy("x").collect()]
+    assert got == [0.0, 1.0]  # all 3 neighbors share the label → exact mean
+
+
+def test_knn_classifier_tie_breaks_to_smallest_label(spark):
+    from pyspark.ml.feature import VectorAssembler
+    from scikit_learn_imputer_spark.estimators import KNNClassifier
+
+    # k=2 with one neighbor of each class at equal distance → tie → 0.0.
+    train = spark.createDataFrame(
+        [(-1.0, 0.0, 2.0), (1.0, 0.0, 0.0)], ["x", "y", "label"]
+    )
+    asm = VectorAssembler(inputCols=["x", "y"], outputCol="features")
+    model = KNNClassifier(k=2).fit(asm.transform(train))
+    test = asm.transform(spark.createDataFrame([(0.0, 0.0)], ["x", "y"]))
+    assert model.transform(test).first()["prediction"] == 0.0
+
+
+def test_knn_max_fit_rows_guard(spark):
+    from pyspark.ml.feature import VectorAssembler
+    from scikit_learn_imputer_spark.estimators import KNNRegressor
+
+    df = VectorAssembler(inputCols=["x"], outputCol="features").transform(
+        spark.range(10).selectExpr("cast(id as double) x",
+                                   "cast(id as double) label")
+    )
+    with pytest.raises(ValueError, match="maxFitRows"):
+        KNNRegressor(k=1, max_fit_rows=5).fit(df)
+
+
+def test_knn_model_persistence_roundtrip(spark, tmp_path):
+    from pyspark.ml.feature import VectorAssembler
+    from scikit_learn_imputer_spark.estimators import (
+        KNNClassifier,
+        KNNClassifierModel,
+    )
+
+    train = spark.createDataFrame(
+        [(0.0, 0.0), (1.0, 1.0), (10.0, 1.0)], ["x", "label"]
+    )
+    asm = VectorAssembler(inputCols=["x"], outputCol="features")
+    model = KNNClassifier(k=1).fit(asm.transform(train))
+    path = str(tmp_path / "knn")
+    model.write().overwrite().save(path)
+    loaded = KNNClassifierModel.load(path)
+    test = asm.transform(spark.createDataFrame([(9.5,)], ["x"]))
+    assert loaded.transform(test).first()["prediction"] == 1.0
+
+
+def test_imputer_e2e_with_knn_pair(spark):
+    """The reference matrix's knn pair (reference tests.py:223) end-to-end
+    through SparkImputer with the no-nulls invariant."""
+    from scikit_learn_imputer_spark.estimators import KNNClassifier, KNNRegressor
+
+    imp = _imputer(spark)
+    res = imp.fit(
+        classification=KNNClassifier(k=3),
+        regression=KNNRegressor(k=3),
+        transform=True,
+        parallelism=1,
+    )
+    nulls = res["imputed_data"].filter(
+        "Location IS NULL OR km2 IS NULL OR gdp_per_capita IS NULL"
+    ).count()
+    assert nulls == 0

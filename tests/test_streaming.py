@@ -125,6 +125,91 @@ def test_stream_to_parquet_exactly_once_across_restart(spark, sf_smoke, tmp_path
     assert spark.read.parquet(out).count() == n_batch
 
 
+def test_watermark_drops_late_beyond_bound_keeps_within(spark, tmp_path):
+    """Late-data semantics around the watermark (VERDICT r3 #8): a row
+    older than watermark − whose window is already finalized − is DROPPED;
+    a late-arriving row still within the lateness bound is KEPT. Built on a
+    synthetic 3-file source (maxFilesPerTrigger=1, mtime-ordered) so the
+    watermark trajectory is deterministic:
+
+    - batch 0: 10:00, 13:30 → watermark advances to 11:30 for batch 1
+    - batch 1: 12:00 — during this batch window [10,11) is evicted and
+      emitted (count 1). Eviction is what makes later arrivals "too late":
+      a late row landing in the SAME batch that evicts its window would
+      still be absorbed (verified empirically), so the drop case needs its
+      own later batch.
+    - batch 2: 10:30 → beyond the bound, state already gone → DROPPED (no
+      duplicate [10,11) emission, count stays 1); 11:45 → late but within
+      the bound ([11,12) not yet evicted) → KEPT.
+    - batch 3: 16:30 → watermark 14:30 finalizes the remaining windows.
+    """
+    import os
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scikit_learn_imputer_spark.sources.tables import normalize_events_ts
+
+    def ts(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    batches = [
+        [(1, ts(10, 0)), (2, ts(13, 30))],
+        [(7, ts(12, 0))],
+        [(3, ts(10, 30)), (5, ts(11, 45))],
+        [(6, ts(16, 30))],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), type=pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        f = src / f"batch{i}.parquet"
+        pq.write_table(tbl, str(f))
+        os.utime(f, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("ev_late")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        rows = spark.table("ev_late").collect()
+        got = {
+            r["window_start"].strftime("%H:%M"): r["n_events"] for r in rows
+        }
+    finally:
+        query.stop()
+
+    assert len(rows) == len(got), "a window was emitted twice"
+    assert got == {
+        "10:00": 1,  # late 10:30 row dropped — NOT 2, and emitted only once
+        "11:00": 1,  # 11:45 arrived late but within the 2h bound — kept
+        "12:00": 1,
+        "13:00": 1,
+        # 16:00 window never finalized (no later watermark advance) — absent
+    }
+
+
 def test_stream_stream_join_matches_batch(spark, sf_smoke):
     """Watermarked stream-stream self-join (purchase↔error pairs): the
     append-mode streaming result must equal the batch twin once the
