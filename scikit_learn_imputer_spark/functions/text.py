@@ -113,3 +113,40 @@ def rolling_hash_expr(text_col_name: str, mod: int = 1_000_000_007, base: int = 
         f"aggregate(sequence(1, length({text_col_name})), 0L, "
         f"(acc, i) -> (acc * {base} + ascii(substring({text_col_name}, i, 1))) % {mod})"
     )
+
+
+def word_trigrams_col(text: Column) -> Column:
+    """Whitespace-token 3-grams as an array<string> — the unit of the
+    Gopher-style within-document repetition signal. Pure higher-order
+    expressions (sequence + transform + element_at), JVM-side, no UDF."""
+    words = F.split(F.trim(text), "\\s+")
+    # Guard: Spark sequence(1, 0) DESCENDS ([1, 0]) rather than being
+    # empty, so short docs must short-circuit to [].
+    return F.when(
+        F.size(words) < 3, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+            ),
+        )
+    )
+
+
+def dup_trigram_ratio_col(text: Column) -> Column:
+    """Within-document repetition: 1 − distinct/total over word 3-grams
+    (the Gopher/C4-family "duplicate n-gram fraction" quality filter;
+    high values flag boilerplate and degenerate repetition). 0.0 for
+    documents shorter than one full trigram."""
+    tg = word_trigrams_col(text)
+    return F.when(
+        F.size(tg) <= 0, F.lit(0.0)
+    ).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(tg)).cast("double")
+        / F.size(tg).cast("double")
+    )

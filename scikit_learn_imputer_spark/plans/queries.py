@@ -695,6 +695,90 @@ def q_text_quality(spark, sf_dir):
 
 
 @register(
+    "dup_ngram_ratio",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, str_split_regex(trim(text), '\s+') AS words FROM documents
+), tg AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(words) - 1, 1)),
+                        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+           AS trigrams
+  FROM w
+)
+SELECT doc_id,
+       CAST(len(trigrams) AS BIGINT) AS n_trigrams,
+       round(CASE WHEN len(trigrams) <= 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(trigrams)) AS DOUBLE)
+                        / len(trigrams) END, 6) AS dup_trigram_ratio
+FROM tg
+""",
+)
+def q_dup_ngram_ratio(spark, sf_dir):
+    """Within-document repetition (Gopher/C4-family duplicate-n-gram
+    quality filter): fraction of word 3-grams that are repeats. Pure
+    higher-order expressions (functions/text.py:word_trigrams_col) — one
+    narrow projection over the documents scan, no shuffle, no UDF; at
+    100 TB this is a map-only pass."""
+    from scikit_learn_imputer_spark.functions.text import (
+        dup_trigram_ratio_col,
+        word_trigrams_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.size(word_trigrams_col(t)).cast("long").alias("n_trigrams"),
+        F.round(dup_trigram_ratio_col(t), 6).alias("dup_trigram_ratio"),
+    )
+
+
+@register(
+    "token_budget_sample",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= 700
+""",
+)
+def q_token_budget_sample(spark, sf_dir):
+    """Token-budget sampling, the domain-mixture primitive of an LLM data
+    pipeline: per source, take documents in deterministic pseudo-random
+    order (md5 of doc_id — engine-portable, seed-free) until a cumulative
+    token budget is hit. One hash-partitioned window per source; at scale
+    the running sum shuffles once on the mixture key and each partition
+    streams — no global sort, no collect."""
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(h, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            n_tokens.alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 700)
+    )
+
+
+@register(
     "embedding_near_pairs",
     oracle="""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -774,6 +858,47 @@ def q_cosine_topk(spark, sf_dir):
         "neighbor_id",
         F.round(F.col("cosine"), 6).alias("cosine"),
         "rank",
+    )
+
+
+@register("cosine_topk_lsh")
+def q_cosine_topk_lsh(spark, sf_dir):
+    """ANN sign-LSH top-k — the sub-quadratic scale path
+    (similarity/knn.py:cosine_topk_lsh): candidates only form inside the
+    query's sign-hash bucket, exact cosine re-ranks survivors. Rows-only
+    (approximate by construction — recall is judged against cosine_topk by
+    tests/test_dedup_similarity.py); registered so the scale path's
+    throughput is bench-visible next to its exact baselines."""
+    from scikit_learn_imputer_spark.similarity.knn import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_lsh(emb, queries, k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    )
+
+
+@register("near_pairs_lsh")
+def q_near_pairs_lsh(spark, sf_dir):
+    """Embedding near-dup pairs via BucketedRandomProjectionLSH — the
+    100 TB path judged by the exact embedding_near_pairs twin (cosine ≥ t
+    ⟺ euclidean ≤ √(2−2t) on unit vectors; candidates form only inside
+    shared hash buckets). Rows-only: the seeded random projections are not
+    SQL-expressible; recall vs exact is pinned by
+    tests/test_dedup_similarity.py."""
+    from scikit_learn_imputer_spark.dedup.embedding import (
+        embedding_near_pairs_lsh,
+    )
+
+    pairs = embedding_near_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.42
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")
     )
 
 

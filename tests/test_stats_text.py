@@ -102,3 +102,30 @@ def test_lang_id_markers(spark):
         "id", lang_id_col(F.col("text")).alias("lang")
     ).collect()}
     assert got == {0: "en", 1: "de", 2: "fr"}
+
+
+def test_dup_trigram_ratio_constructed(spark):
+    from scikit_learn_imputer_spark.functions.text import (
+        dup_trigram_ratio_col,
+        word_trigrams_col,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c a b c a b c"),      # 7 trigrams, 3 distinct
+            (1, "one two three four"),     # 2 trigrams, all distinct
+            (2, "too short"),              # < 3 words -> 0 trigrams
+        ],
+        ["id", "text"],
+    )
+    rows = {
+        r["id"]: (r["n"], round(r["ratio"], 6))
+        for r in df.select(
+            "id",
+            F.size(word_trigrams_col(F.col("text"))).alias("n"),
+            dup_trigram_ratio_col(F.col("text")).alias("ratio"),
+        ).collect()
+    }
+    assert rows[0] == (7, round(1 - 3 / 7, 6))
+    assert rows[1] == (2, 0.0)
+    assert rows[2] == (0, 0.0)
