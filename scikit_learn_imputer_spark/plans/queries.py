@@ -779,6 +779,93 @@ def q_token_budget_sample(spark, sf_dir):
 
 
 @register(
+    "corpus_mixture_sample",
+    oracle=r"""
+WITH q AS (
+  SELECT doc_id, source, text,
+         CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                / length(text))
+         + 0.3 * least((CAST(len(list_filter(string_split(trim(text), ' '),
+                    t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+                / len(string_split(trim(text), ' '))) * 5, 1.0)
+         + 0.3 * (1 - least((CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                / length(text)) * 10, 1.0)) AS q_score
+  FROM documents
+), gated AS (
+  SELECT * FROM q WHERE q_score >= 0.65 AND n_tokens >= 10
+), survivors AS (
+  SELECT * FROM gated
+  WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY fp)
+), budgeted AS (
+  SELECT doc_id, source, n_tokens, q_score,
+         sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM survivors
+)
+SELECT doc_id, source, n_tokens, cum_tokens, round(q_score, 6) AS q_score
+FROM budgeted WHERE cum_tokens <= 500
+""",
+)
+def q_corpus_mixture_sample(spark, sf_dir):
+    """The full training-data-prep flow as ONE lazy plan — quality gate →
+    exact-dedup survivor selection → per-source token-budget mixture
+    sampling. Catalyst fuses the gate and fingerprint into the scan
+    projection; the plan then shuffles exactly twice, on the two keys the
+    semantics require (fingerprint for dedup, source for the mixture
+    window) — which is the shape you'd want at 100 TB: no collect, no
+    extra exchange, survivors resolved by a map-side-combinable min.
+    """
+    from scikit_learn_imputer_spark.functions.text import (
+        fingerprint_col,
+        stopword_count_col,
+        token_count_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tokens = F.size(F.split(F.trim(t), "\\s+")).cast("long")
+    n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, "[A-Za-z0-9\\s]", ""))
+    n_stop = stopword_count_col(t, LANG_MARKERS["en"])
+    alpha_ratio = n_alpha.cast("double") / F.length(t)
+    stop_ratio = n_stop.cast("double") / token_count_col(t)
+    punct_ratio = n_punct.cast("double") / F.length(t)
+    q_score = (
+        0.4 * alpha_ratio
+        + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.3 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+    gated = d.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        fingerprint_col(t).alias("fp"),
+        q_score.alias("q_score"),
+    ).filter((F.col("q_score") >= 0.65) & (F.col("n_tokens") >= 10))
+    keep = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = gated.join(keep.select("doc_id"), on="doc_id", how="left_semi")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        survivors.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 500)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "cum_tokens",
+            F.round(F.col("q_score"), 6).alias("q_score"),
+        )
+    )
+
+
+@register(
     "embedding_near_pairs",
     oracle="""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
