@@ -63,3 +63,44 @@ def decontaminate(
         F.col("__fp") == F.col("fingerprint"),
         how="left_anti",
     ).drop("__fp")
+
+
+def decontaminate_ngram(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """N-gram-overlap decontamination (the GPT-3/PaLM-family hygiene
+    step): drop every corpus document sharing ANY word n-gram with any
+    benchmark document — catching partial/embedded eval leakage that
+    exact-content matching misses. (Published pipelines use n≈8-13 on
+    real prose; pick n to taste for the corpus.)
+
+    Scale design: the benchmark side collapses to DISTINCT md5 digests of
+    its n-grams (eval sets are small → broadcast); the corpus explodes to
+    (id, gram-digest) — shuffle rows carry 16-byte digests, never text —
+    and contaminated ids resolve with a broadcast semi join + distinct,
+    then drop via a second broadcast anti join on the tiny id set. The
+    corpus itself never shuffles."""
+    from scikit_learn_imputer_spark.functions.text import word_ngrams_col
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams_col(F.col(text_col), n)).alias("__g")
+        )
+        .select(F.md5("__g").alias("__bg"))
+        .distinct()
+    )
+    contaminated = (
+        corpus.select(
+            F.col(id_col),
+            F.explode(word_ngrams_col(F.col(text_col), n)).alias("__g"),
+        )
+        .select(id_col, F.md5("__g").alias("__cg"))
+        .join(F.broadcast(bench_grams), F.col("__cg") == F.col("__bg"), "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(F.broadcast(contaminated), on=id_col, how="left_anti")

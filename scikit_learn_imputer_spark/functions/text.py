@@ -115,30 +115,32 @@ def rolling_hash_expr(text_col_name: str, mod: int = 1_000_000_007, base: int = 
     )
 
 
-def word_trigrams_col(text: Column) -> Column:
-    """Whitespace-token 3-grams as an array<string> — the unit of the
-    Gopher-style within-document repetition signal. Pure higher-order
-    expressions (sequence + transform + element_at), JVM-side, no UDF."""
+def word_ngrams_col(text: Column, n: int = 3) -> Column:
+    """Whitespace-token n-grams as an array<string>. Pure higher-order
+    expressions, JVM-side, no UDF.
+
+    Built by folding zip_with over n shifted slices: O(words) work with a
+    constant number of `words` evaluations. (A transform over
+    sequence(1, k) with element_at re-evaluates the split per ELEMENT —
+    O(words²) per doc, ~30× slower at bench SF — and sequence(1, 0)
+    DESCENDS rather than being empty, so short docs must short-circuit
+    to [].)"""
     words = F.split(F.trim(text), "\\s+")
-    n = F.size(words) - 2
-    # zip_with over three shifted slices: O(words) work with a constant
-    # number of `words` evaluations. (A transform over sequence(1, n) with
-    # element_at re-evaluates the split per ELEMENT — O(words²) per doc,
-    # ~30× slower at bench SF — and sequence(1, 0) DESCENDS rather than
-    # being empty, so short docs must short-circuit to [].)
-    return F.when(
-        n <= 0, F.array().cast("array<string>")
-    ).otherwise(
-        F.zip_with(
-            F.slice(words, 1, n),
-            F.zip_with(
-                F.slice(words, 2, n),
-                F.slice(words, 3, n),
-                lambda b, c: F.concat_ws(" ", b, c),
-            ),
-            lambda a, bc: F.concat_ws(" ", a, bc),
+    k = F.size(words) - (n - 1)
+    grams = F.slice(words, n, k)
+    for off in range(n - 1, 0, -1):
+        grams = F.zip_with(
+            F.slice(words, off, k),
+            grams,
+            lambda a, rest: F.concat_ws(" ", a, rest),
         )
-    )
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(grams)
+
+
+def word_trigrams_col(text: Column) -> Column:
+    """Whitespace-token 3-grams — the unit of the Gopher-style
+    within-document repetition signal."""
+    return word_ngrams_col(text, 3)
 
 
 def dup_trigram_ratio_col(text: Column) -> Column:

@@ -779,6 +779,45 @@ def q_token_budget_sample(spark, sf_dir):
 
 
 @register(
+    "decontaminate_ngram_corpus",
+    oracle=r"""
+WITH bench_g AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4])) AS g
+    FROM (SELECT str_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE doc_id % 100 < 2)
+  )
+), corpus_g AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4])) AS g
+  FROM (SELECT doc_id, str_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE doc_id % 100 >= 2)
+)
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id % 100 >= 2
+  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM corpus_g
+                     WHERE g IN (SELECT g FROM bench_g))
+""",
+)
+def q_decontaminate_ngram_corpus(spark, sf_dir):
+    """N-gram-overlap decontamination (dedup/exact.py:decontaminate_ngram,
+    GPT-3/PaLM-style): drop corpus docs sharing ANY word 5-gram with the
+    pseudo eval set (doc_id % 100 < 2) — catches embedded/partial eval
+    leakage the exact-digest `decontaminate_corpus` misses. Benchmark
+    grams collapse to broadcast digests; the corpus never shuffles."""
+    from scikit_learn_imputer_spark.dedup.exact import decontaminate_ngram
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 100 < 2)
+    corpus = d.filter(F.col("doc_id") % 100 >= 2)
+    out = decontaminate_ngram(corpus, bench, n=5)
+    return out.select("doc_id", "source", "n_chars")
+
+
+@register(
     "corpus_mixture_sample",
     oracle=r"""
 WITH q AS (

@@ -207,6 +207,36 @@ def test_decontaminate_removes_benchmark_matches(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_decontaminate_ngram_catches_embedded_leakage(spark):
+    """Partial overlap: a corpus doc EMBEDDING a benchmark 5-gram is
+    dropped even though its full content differs (the case exact-digest
+    decontamination misses); short and non-overlapping docs survive."""
+    from scikit_learn_imputer_spark.dedup.exact import decontaminate_ngram
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words then alpha beta gamma delta epsilon and more"),
+            (2, "completely unrelated content with different words here"),
+            (3, "tiny doc"),  # < 5 words -> no grams -> cannot match
+            (4, "alpha beta gamma delta DIFFERENT tail words"),  # only 4 shared
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    kept = sorted(
+        r["doc_id"] for r in decontaminate_ngram(corpus, bench, n=5).collect()
+    )
+    assert kept == [2, 3, 4]
+
+    plan = (
+        decontaminate_ngram(corpus, bench, n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
 def test_pagerank_triangle_and_star(spark):
     from scikit_learn_imputer_spark.graph import pagerank
 
