@@ -166,10 +166,20 @@ def cosine_topk_lsh(
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates must share the sign-LSH bucket with the
-    query (probing the exact bucket only; multi-probe = widen at re-rank).
-    Exact cosine re-ranks the candidates."""
+    """Approximate top-k: candidates must share a sign-LSH bucket with the
+    query; exact cosine re-ranks the candidates.
+
+    ``probes=1`` checks the query's own bucket only. ``probes>1`` is
+    standard multi-probe: the QUERY side additionally probes the buckets
+    at Hamming distance 1 (each single plane's sign flipped — the most
+    likely buckets for a near neighbor that straddles a hyperplane),
+    up to ``min(probes-1, planes)`` of them. Recall rises monotonically
+    with probes at the cost of a proportionally larger candidate set; the
+    corpus side is untouched, so the index (bucket assignment) is shared
+    across probe settings. probes = planes+1 probes every 1-bit
+    neighborhood."""
     def with_bucket(df, out):
         v = F.col(vec_col).cast("array<double>")
         bucket = sum(
@@ -180,6 +190,18 @@ def cosine_topk_lsh(
     q = with_bucket(queries, "bucket").select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
     )
+    if probes > 1:
+        # bucket XOR (1<<p) flips plane p's bit; explode the probe list
+        # (query side only — tiny), dedup (query, bucket) is free since
+        # all probe buckets are distinct by construction.
+        flips = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(min(probes - 1, planes))
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(flips))
     c = with_bucket(corpus, "bucket").select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
     )

@@ -130,6 +130,36 @@ def test_cosine_topk_lsh_recovers_nearest(spark):
     assert 1 in got  # the true nearest neighbor shares the sign bucket
 
 
+def test_cosine_topk_lsh_multiprobe_recall_monotone(spark, sf_smoke):
+    """Multi-probe widens the candidate set monotonically: recall of the
+    exact top-k never decreases with more probes, and full 1-bit probing
+    beats single-bucket on the real embeddings table. No duplicate
+    (query, neighbor) pairs — each corpus row lives in exactly one
+    bucket."""
+    from collections import Counter
+
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    recalls = []
+    for probes in (1, 5, 9):
+        rows = [
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk_lsh(
+                emb, queries, k=5, probes=probes
+            ).collect()
+        ]
+        assert max(Counter(rows).values()) == 1  # no duplicate pairs
+        recalls.append(len(exact & set(rows)) / len(exact))
+    assert recalls == sorted(recalls)  # monotone non-decreasing
+    assert recalls[-1] > recalls[0]  # full 1-bit probing actually helps
+
+
 def test_embedding_pairs_blas_equals_expression_path(spark, sf_smoke):
     from scikit_learn_imputer_spark.dedup.embedding import (
         embedding_near_pairs,
