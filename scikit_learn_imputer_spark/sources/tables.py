@@ -147,3 +147,27 @@ def write_partitioned(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def upsert_partitions(
+    updates: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """Partition-level upsert into a hive-partitioned parquet table:
+    rewrite ONLY the partitions present in ``updates``, leave every other
+    partition's files untouched (Spark's dynamic partitionOverwriteMode —
+    the standard incremental-ingest pattern for a table no one wants to
+    rewrite end-to-end at 100 TB).
+
+    Semantics: each touched partition is REPLACED by its rows in
+    ``updates`` (partition-granular, not row-granular — for row-level
+    merge use operators/update.py:scatter_update and rewrite the touched
+    partitions with the merged frame). The overwrite mode is set
+    per-write via the writer option, not session-wide."""
+    (
+        updates.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

@@ -42,6 +42,52 @@ def test_write_partitioned_layout_and_pruning(spark, sf_smoke):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_upsert_partitions_touches_only_updated(spark, sf_smoke):
+    """Dynamic partition overwrite: partitions present in the update are
+    replaced; every other partition's FILES are byte-identical (same
+    inodes — untouched, not rewritten)."""
+    from scikit_learn_imputer_spark.sources.tables import upsert_partitions
+
+    ev = load_table(spark, sf_smoke, "events")
+    out = os.path.join(tempfile.mkdtemp(), "ev_upsert")
+    try:
+        write_partitioned(ev, out, ["event_type"])
+        types = sorted(
+            r[0] for r in ev.select("event_type").distinct().collect()
+        )
+        touched, untouched = types[0], types[1]
+
+        def files(t):
+            d = os.path.join(out, f"event_type={t}")
+            return sorted(
+                (f, os.stat(os.path.join(d, f)).st_mtime_ns)
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+
+        before_untouched = files(untouched)
+
+        updates = (
+            ev.filter(F.col("event_type") == touched)
+            .limit(10)
+            .withColumn("value", F.lit(-1.0))
+        )
+        upsert_partitions(updates, out, ["event_type"])
+
+        back = spark.read.parquet(out)
+        got_touched = back.filter(F.col("event_type") == touched)
+        assert got_touched.count() == 10
+        assert got_touched.filter(F.col("value") != -1.0).count() == 0
+        # untouched partition: same rows AND same physical files
+        assert (
+            back.filter(F.col("event_type") == untouched).count()
+            == ev.filter(F.col("event_type") == untouched).count()
+        )
+        assert files(untouched) == before_untouched
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_stratified_sample_exact_fraction(spark, sf_smoke):
     c = load_table(spark, sf_smoke, "customer")
     totals = {
