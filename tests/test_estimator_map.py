@@ -164,6 +164,26 @@ def test_knn_model_persistence_roundtrip(spark, tmp_path):
     assert loaded.transform(test).first()["prediction"] == 1.0
 
 
+def test_imputer_save_load_transform_with_knn_pair(spark):
+    """fit(transform=False) persists PipelineModels whose last stage is a
+    CUSTOM Python model (KNN*Model); transform() must reflection-load them
+    through MLlib's PipelineModel.load and impute to zero nulls."""
+    from scikit_learn_imputer_spark.estimators import KNNClassifier, KNNRegressor
+
+    imp = _imputer(spark)
+    imp.fit(
+        classification=KNNClassifier(k=3),
+        regression=KNNRegressor(k=3),
+        transform=False,
+        parallelism=1,
+    )
+    res = imp.transform()
+    nulls = res["imputed_data"].filter(
+        "Location IS NULL OR km2 IS NULL OR gdp_per_capita IS NULL"
+    ).count()
+    assert nulls == 0
+
+
 def test_imputer_e2e_with_knn_pair(spark):
     """The reference matrix's knn pair (reference tests.py:223) end-to-end
     through SparkImputer with the no-nulls invariant."""
