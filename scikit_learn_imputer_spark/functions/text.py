@@ -156,3 +156,32 @@ def dup_trigram_ratio_col(text: Column) -> Column:
         - F.size(F.array_distinct(tg)).cast("double")
         / F.size(tg).cast("double")
     )
+
+
+def uniform_hash_col(key: Column) -> Column:
+    """Deterministic, engine-portable uniform [0,1) draw from a key:
+    first 8 hex digits of md5 → uint32 / 2³². The seed-free analogue of
+    rand() that DuckDB/any engine reproduces bit-for-bit — the primitive
+    under deterministic Bernoulli sampling."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite 0-1 quality score (same formula the text_quality query
+    reports: alpha ratio, stopword density, punctuation penalty)."""
+    n_tokens = token_count_col(text)
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    n_stop = stopword_count_col(text, LANG_MARKERS["en"])
+    alpha_ratio = n_alpha.cast("double") / F.length(text)
+    stop_ratio = n_stop.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / F.length(text)
+    return (
+        0.4 * alpha_ratio
+        + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.3 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+    )

@@ -779,6 +779,56 @@ def q_token_budget_sample(spark, sf_dir):
 
 
 @register(
+    "quality_weighted_sample",
+    oracle=r"""
+WITH q AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              AS DOUBLE) / 4294967296.0 AS u,
+         0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                / length(text))
+         + 0.3 * least((CAST(len(list_filter(string_split(trim(text), ' '),
+                    t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+                / len(string_split(trim(text), ' '))) * 5, 1.0)
+         + 0.3 * (1 - least((CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                / length(text)) * 10, 1.0)) AS q_score
+  FROM documents
+)
+SELECT doc_id, source, round(q_score, 6) AS q_score
+FROM q WHERE u < least(greatest(q_score, 0.0), 1.0)
+""",
+)
+def q_quality_weighted_sample(spark, sf_dir):
+    """Quality-weighted Bernoulli sampling (DCLM-style): keep each doc
+    with probability equal to its quality score, using a deterministic
+    md5-derived uniform instead of rand() so the sample is reproducible
+    and engine-portable (functions/text.py:uniform_hash_col). Map-only —
+    the keep decision is a pure projection over the scan; at 100 TB this
+    is the cheapest possible sampling pass (no shuffle, no state)."""
+    from scikit_learn_imputer_spark.functions.text import (
+        quality_score_col,
+        uniform_hash_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    q_score = quality_score_col(F.col("text"))
+    u = uniform_hash_col(F.col("doc_id"))
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            q_score.alias("q_score"),
+            u.alias("__u"),
+        )
+        .filter(
+            F.col("__u")
+            < F.least(F.greatest(F.col("q_score"), F.lit(0.0)), F.lit(1.0))
+        )
+        .select("doc_id", "source", F.round("q_score", 6).alias("q_score"))
+    )
+
+
+@register(
     "decontaminate_ngram_corpus",
     oracle=r"""
 WITH bench_g AS (
