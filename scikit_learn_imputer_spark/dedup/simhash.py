@@ -71,10 +71,12 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int = 1000,
+    hasher: str = "fast",
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming distance ≤ max_hamming
-    (must be < CHUNKS for the pigeonhole guarantee to be exact)."""
-    sigs = simhash_signatures(df, id_col, text_col)
+    (must be < CHUNKS for the pigeonhole guarantee to be exact).
+    ``hasher='md5'`` makes the result oracle-reproducible."""
+    sigs = simhash_signatures(df, id_col, text_col, hasher=hasher)
     chunk_frames = []
     for c in range(CHUNKS):
         chunk = F.shiftright(F.col("simhash"), c * CHUNK_BITS).bitwiseAND(

@@ -1688,6 +1688,33 @@ def q_simhash_md5(spark, sf_dir):
     return simhash_signatures(_t(spark, sf_dir, "documents"), hasher="md5")
 
 
+@register(
+    "simhash_near_pairs_md5",
+    oracle=f"""
+WITH sigs AS ({ORACLE['simhash_md5']})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def q_simhash_near_pairs_md5(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming ≤ 3 via 4-chunk pigeonhole
+    bucketing (dedup/simhash.py:simhash_near_pairs): any two signatures
+    within distance 3 of a 60-bit hash agree on at least one 15-bit chunk,
+    so pairs only form inside shared chunk buckets — sub-quadratic, with a
+    max_bucket skew guard — yet the result is EXACT, which is why the
+    brute-force pair-join oracle can check it."""
+    from scikit_learn_imputer_spark.dedup.simhash import simhash_near_pairs
+
+    out = simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, hasher="md5"
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 # =====================================================================
 # Relational breadth pack: TPC-H shapes, window analytics, pivot/cube,
 # scalar-function suites, grouped executor-side ML (SURVEY.md §2.10 gaps)
