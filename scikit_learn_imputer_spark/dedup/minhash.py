@@ -94,12 +94,15 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int = 1000,
+    hasher: str = "fast",
 ) -> DataFrame:
     """(id_a, id_b, est_jaccard) candidate near-dup pairs from banded LSH;
-    est_jaccard = fraction of matching signature components."""
+    est_jaccard = fraction of matching signature components.
+    ``hasher='md5'`` makes the result oracle-reproducible (banding is a
+    pure function of the signatures, so candidates are too)."""
     k = num_hashes
     rows_per_band = k // bands
-    sigs = minhash_signatures(df, k, shingle, id_col, text_col)
+    sigs = minhash_signatures(df, k, shingle, id_col, text_col, hasher=hasher)
 
     # Band key = md5 of the concatenated band slice.
     band_frames = []

@@ -1659,6 +1659,54 @@ def q_minhash_signatures_md5(spark, sf_dir):
     )
 
 
+def _minhash_candidates_oracle_sql() -> str:
+    """Brute-force DuckDB twin of the banded-LSH candidate join (K=8,
+    2 bands of 4 rows — 4-row bands keep the collision curve steep; 2-row
+    bands admit ~1M candidates at sf0.1 on this shared-vocabulary corpus):
+    candidate ⟺ some band's full slice matches. The bucketed Spark plan is
+    sub-quadratic; the O(n²) oracle is viable at correctness SF and checks
+    both membership and est_jaccard."""
+    eq = " + ".join(
+        f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(_MINHASH_K)
+    )
+    bands = " OR ".join(
+        "(" + " AND ".join(
+            f"a.sig_{4*b+j} = b.sig_{4*b+j}" for j in range(4)
+        ) + ")"
+        for b in range(_MINHASH_K // 4)
+    )
+    return f"""
+WITH sigs AS ({_minhash_oracle_sql()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(({eq}) AS DOUBLE) / {_MINHASH_K} AS est_jaccard
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE {bands}
+"""
+
+
+@register("minhash_candidates_md5", oracle=_minhash_candidates_oracle_sql())
+def q_minhash_candidates_md5(spark, sf_dir):
+    """Banded MinHash-LSH candidate pairs with the md5 base hash — the
+    oracle-checked anchor for the xxhash64 `minhash_candidates` production
+    path. Same sub-quadratic plan (pairs only inside band buckets,
+    max_bucket skew guard); the oracle's brute-force band predicate
+    verifies membership exactly because banding is a pure function of the
+    (already-oracled) signatures."""
+    from scikit_learn_imputer_spark.dedup.minhash import minhash_candidate_pairs
+
+    out = minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_MINHASH_K,
+        bands=_MINHASH_K // 4,
+        shingle=5,
+        hasher="md5",
+    )
+    return out.select(
+        "id_a", "id_b", F.round(F.col("est_jaccard"), 6).alias("est_jaccard")
+    )
+
+
 @register(
     "simhash_md5",
     oracle=f"""
