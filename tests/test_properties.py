@@ -219,3 +219,64 @@ def test_split_exact_property(spark, n, t, seed):
     tr = {r["id"] for r in train.collect()}
     assert len(te) == k
     assert not (te & tr) and len(te | tr) == n
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab cd"),  # spaces included -> real splits
+            min_size=0, max_size=40,
+        ),
+        min_size=1, max_size=10,
+    ),
+    n=st.integers(2, 4),
+)
+@SETTINGS
+def test_word_ngrams_property_count_and_python_parity(spark, texts, n):
+    """len(ngrams) == max(0, words - n + 1) and content equals the obvious
+    Python construction, for arbitrary whitespace-y text."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.functions.text import word_ngrams_col
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+    )
+    got = {
+        r["id"]: r["g"]
+        for r in df.select(
+            "id", word_ngrams_col(F.col("text"), n).alias("g")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        # Spark's split on trimmed text yields [""] for empty input; its
+        # size is 1, giving 0 n-grams for n >= 2 — same as the empty list.
+        words = [w for w in re.split(r"\s+", t.strip()) if w != ""]
+        expected = [
+            " ".join(words[j : j + n]) for j in range(max(0, len(words) - n + 1))
+        ]
+        assert got[i] == expected, (t, n, got[i], expected)
+
+
+@given(keys=st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=30, unique=True))
+@SETTINGS
+def test_uniform_hash_property_range_and_determinism(spark, keys):
+    """uniform_hash_col lands in [0,1) and is a pure function of the key
+    (identical across evaluations), matching the Python md5 construction."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.functions.text import uniform_hash_col
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {
+        r["k"]: r["u"]
+        for r in df.select("k", uniform_hash_col(F.col("k")).alias("u")).collect()
+    }
+    for k in keys:
+        expected = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) / 2**32
+        assert 0.0 <= got[k] < 1.0
+        assert got[k] == expected
