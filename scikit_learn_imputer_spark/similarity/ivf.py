@@ -151,3 +151,36 @@ def cosine_topk_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def save_ivf_index(
+    assigned_corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+) -> None:
+    """Persist an IVF index: the assigned corpus as parquet PARTITIONED BY
+    cell, plus centroids.json. Cell-partitioning is the point — a probe
+    that filters ``cell IN (<nprobe cells>)`` prunes to those directories
+    at planning time, so at 100 TB a query touches nprobe/nlist of the
+    corpus bytes instead of scanning everything. Build once, probe many."""
+    import json
+    import os
+
+    assigned_corpus.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "cells")
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(centroids, f)
+
+
+def load_ivf_index(spark, path: str):
+    """Load (assigned_corpus, centroids) saved by ``save_ivf_index``.
+    The returned frame plugs straight into ``cosine_topk_ivf``; cell
+    filters prune partitions."""
+    import json
+    import os
+
+    assigned = spark.read.parquet(os.path.join(path, "cells"))
+    with open(os.path.join(path, "centroids.json")) as f:
+        centroids = json.load(f)
+    return assigned, centroids
