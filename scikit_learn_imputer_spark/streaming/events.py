@@ -121,6 +121,32 @@ def stream_events_to_parquet(
     )
 
 
+def stream_events_to_partitioned_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    partition_by: str = "event_type",
+):
+    """Streaming ingest into a HIVE-PARTITIONED table: the built-in file
+    sink with ``partitionBy`` keeps exactly-once semantics (checkpointed
+    offsets + atomic file-manifest commit — append-only files, so batch
+    replay never clobbers earlier batches, unlike a foreachBatch dynamic
+    overwrite) while laying out ``<out>/<key>=.../part-*.parquet`` so
+    downstream batch readers partition-prune. The streaming twin of the
+    batch incremental-ingest pattern; pair with compact_parquet for the
+    small-files maintenance the appends eventually need."""
+    ev = stream_events_from_parquet(spark, sf_dir)
+    return (
+        ev.writeStream.format("parquet")
+        .partitionBy(partition_by)
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def purchase_error_pairs(
     events: DataFrame,
     window_minutes: int = 60,

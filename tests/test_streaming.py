@@ -247,3 +247,40 @@ def test_stream_stream_join_matches_batch(spark, sf_smoke):
 
     assert len(batch) > 0
     assert got == batch
+
+
+def test_stream_to_partitioned_parquet_layout_and_restart(spark, sf_smoke, tmp_path):
+    """Streaming partitioned ingest: hive layout on disk, row counts match
+    the batch source, partition pruning works for batch readers, and a
+    restart against the same checkpoint commits nothing new."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.sources.tables import load_table
+    from scikit_learn_imputer_spark.streaming.events import (
+        stream_events_to_partitioned_parquet,
+    )
+
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = stream_events_to_partitioned_parquet(spark, sf_smoke, out, cp)
+    q.awaitTermination(120)
+
+    ev = load_table(spark, sf_smoke, "events")
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    subdirs = sorted(
+        d for d in os.listdir(out) if d.startswith("event_type=")
+    )
+    assert subdirs == [f"event_type={t}" for t in types]
+
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    plan = (
+        back.filter(F.col("event_type") == types[0])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+
+    q2 = stream_events_to_partitioned_parquet(spark, sf_smoke, out, cp)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == ev.count()
