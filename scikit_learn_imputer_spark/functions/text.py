@@ -172,14 +172,18 @@ def uniform_hash_col(key: Column) -> Column:
 
 def quality_score_col(text: Column) -> Column:
     """Composite 0-1 quality score (same formula the text_quality query
-    reports: alpha ratio, stopword density, punctuation penalty)."""
+    reports: alpha ratio, stopword density, punctuation penalty).
+
+    Empty / whitespace-only documents score 0·alpha + 0·stop + 0.3·(1-0)
+    via the same zero-guards ``quality_features`` uses — never null/inf."""
+    n_chars = F.length(text)
     n_tokens = token_count_col(text)
     n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace(text, "[A-Za-z0-9\\s]", ""))
     n_stop = stopword_count_col(text, LANG_MARKERS["en"])
-    alpha_ratio = n_alpha.cast("double") / F.length(text)
-    stop_ratio = n_stop.cast("double") / n_tokens
-    punct_ratio = n_punct.cast("double") / F.length(text)
+    alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
     return (
         0.4 * alpha_ratio
         + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))

@@ -599,6 +599,27 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+# DuckDB twins of functions/text.py:token_count_col / stopword_count_col /
+# quality_score_col — same \s+ tokenization and the same zero-guards, so
+# empty / whitespace-only / multi-space documents agree between engines.
+_NTOK_SQL = (
+    r"CASE WHEN length(trim(text)) = 0 THEN 0 "
+    r"ELSE len(str_split_regex(trim(text), '\s+')) END"
+)
+_NSTOP_SQL = (
+    r"len(list_filter(str_split_regex(trim(text), '\s+'), "
+    r"t -> t IN ('the', 'a', 'of', 'and', 'is')))"
+)
+_QSCORE_SQL = f"""0.4 * (CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                     / length(text) ELSE 0.0 END)
+         + 0.3 * least((CASE WHEN {_NTOK_SQL} > 0
+                THEN CAST({_NSTOP_SQL} AS DOUBLE) / ({_NTOK_SQL}) ELSE 0.0 END) * 5, 1.0)
+         + 0.3 * (1 - least((CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                     / length(text) ELSE 0.0 END) * 10, 1.0))"""
+
+
 def _lang_scores_sql() -> str:
     parts = []
     for lang, words in LANG_MARKERS.items():
@@ -636,20 +657,22 @@ def q_lang_id(spark, sf_dir):
 
 @register(
     "text_quality",
-    oracle="""
+    oracle=f"""
 WITH f AS (
   SELECT doc_id,
          length(text) AS q_chars,
-         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS q_tokens,
+         CAST(({_NTOK_SQL}) AS BIGINT) AS q_tokens,
          CAST(len(regexp_extract_all(text,
               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
-         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-           / length(text) AS alpha_ratio,
-         CAST(len(list_filter(string_split(trim(text), ' '),
-              t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
-           / len(string_split(trim(text), ' ')) AS stop_ratio,
-         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-           / length(text) AS punct_ratio
+         CASE WHEN length(text) > 0
+           THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                / length(text) ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN {_NTOK_SQL} > 0
+           THEN CAST({_NSTOP_SQL} AS DOUBLE) / ({_NTOK_SQL})
+           ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(text) > 0
+           THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                / length(text) ELSE 0.0 END AS punct_ratio
   FROM documents
 )
 SELECT doc_id, q_chars, q_tokens, bpe_tokens,
@@ -671,13 +694,14 @@ def q_text_quality(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
+    n_chars = F.length(t)
     n_tokens = token_count_col(t).cast("long")
     n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace(t, "[A-Za-z0-9\\s]", ""))
     n_stop = stopword_count_col(t, LANG_MARKERS["en"])
-    alpha_ratio = n_alpha.cast("double") / F.length(t)
-    stop_ratio = n_stop.cast("double") / n_tokens
-    punct_ratio = n_punct.cast("double") / F.length(t)
+    alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
     q_score = (
         0.4 * alpha_ratio
         + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
@@ -744,8 +768,9 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT doc_id, source, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
   FROM t
 )
 SELECT doc_id, source, n_tokens, cum_tokens
@@ -780,18 +805,12 @@ def q_token_budget_sample(spark, sf_dir):
 
 @register(
     "quality_weighted_sample",
-    oracle=r"""
+    oracle=f"""
 WITH q AS (
   SELECT doc_id, source,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
               AS DOUBLE) / 4294967296.0 AS u,
-         0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                / length(text))
-         + 0.3 * least((CAST(len(list_filter(string_split(trim(text), ' '),
-                    t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
-                / len(string_split(trim(text), ' '))) * 5, 1.0)
-         + 0.3 * (1 - least((CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
-                / length(text)) * 10, 1.0)) AS q_score
+         {_QSCORE_SQL} AS q_score
   FROM documents
 )
 SELECT doc_id, source, round(q_score, 6) AS q_score
@@ -869,18 +888,12 @@ def q_decontaminate_ngram_corpus(spark, sf_dir):
 
 @register(
     "corpus_mixture_sample",
-    oracle=r"""
+    oracle=rf"""
 WITH q AS (
   SELECT doc_id, source, text,
          CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-         0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                / length(text))
-         + 0.3 * least((CAST(len(list_filter(string_split(trim(text), ' '),
-                    t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
-                / len(string_split(trim(text), ' '))) * 5, 1.0)
-         + 0.3 * (1 - least((CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
-                / length(text)) * 10, 1.0)) AS q_score
+         {_QSCORE_SQL} AS q_score
   FROM documents
 ), gated AS (
   SELECT * FROM q WHERE q_score >= 0.65 AND n_tokens >= 10
@@ -889,9 +902,10 @@ WITH q AS (
   WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY fp)
 ), budgeted AS (
   SELECT doc_id, source, n_tokens, q_score,
-         sum(n_tokens) OVER (PARTITION BY source
-                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         CAST(sum(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
   FROM survivors
 )
 SELECT doc_id, source, n_tokens, cum_tokens, round(q_score, 6) AS q_score
@@ -909,24 +923,13 @@ def q_corpus_mixture_sample(spark, sf_dir):
     """
     from scikit_learn_imputer_spark.functions.text import (
         fingerprint_col,
-        stopword_count_col,
-        token_count_col,
+        quality_score_col,
     )
 
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
     n_tokens = F.size(F.split(F.trim(t), "\\s+")).cast("long")
-    n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
-    n_punct = F.length(F.regexp_replace(t, "[A-Za-z0-9\\s]", ""))
-    n_stop = stopword_count_col(t, LANG_MARKERS["en"])
-    alpha_ratio = n_alpha.cast("double") / F.length(t)
-    stop_ratio = n_stop.cast("double") / token_count_col(t)
-    punct_ratio = n_punct.cast("double") / F.length(t)
-    q_score = (
-        0.4 * alpha_ratio
-        + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
-        + 0.3 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
-    )
+    q_score = quality_score_col(t)
     gated = d.select(
         "doc_id",
         "source",
@@ -2005,7 +2008,7 @@ SELECT l_returnflag, l_linestatus,
        round(regr_slope(l_extendedprice, l_quantity), 3) AS slope,
        round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
        round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-       regr_count(l_extendedprice, l_quantity) AS n
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """,
@@ -2227,8 +2230,9 @@ SELECT vec_id,
        round((embedding::DOUBLE[])[1], 6) AS first_val,
        round(list_max(embedding::DOUBLE[]), 6) AS max_val,
        round(list_min(embedding::DOUBLE[]), 6) AS min_val,
-       [round(x, 6) FOR x IN list_sort(list_slice(embedding::DOUBLE[], 1, 4))]
-         AS head_sorted,
+       array_to_string([printf('%.6f', x)
+                        FOR x IN list_sort(list_slice(embedding::DOUBLE[], 1, 4))],
+                       ',') AS head_sorted,
        round(list_sum([x*x FOR x IN embedding::DOUBLE[]]), 6) AS sq_norm
 FROM embeddings
 """,
@@ -2245,8 +2249,12 @@ def q_array_funcs(spark, sf_dir):
         F.round(F.element_at(v, 1), 6).alias("first_val"),
         F.round(F.array_max(v), 6).alias("max_val"),
         F.round(F.array_min(v), 6).alias("min_val"),
-        F.transform(
-            F.array_sort(F.slice(v, 1, 4)), lambda x: F.round(x, 6)
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.slice(v, 1, 4)),
+                lambda x: F.format_string("%.6f", x),
+            ),
         ).alias("head_sorted"),
         F.round(
             F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x), 6

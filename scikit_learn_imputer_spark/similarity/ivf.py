@@ -159,28 +159,39 @@ def save_ivf_index(
     path: str,
 ) -> None:
     """Persist an IVF index: the assigned corpus as parquet PARTITIONED BY
-    cell, plus centroids.json. Cell-partitioning is the point — a probe
-    that filters ``cell IN (<nprobe cells>)`` prunes to those directories
-    at planning time, so at 100 TB a query touches nprobe/nlist of the
-    corpus bytes instead of scanning everything. Build once, probe many."""
-    import json
-    import os
+    cell, plus a tiny centroids parquet. Cell-partitioning is the point — a
+    probe that filters ``cell IN (<nprobe cells>)`` prunes to those
+    directories at planning time, so at 100 TB a query touches
+    nprobe/nlist of the corpus bytes instead of scanning everything.
+    Build once, probe many.
 
+    Both halves go through Spark's writer so the index works on any
+    filesystem the session can reach (s3://, hdfs://, local) — a
+    driver-local ``open()`` for the centroids would silently break
+    object-store paths (ADVICE r4)."""
+    spark = assigned_corpus.sparkSession
     assigned_corpus.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "cells")
+        path.rstrip("/") + "/cells"
     )
-    with open(os.path.join(path, "centroids.json"), "w") as f:
-        json.dump(centroids, f)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        schema="cell INT, centroid ARRAY<DOUBLE>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(
+        path.rstrip("/") + "/centroids"
+    )
 
 
 def load_ivf_index(spark, path: str):
     """Load (assigned_corpus, centroids) saved by ``save_ivf_index``.
     The returned frame plugs straight into ``cosine_topk_ivf``; cell
-    filters prune partitions."""
-    import json
-    import os
-
-    assigned = spark.read.parquet(os.path.join(path, "cells"))
-    with open(os.path.join(path, "centroids.json")) as f:
-        centroids = json.load(f)
+    filters prune partitions. Centroids are O(nlist) — a driver collect
+    of the tiny centroids parquet, ordered by cell id."""
+    assigned = spark.read.parquet(path.rstrip("/") + "/cells")
+    cent_rows = (
+        spark.read.parquet(path.rstrip("/") + "/centroids")
+        .orderBy("cell")
+        .collect()
+    )
+    centroids = [list(r["centroid"]) for r in cent_rows]
     return assigned, centroids

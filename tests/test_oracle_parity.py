@@ -71,6 +71,39 @@ def test_query_matches_oracle(spark, sf_smoke, name):
     )
 
 
+#: DuckDB result types that serialize identically to a Spark column type.
+#: Anything outside this set (HUGEINT, UINTEGER, DECIMAL, lists, structs)
+#: can pass the value-level compare below while failing the driver's
+#: *typed* hash — see round-4 VERDICT #3 (token_budget_sample HUGEINT).
+PORTABLE_DUCK_TYPES = {
+    "BIGINT",
+    "INTEGER",
+    "DOUBLE",
+    "FLOAT",
+    "VARCHAR",
+    "BOOLEAN",
+    "DATE",
+    "TIMESTAMP",
+}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_result_types_portable(sf_smoke, name):
+    """Every oracle column must land in the portable type set so the
+    driver's typed value-hash can't diverge from Spark on type alone."""
+    con = duck_con(sf_smoke)
+    rel = con.sql(f"SELECT * FROM ({ORACLE[name]}) __q LIMIT 0")
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t) not in PORTABLE_DUCK_TYPES
+    ]
+    assert not bad, (
+        f"{name}: non-portable oracle result types {bad}; cast them in the "
+        f"oracle SQL (Spark side must match)"
+    )
+
+
 def _rows_equal(a, b) -> bool:
     if len(a) != len(b):
         return False

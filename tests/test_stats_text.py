@@ -129,3 +129,41 @@ def test_dup_trigram_ratio_constructed(spark):
     assert rows[0] == (7, round(1 - 3 / 7, 6))
     assert rows[1] == (2, 0.0)
     assert rows[2] == (0, 0.0)
+
+
+def test_quality_score_degenerate_docs_match_sql_twin(spark):
+    """quality_score_col must agree with its DuckDB oracle twin
+    (_QSCORE_SQL) on the degenerate shapes ADVICE r4 flagged: empty,
+    whitespace-only, and multi-space documents — no nulls, no inf."""
+    import duckdb
+
+    from scikit_learn_imputer_spark.functions.text import quality_score_col
+    from scikit_learn_imputer_spark.plans.queries import _QSCORE_SQL
+
+    texts = [
+        (0, ""),
+        (1, "   "),
+        (2, "a  b   the"),
+        (3, "the cat of the house is a cat"),
+        (4, "!!! ??? ..."),
+        (5, "word"),
+    ]
+    df = spark.createDataFrame(texts, ["id", "text"])
+    got = {
+        r["id"]: r["q"]
+        for r in df.select(
+            "id", F.round(quality_score_col(F.col("text")), 9).alias("q")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    want = dict(
+        con.execute(
+            f"SELECT id, round({_QSCORE_SQL}, 9) FROM documents"
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] is not None, f"id {k}: Spark q_score is null"
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
