@@ -21,7 +21,12 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     from scikit_learn_imputer_spark.session import get_spark
-    from scikit_learn_imputer_spark.plans.queries import QUERIES
+    from scikit_learn_imputer_spark.plans.queries import ANCHORS, ORACLE, QUERIES
+
+    # Every registered query must be driver-visible (oracled) or carry a
+    # named in-repo anchor test — a query can't land unchecked by accident.
+    unanchored = set(QUERIES) - set(ORACLE) - set(ANCHORS)
+    assert not unanchored, f"queries with no oracle and no anchor: {sorted(unanchored)}"
 
     spark = get_spark(
         "sli-spark-bench",
@@ -45,9 +50,12 @@ def main() -> None:
     from scikit_learn_imputer_spark.similarity.ivf import (
         build_ivf_index,
         cosine_topk_ivf,
+        load_ivf_index,
+        save_ivf_index,
     )
 
     _ivf: dict[str, object] = {}
+    _ivf_path = "/tmp/sli_spark_bench_ivf_index"
 
     def _ivf_build(s, d):
         emb = load_table(s, d, "embeddings")
@@ -55,7 +63,23 @@ def main() -> None:
             emb, nlist=8, max_iter=3, init_mode="random", build_partitions=4
         )
         _ivf["assigned"], _ivf["centroids"] = assigned, centroids
+        # Persist for the ann_ivf_persisted_topk entry: build+save timed
+        # here (once-per-corpus cost), probe-from-disk timed there.
+        save_ivf_index(assigned, centroids, _ivf_path)
         return assigned
+
+    def _ivf_persisted_probe(s, d):
+        emb = load_table(s, d, "embeddings")
+        assigned, centroids = load_ivf_index(s, _ivf_path)
+        out = cosine_topk_ivf(
+            assigned, centroids, emb.filter(F.col("vec_id") < 5), k=10, nprobe=8
+        )
+        return out.select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine"), 6).alias("cosine"),
+            "rank",
+        )
 
     def _ivf_search(s, d):
         emb = load_table(s, d, "embeddings")
@@ -121,7 +145,24 @@ def main() -> None:
         "near_dup_survivors": _survivors_guarded,
         "ann_ivf_build": _ivf_build,
         "ann_ivf_topk": _ivf_search,
+        "ann_ivf_persisted_topk": _ivf_persisted_probe,
     }
+
+    # Unrecorded warm-up: JVM/codegen/parquet-footer/noop-writer spin-up
+    # used to land on the alphabetically-first entry (acctbal_histogram
+    # carried a ~4-5s constant every round — VERDICT r4 #8). One throwaway
+    # scan+agg+write absorbs it so per-entry numbers reflect the queries.
+    try:
+        warm = (
+            load_table(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_quantity").alias("s"))
+        )
+        t0 = time.time()
+        warm.write.format("noop").mode("overwrite").save()
+        print(f"bench: warmup {round(time.time() - t0, 3)}s (unrecorded)", file=sys.stderr)
+    except Exception as exc:
+        print(f"bench: warmup FAILED: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -49,9 +49,11 @@ def decontaminate(
     data).
 
     Scale design: both sides reduce to 16-byte digests before the join;
-    the benchmark side is tiny (an eval set) and distinct-on-digest, so
-    Catalyst broadcasts it and the anti join is a broadcast hash join —
-    the corpus never shuffles."""
+    the benchmark side is usually tiny (an eval set) and
+    distinct-on-digest. No broadcast hint: AQE promotes the anti join to
+    broadcast when the digest side's RUNTIME size is under threshold, and
+    falls back to a shuffle join when a huge benchmark would have made an
+    unconditional hint exceed driver memory (ADVICE r4)."""
     bench_digests = (
         benchmark.select(fingerprint_col(F.col(text_col)).alias("fingerprint"))
         .distinct()
@@ -59,7 +61,7 @@ def decontaminate(
     return corpus.withColumn(
         "__fp", fingerprint_col(F.col(text_col))
     ).join(
-        F.broadcast(bench_digests),
+        bench_digests,
         F.col("__fp") == F.col("fingerprint"),
         how="left_anti",
     ).drop("__fp")
@@ -79,11 +81,17 @@ def decontaminate_ngram(
     real prose; pick n to taste for the corpus.)
 
     Scale design: the benchmark side collapses to DISTINCT md5 digests of
-    its n-grams (eval sets are small → broadcast); the corpus explodes to
-    (id, gram-digest) — shuffle rows carry 16-byte digests, never text —
-    and contaminated ids resolve with a broadcast semi join + distinct,
-    then drop via a second broadcast anti join on the tiny id set. The
-    corpus itself never shuffles."""
+    its n-grams; the corpus explodes to (id, gram-digest) — shuffle rows
+    carry 16-byte digests, never text — contaminated ids resolve with a
+    semi join + distinct, then drop via an anti join on the id set.
+
+    Neither join carries an explicit broadcast hint: eval-set grams and
+    the contaminated-id set are usually tiny, and AQE promotes each join
+    to broadcast from the side's RUNTIME size — but a large benchmark or
+    widespread contamination would have made an unconditional hint exceed
+    the broadcast limit / driver memory, so the hint must not be forced
+    (ADVICE r4). Worst case degrades to a digest-only shuffle join; the
+    corpus text still never shuffles."""
     from scikit_learn_imputer_spark.functions.text import word_ngrams_col
 
     bench_grams = (
@@ -99,8 +107,8 @@ def decontaminate_ngram(
             F.explode(word_ngrams_col(F.col(text_col), n)).alias("__g"),
         )
         .select(id_col, F.md5("__g").alias("__cg"))
-        .join(F.broadcast(bench_grams), F.col("__cg") == F.col("__bg"), "left_semi")
+        .join(bench_grams, F.col("__cg") == F.col("__bg"), "left_semi")
         .select(id_col)
         .distinct()
     )
-    return corpus.join(F.broadcast(contaminated), on=id_col, how="left_anti")
+    return corpus.join(contaminated, on=id_col, how="left_anti")

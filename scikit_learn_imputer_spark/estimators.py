@@ -411,6 +411,253 @@ KNNClassifier._model_cls = KNNClassifierModel
 KNNRegressor._model_cls = KNNRegressorModel
 
 
+class _MLPParams(_DummyParams):
+    """MLP regressor params; fitted weights live IN the Params (flattened)
+    so ``DefaultParamsWritable`` persists the model through the engine's
+    MLlib-writer model sink exactly like the KNN pair."""
+
+    hiddenLayerSizes = Param(
+        Params._dummy(), "hiddenLayerSizes", "hidden layer widths",
+        typeConverter=TypeConverters.toListInt,
+    )
+    maxIter = Param(
+        Params._dummy(), "maxIter", "full-batch Adam steps",
+        typeConverter=TypeConverters.toInt,
+    )
+    stepSize = Param(
+        Params._dummy(), "stepSize", "Adam learning rate",
+        typeConverter=TypeConverters.toFloat,
+    )
+    maxFitRows = Param(
+        Params._dummy(), "maxFitRows",
+        "driver guard: max training rows collected at fit",
+        typeConverter=TypeConverters.toInt,
+    )
+    weightsFlat = Param(
+        Params._dummy(), "weightsFlat", "flattened [W1,b1,W2,b2,...]",
+        typeConverter=TypeConverters.toListFloat,
+    )
+    layerDims = Param(
+        Params._dummy(), "layerDims", "[n_in, hidden..., 1]",
+        typeConverter=TypeConverters.toListInt,
+    )
+    featCenter = Param(
+        Params._dummy(), "featCenter", "feature standardization means",
+        typeConverter=TypeConverters.toListFloat,
+    )
+    featScale = Param(
+        Params._dummy(), "featScale", "feature standardization stds",
+        typeConverter=TypeConverters.toListFloat,
+    )
+    labelCenter = Param(
+        Params._dummy(), "labelCenter", "label mean",
+        typeConverter=TypeConverters.toFloat,
+    )
+    labelScale = Param(
+        Params._dummy(), "labelScale", "label std",
+        typeConverter=TypeConverters.toFloat,
+    )
+
+
+def _mlp_defaults(obj) -> None:
+    obj._setDefault(
+        hiddenLayerSizes=[32], maxIter=300, stepSize=0.01,
+        maxFitRows=100_000, seed=0, strategy="adam",
+        featuresCol="features", labelCol="label", predictionCol="prediction",
+        weightsFlat=[], layerDims=[], featCenter=[], featScale=[],
+        labelCenter=0.0, labelScale=1.0,
+    )
+
+
+def _unflatten(flat: np.ndarray, dims: list[int]):
+    """[W1,b1,W2,b2,...] from the flat Params vector."""
+    ws, off = [], 0
+    for i in range(len(dims) - 1):
+        n_in, n_out = dims[i], dims[i + 1]
+        W = flat[off:off + n_in * n_out].reshape(n_in, n_out)
+        off += n_in * n_out
+        b = flat[off:off + n_out]
+        off += n_out
+        ws.append((W, b))
+    return ws
+
+
+def _mlp_forward(X: np.ndarray, ws) -> np.ndarray:
+    a = X
+    for W, b in ws[:-1]:
+        a = np.tanh(a @ W + b)
+    W, b = ws[-1]
+    return (a @ W + b)[:, 0]
+
+
+class MLPRegressor(
+    Estimator, _MLPParams, DefaultParamsReadable, DefaultParamsWritable
+):
+    """sklearn ``MLPRegressor``-shaped estimator — closes the reference
+    matrix's 8th pair (reference tests.py:234): MLlib ships an MLP
+    *classifier* but no MLP *regressor*, so this fits a small tanh MLP
+    (linear output head, full-batch Adam on standardized features/label,
+    seeded numpy → deterministic) on a guarded-collect training set,
+    mirroring the KNN pattern (same ``maxFitRows`` contract:
+    imputation training sets are label-complete subsets that must be
+    driver-sized; the error names the bound). The TRANSFORM side stays
+    fully distributed — one Arrow-batched forward pass per batch."""
+
+    def __init__(
+        self,
+        hidden_layer_sizes: tuple[int, ...] = (32,),
+        max_iter: int = 300,
+        step_size: float = 0.01,
+        seed: int = 0,
+        max_fit_rows: int = 100_000,
+    ):
+        super().__init__()
+        _mlp_defaults(self)
+        self._set(
+            hiddenLayerSizes=list(hidden_layer_sizes),
+            maxIter=max_iter,
+            stepSize=step_size,
+            seed=seed,
+            maxFitRows=max_fit_rows,
+        )
+
+    def _fit(self, dataset: DataFrame) -> "MLPRegressorModel":
+        from pyspark.ml.functions import vector_to_array
+
+        cap = self.getOrDefault(self.maxFitRows)
+        rows = (
+            dataset.select(
+                vector_to_array(F.col(self.getFeaturesCol())).alias("__f"),
+                F.col(self.getLabelCol()).cast("double").alias("__l"),
+            )
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(rows) > cap:
+            raise ValueError(
+                f"MLPRegressor fit over more than maxFitRows={cap} training "
+                "rows; the driver-side fit needs a bounded training set — "
+                "raise max_fit_rows deliberately or sample the training data"
+            )
+        if not rows:
+            raise ValueError("MLPRegressor fit on an empty training set")
+
+        X = np.nan_to_num(np.array([r["__f"] for r in rows], dtype="float64"))
+        y = np.array([r["__l"] for r in rows], dtype="float64")
+        mu, sd = X.mean(axis=0), X.std(axis=0)
+        sd = np.where(sd > 0, sd, 1.0)
+        Xs = (X - mu) / sd
+        ym = float(y.mean())
+        ys = float(y.std()) or 1.0
+        yn = (y - ym) / ys
+
+        hidden = [int(h) for h in self.getOrDefault(self.hiddenLayerSizes)]
+        dims = [Xs.shape[1], *hidden, 1]
+        rng = np.random.default_rng(self.getOrDefault(self.seed))
+        ws = [
+            (
+                rng.normal(0.0, np.sqrt(1.0 / dims[i]), (dims[i], dims[i + 1])),
+                np.zeros(dims[i + 1]),
+            )
+            for i in range(len(dims) - 1)
+        ]
+
+        lr = float(self.getOrDefault(self.stepSize))
+        beta1, beta2, eps = 0.9, 0.999, 1e-8
+        mom = [(np.zeros_like(W), np.zeros_like(b)) for W, b in ws]
+        vel = [(np.zeros_like(W), np.zeros_like(b)) for W, b in ws]
+        n = len(yn)
+        for t in range(1, int(self.getOrDefault(self.maxIter)) + 1):
+            # Forward, keeping activations for backprop.
+            acts = [Xs]
+            for W, b in ws[:-1]:
+                acts.append(np.tanh(acts[-1] @ W + b))
+            W, b = ws[-1]
+            out = (acts[-1] @ W + b)[:, 0]
+            # Backprop of mean squared error.
+            delta = (2.0 / n) * (out - yn)[:, None]
+            grads: list[tuple[np.ndarray, np.ndarray]] = []
+            for i in range(len(ws) - 1, -1, -1):
+                W, _ = ws[i]
+                gW = acts[i].T @ delta
+                gb = delta.sum(axis=0)
+                grads.append((gW, gb))
+                if i > 0:
+                    delta = (delta @ W.T) * (1.0 - acts[i] ** 2)
+            grads.reverse()
+            # Adam update.
+            corr1, corr2 = 1 - beta1**t, 1 - beta2**t
+            for i, ((W, b), (gW, gb)) in enumerate(zip(ws, grads)):
+                mW, mb = mom[i]
+                vW, vb = vel[i]
+                mW = beta1 * mW + (1 - beta1) * gW
+                mb = beta1 * mb + (1 - beta1) * gb
+                vW = beta2 * vW + (1 - beta2) * gW**2
+                vb = beta2 * vb + (1 - beta2) * gb**2
+                mom[i], vel[i] = (mW, mb), (vW, vb)
+                ws[i] = (
+                    W - lr * (mW / corr1) / (np.sqrt(vW / corr2) + eps),
+                    b - lr * (mb / corr1) / (np.sqrt(vb / corr2) + eps),
+                )
+
+        flat = np.concatenate(
+            [np.concatenate([W.ravel(), b]) for W, b in ws]
+        )
+        model = MLPRegressorModel()
+        model._set(
+            hiddenLayerSizes=hidden,
+            maxIter=self.getOrDefault(self.maxIter),
+            stepSize=lr,
+            seed=self.getOrDefault(self.seed),
+            maxFitRows=cap,
+            featuresCol=self.getFeaturesCol(),
+            labelCol=self.getLabelCol(),
+            predictionCol=self.getPredictionCol(),
+            weightsFlat=[float(v) for v in flat],
+            layerDims=dims,
+            featCenter=[float(v) for v in mu],
+            featScale=[float(v) for v in sd],
+            labelCenter=ym,
+            labelScale=ys,
+        )
+        return model
+
+
+class MLPRegressorModel(
+    Model, _MLPParams, DefaultParamsReadable, DefaultParamsWritable
+):
+    def __init__(self):
+        super().__init__()
+        _mlp_defaults(self)
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        from pyspark.ml.functions import vector_to_array
+        from pyspark.sql.functions import pandas_udf
+
+        dims = [int(d) for d in self.getOrDefault(self.layerDims)]
+        ws = _unflatten(
+            np.asarray(self.getOrDefault(self.weightsFlat), dtype="float64"),
+            dims,
+        )
+        mu = np.asarray(self.getOrDefault(self.featCenter), dtype="float64")
+        sd = np.asarray(self.getOrDefault(self.featScale), dtype="float64")
+        ym = float(self.getOrDefault(self.labelCenter))
+        ys = float(self.getOrDefault(self.labelScale))
+        bcast = dataset.sparkSession.sparkContext.broadcast((ws, mu, sd, ym, ys))
+
+        @pandas_udf("double")
+        def mlp_predict(arrs: pd.Series) -> pd.Series:
+            w, m, s, a, b = bcast.value
+            X = np.nan_to_num(np.array(list(arrs), dtype="float64"))
+            Xs = (X - m) / s
+            return pd.Series(_mlp_forward(Xs, w) * b + a)
+
+        return dataset.withColumn(
+            self.getPredictionCol(),
+            mlp_predict(vector_to_array(F.col(self.getFeaturesCol()))),
+        )
+
+
 #: Reference pair → MLlib/engine mapping (reference tests.py:218-234).
 #: ``None`` marks documented-unsupported estimators.
 REFERENCE_ESTIMATOR_MAP: dict[str, dict[str, object]] = {
@@ -450,7 +697,9 @@ REFERENCE_ESTIMATOR_MAP: dict[str, dict[str, object]] = {
     "mlp": {
         "classifier": "pyspark.ml.classification.MultilayerPerceptronClassifier"
         " (layers auto-derived when unset)",
-        # MLlib has no MLP regressor.
-        "regressor": None,
+        # MLlib has no MLP regressor; the engine ships its own (seeded
+        # numpy tanh MLP, guarded driver fit / distributed transform —
+        # same contract as the KNN pair).
+        "regressor": "scikit_learn_imputer_spark.estimators.MLPRegressor",
     },
 }

@@ -51,15 +51,29 @@ from scikit_learn_imputer_spark.sources.tables import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
+#: name -> "tests/<file>.py::<test>" for queries that are REGISTERED
+#: WITHOUT an oracle (seeded randomness / iterative algorithms the driver
+#: checks rows-only).  Every query must have an ORACLE entry or an anchor;
+#: bench.py asserts this at startup and tests/test_oracle_parity.py
+#: asserts the anchor tests actually exist, so a query can never land
+#: driver-invisible by accident (VERDICT r4 #6).
+ANCHORS: dict[str, str] = {}
 
 MKTSEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, anchor: str | None = None):
+    if oracle is None and anchor is None:
+        raise ValueError(
+            f"query {name!r} needs an oracle or a named anchor test"
+        )
+
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
+        if anchor is not None:
+            ANCHORS[name] = anchor
         return fn
 
     return deco
@@ -1040,7 +1054,7 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
-@register("cosine_topk_lsh")
+@register("cosine_topk_lsh", anchor="tests/test_dedup_similarity.py::test_cosine_topk_lsh_multiprobe_recall_monotone")
 def q_cosine_topk_lsh(spark, sf_dir):
     """ANN sign-LSH top-k — the sub-quadratic scale path
     (similarity/knn.py:cosine_topk_lsh): candidates only form inside the
@@ -1061,7 +1075,7 @@ def q_cosine_topk_lsh(spark, sf_dir):
     )
 
 
-@register("near_pairs_lsh")
+@register("near_pairs_lsh", anchor="tests/test_dedup_similarity.py::test_embedding_near_pairs_lsh_finds_dups")
 def q_near_pairs_lsh(spark, sf_dir):
     """Embedding near-dup pairs via BucketedRandomProjectionLSH — the
     100 TB path judged by the exact embedding_near_pairs twin (cosine ≥ t
@@ -1692,10 +1706,14 @@ WHERE {bands}
 def q_minhash_candidates_md5(spark, sf_dir):
     """Banded MinHash-LSH candidate pairs with the md5 base hash — the
     oracle-checked anchor for the xxhash64 `minhash_candidates` production
-    path. Same sub-quadratic plan (pairs only inside band buckets,
-    max_bucket skew guard); the oracle's brute-force band predicate
-    verifies membership exactly because banding is a pure function of the
-    (already-oracled) signatures."""
+    path. Same sub-quadratic plan (pairs only inside band buckets); the
+    oracle's brute-force band predicate verifies membership exactly
+    because banding is a pure function of the (already-oracled)
+    signatures. max_bucket is unbounded HERE because the oracle keeps
+    every in-bucket pair — the production path's skew-guard drop is not
+    modeled in SQL, so the oracled variant must not drop either
+    (ADVICE r4); the guard itself is unit-tested in
+    tests/test_dedup_similarity.py:test_minhash_simhash_max_bucket_skew_guard."""
     from scikit_learn_imputer_spark.dedup.minhash import minhash_candidate_pairs
 
     out = minhash_candidate_pairs(
@@ -1704,6 +1722,7 @@ def q_minhash_candidates_md5(spark, sf_dir):
         bands=_MINHASH_K // 4,
         shingle=5,
         hasher="md5",
+        max_bucket=2**31,
     )
     return out.select(
         "id_a", "id_b", F.round(F.col("est_jaccard"), 6).alias("est_jaccard")
@@ -1753,13 +1772,18 @@ def q_simhash_near_pairs_md5(spark, sf_dir):
     """SimHash near-dup pairs at Hamming ≤ 3 via 4-chunk pigeonhole
     bucketing (dedup/simhash.py:simhash_near_pairs): any two signatures
     within distance 3 of a 60-bit hash agree on at least one 15-bit chunk,
-    so pairs only form inside shared chunk buckets — sub-quadratic, with a
-    max_bucket skew guard — yet the result is EXACT, which is why the
-    brute-force pair-join oracle can check it."""
+    so pairs only form inside shared chunk buckets — sub-quadratic — yet
+    the result is EXACT, which is why the brute-force pair-join oracle can
+    check it. max_bucket is unbounded HERE: the oracle keeps every
+    in-bucket pair, so the oracled variant must not apply the production
+    skew-guard drop (ADVICE r4)."""
     from scikit_learn_imputer_spark.dedup.simhash import simhash_near_pairs
 
     out = simhash_near_pairs(
-        _t(spark, sf_dir, "documents"), max_hamming=3, hasher="md5"
+        _t(spark, sf_dir, "documents"),
+        max_hamming=3,
+        hasher="md5",
+        max_bucket=2**31,
     )
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
@@ -2310,6 +2334,40 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
     queries = emb.filter(F.col("vec_id") < 5)
     out = cosine_topk_ivf(assigned, centroids, queries, k=10, nprobe=8)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    )
+
+
+@register("ann_ivf_persisted_topk", oracle=ORACLE["cosine_topk"])
+def q_ann_ivf_persisted_topk(spark, sf_dir):
+    """IVF ANN probing a PERSISTED index (similarity/ivf.py:save_ivf_index
+    round-trip): the index is written as cell-partitioned parquet, read
+    back, and probed — at 100 TB this is the build-once-probe-many shape
+    where the probe's cell join dynamically prunes index partitions at
+    the scan (nprobe/nlist of the bytes). Run in the exact limit
+    (nprobe == nlist) so it shares cosine_topk's brute-force oracle."""
+    from scikit_learn_imputer_spark.similarity.ivf import (
+        build_ivf_index,
+        cosine_topk_ivf,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/sli_spark_ivf_index_{sf_tag}"
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = build_ivf_index(
+        emb, nlist=8, max_iter=3, init_mode="random", build_partitions=4
+    )
+    save_ivf_index(assigned, centroids, path)
+    assigned.unpersist()
+    disk_assigned, disk_centroids = load_ivf_index(spark, path)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_ivf(disk_assigned, disk_centroids, queries, k=10, nprobe=8)
     return out.select(
         "query_id",
         "neighbor_id",
@@ -3107,7 +3165,7 @@ def q_window_funcs_suite(spark, sf_dir):
 
 # ---- rows-only checked (non-SQL-expressible or intentionally unoracled) ----
 
-@register("minhash_candidates")
+@register("minhash_candidates", anchor="tests/test_dedup_similarity.py::test_minhash_candidates_include_dups")
 def q_minhash_candidates(spark, sf_dir):
     """MinHash-LSH near-dup candidates — the 100TB-scale dedup path.
     Deterministic (md5-derived hashes) but banding logic is beyond the
@@ -3117,13 +3175,13 @@ def q_minhash_candidates(spark, sf_dir):
     )
 
 
-@register("simhash_signatures")
+@register("simhash_signatures", anchor="tests/test_dedup_similarity.py::test_simhash_near_pairs")
 def q_simhash_signatures(spark, sf_dir):
     """60-bit SimHash signature per document (rows-only check)."""
     return simhash_signatures(_t(spark, sf_dir, "documents"))
 
 
-@register("spark_imputer_e2e")
+@register("spark_imputer_e2e", anchor="tests/test_imputer.py::test_fit_transform_no_nulls_invariant")
 def q_spark_imputer_e2e(spark, sf_dir):
     """End-to-end ML imputation (C5 fit + impute) on the null-injected
     customer table: mixed categorical/continuous targets, MLlib models.
@@ -3153,6 +3211,58 @@ def q_spark_imputer_e2e(spark, sf_dir):
         transform=True,
     )
     return result["imputed_data"]
+
+
+@register(
+    "imputer_output_audit",
+    oracle=f"""
+WITH customer_nulls AS ({nulls_cte('customer')})
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS null_cells,
+       round(sum(coalesce(c_acctbal, 0)), 2) AS observed_acctbal_sum,
+       CAST(count(c_mktsegment) AS BIGINT) AS preserved_mktsegment_rows
+FROM customer_nulls
+""",
+)
+def q_imputer_output_audit(spark, sf_dir):
+    """Oracled audit of the (rows-only) spark_imputer_e2e output — the
+    SQL-expressible invariants of ML imputation (VERDICT r4 #5): the
+    oracle computes, from the INPUT alone, what a correct imputation must
+    produce — same row count, ZERO nulls left in target columns, observed
+    (non-injected) c_acctbal values untouched (their sum), and every
+    observed c_mktsegment label preserved. The Spark side measures the
+    ACTUAL e2e output, so a row-count change, a leftover null, or an
+    overwritten observed cell each flips this driver row red."""
+    out = q_spark_imputer_e2e(spark, sf_dir)
+    inp = with_nulls(_t(spark, sf_dir, "customer"), "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("in_acctbal"),
+        F.col("c_mktsegment").alias("in_mktsegment"),
+    )
+    joined = out.join(inp, on="id")
+    null_cell = (
+        F.col("c_acctbal").isNull().cast("long")
+        + F.col("c_mktsegment").isNull().cast("long")
+        + F.col("c_nationkey").isNull().cast("long")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(null_cell).cast("long").alias("null_cells"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("in_acctbal").isNotNull(), F.col("c_acctbal")
+                ).otherwise(0.0)
+            ),
+            2,
+        ).alias("observed_acctbal_sum"),
+        F.sum(
+            (
+                F.col("in_mktsegment").isNotNull()
+                & (F.col("c_mktsegment") == F.col("in_mktsegment"))
+            ).cast("long")
+        ).alias("preserved_mktsegment_rows"),
+    )
 
 
 # =====================================================================
@@ -4120,7 +4230,7 @@ def q_revenue_share_by_nation(spark, sf_dir):
     ).orderBy("n_name")
 
 
-@register("near_dup_pagerank")
+@register("near_dup_pagerank", anchor="tests/test_dedup_similarity.py::test_pagerank_triangle_and_star")
 def q_near_dup_pagerank(spark, sf_dir):
     """PageRank centrality over the (symmetrized) near-dup graph — which
     documents sit at the center of duplication clusters. Iterative

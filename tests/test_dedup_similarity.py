@@ -228,12 +228,14 @@ def test_decontaminate_removes_benchmark_matches(spark):
     )
     kept = sorted(r["doc_id"] for r in decontaminate(corpus, bench).collect())
     assert kept == [3]
-    # anti join must be a broadcast hash join on the digest (no shuffle of
-    # the corpus side)
-    plan = (
-        decontaminate(corpus, bench)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+    # No forced broadcast hint (a huge benchmark must be allowed to fall
+    # back to a shuffle join — ADVICE r4); AQE promotes the anti join to
+    # broadcast at RUNTIME when the digest side is actually small.  The
+    # final adaptive plan for this tiny benchmark must show that.
+    out = decontaminate(corpus, bench)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
@@ -260,10 +262,12 @@ def test_decontaminate_ngram_catches_embedded_leakage(spark):
     )
     assert kept == [2, 3, 4]
 
-    plan = (
-        decontaminate_ngram(corpus, bench, n=5)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+    # Hint-free joins: AQE must still land broadcast for a tiny benchmark
+    # (runtime size), while a huge one may legally shuffle (ADVICE r4).
+    out = decontaminate_ngram(corpus, bench, n=5)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
 
 
@@ -291,3 +295,28 @@ def test_pagerank_triangle_and_star(spark):
             nxt[v] = (1 - d) / n + d * contrib
         py = nxt
     assert all(abs(got[v] - py[v]) < 1e-9 for v in (1, 2, 3)), (got, py)
+
+
+def test_minhash_simhash_max_bucket_skew_guard(spark):
+    """max_bucket drops every pair from oversized buckets (the LSH skew
+    guard): identical docs share all band/chunk buckets, so a guard
+    smaller than the group kills their pairs; an unbounded guard keeps
+    them. The oracled *_md5 query variants pass max_bucket=2**31 because
+    the brute-force oracles keep every in-bucket pair (ADVICE r4)."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    guarded = minhash_candidate_pairs(
+        docs, num_hashes=16, bands=8, shingle=5, max_bucket=2
+    )
+    assert guarded.count() == 0
+    unbounded = minhash_candidate_pairs(
+        docs, num_hashes=16, bands=8, shingle=5, max_bucket=2**31
+    )
+    assert unbounded.count() == 5 * 4 // 2
+
+    s_guarded = simhash_near_pairs(docs, max_hamming=3, max_bucket=2)
+    assert s_guarded.count() == 0
+    s_unbounded = simhash_near_pairs(docs, max_hamming=3, max_bucket=2**31)
+    assert s_unbounded.count() == 5 * 4 // 2

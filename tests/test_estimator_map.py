@@ -89,9 +89,9 @@ def test_reference_estimator_map_documents_all_eight_pairs():
     from scikit_learn_imputer_spark.estimators import REFERENCE_ESTIMATOR_MAP
 
     assert len(REFERENCE_ESTIMATOR_MAP) == 8
-    assert REFERENCE_ESTIMATOR_MAP["knn"]["classifier"] is not None
-    assert REFERENCE_ESTIMATOR_MAP["knn"]["regressor"] is not None
-    assert REFERENCE_ESTIMATOR_MAP["mlp"]["regressor"] is None
+    for pair, mapping in REFERENCE_ESTIMATOR_MAP.items():
+        assert mapping["classifier"] is not None, pair
+        assert mapping["regressor"] is not None, pair
 
 
 # ----------------------------------------------------------- KNN estimators
@@ -200,3 +200,54 @@ def test_imputer_e2e_with_knn_pair(spark):
         "Location IS NULL OR km2 IS NULL OR gdp_per_capita IS NULL"
     ).count()
     assert nulls == 0
+
+
+# ----------------------------------------------------------- MLP regressor
+def test_mlp_regressor_learns_linear_function(spark):
+    from pyspark.ml.feature import VectorAssembler
+    from scikit_learn_imputer_spark.estimators import MLPRegressor
+
+    rows = [(float(i), float(j), 2.0 * i - 3.0 * j + 1.0)
+            for i in range(6) for j in range(6)]
+    asm = VectorAssembler(inputCols=["x", "y"], outputCol="features")
+    tr = asm.transform(spark.createDataFrame(rows, ["x", "y", "label"]))
+    model = MLPRegressor(hidden_layer_sizes=(16,), max_iter=500, seed=7).fit(tr)
+    preds = model.transform(tr).select("label", "prediction").collect()
+    mse = sum((r["label"] - r["prediction"]) ** 2 for r in preds) / len(preds)
+    var = sum((r["label"] - 1.0 * 0) ** 2 for r in preds) / len(preds)
+    assert mse < 0.05 * var, f"MLP failed to fit a linear target: mse={mse}"
+
+
+def test_mlp_regressor_deterministic_given_seed(spark):
+    from pyspark.ml.feature import VectorAssembler
+    from scikit_learn_imputer_spark.estimators import MLPRegressor
+
+    rows = [(float(i), float(i % 3), float(i * i % 7)) for i in range(20)]
+    asm = VectorAssembler(inputCols=["x", "y"], outputCol="features")
+    tr = asm.transform(spark.createDataFrame(rows, ["x", "y", "label"]))
+    m1 = MLPRegressor(max_iter=50, seed=3).fit(tr)
+    m2 = MLPRegressor(max_iter=50, seed=3).fit(tr)
+    assert m1.getOrDefault(m1.weightsFlat) == m2.getOrDefault(m2.weightsFlat)
+
+
+def test_mlp_regressor_max_fit_rows_guard_and_persistence(spark, tmp_path):
+    from pyspark.ml.feature import VectorAssembler
+    from scikit_learn_imputer_spark.estimators import (
+        MLPRegressor,
+        MLPRegressorModel,
+    )
+
+    df = VectorAssembler(inputCols=["x"], outputCol="features").transform(
+        spark.range(10).selectExpr("cast(id as double) x",
+                                   "cast(id as double) label")
+    )
+    with pytest.raises(ValueError, match="maxFitRows"):
+        MLPRegressor(max_fit_rows=5).fit(df)
+
+    model = MLPRegressor(hidden_layer_sizes=(8,), max_iter=300, seed=1).fit(df)
+    path = str(tmp_path / "mlp")
+    model.write().overwrite().save(path)
+    loaded = MLPRegressorModel.load(path)
+    a = model.transform(df).select("prediction").collect()
+    b = loaded.transform(df).select("prediction").collect()
+    assert [r["prediction"] for r in a] == [r["prediction"] for r in b]

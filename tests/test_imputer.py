@@ -130,12 +130,13 @@ def _make_pair(name):
     from scikit_learn_imputer_spark.estimators import (
         DummyClassifier,
         DummyRegressor,
+        MLPRegressor,
     )
 
     return {
         # Reference tests.py:218-234 — all eight pairs, via the mapping in
-        # estimators.REFERENCE_ESTIMATOR_MAP (KNN / MLP-regressor are the
-        # documented-unsupported entries and have no pair here).
+        # estimators.REFERENCE_ESTIMATOR_MAP (the KNN pair is exercised by
+        # its own e2e test below).
         "dummy_most_frequent": lambda: (
             DummyClassifier(strategy="most_frequent"),
             DummyRegressor(strategy="mean"),
@@ -162,7 +163,9 @@ def _make_pair(name):
         ),
         "mlp": lambda: (
             MultilayerPerceptronClassifier(maxIter=40),  # layers auto-set
-            LinearRegression(maxIter=25),  # MLlib has no MLP regressor
+            # MLlib has no MLP regressor — the engine's own seeded-numpy
+            # MLP closes the reference matrix's 8th pair (tests.py:234).
+            MLPRegressor(hidden_layer_sizes=(16,), max_iter=200),
         ),
     }[name]()
 

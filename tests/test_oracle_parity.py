@@ -104,6 +104,31 @@ def test_oracle_result_types_portable(sf_smoke, name):
     )
 
 
+def test_every_query_oracled_or_anchored():
+    """Registry invariant (VERDICT r4 #6): every registered query has a
+    DuckDB oracle or names an in-repo anchor test, and every named anchor
+    resolves to a real test function — no driver-invisible queries, no
+    rotted anchor names."""
+    import os
+    import re
+
+    from scikit_learn_imputer_spark.plans.queries import ANCHORS
+
+    unanchored = set(QUERIES) - set(ORACLE) - set(ANCHORS)
+    assert not unanchored, sorted(unanchored)
+    assert not set(ANCHORS) & set(ORACLE), "anchor on an oracled query"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name, anchor in ANCHORS.items():
+        path, _, testname = anchor.partition("::")
+        full = os.path.join(repo, path)
+        assert os.path.exists(full), f"{name}: anchor file {path} missing"
+        src = open(full).read()
+        assert re.search(rf"^def {re.escape(testname)}\b", src, re.M), (
+            f"{name}: anchor test {anchor} not found"
+        )
+
+
 def _rows_equal(a, b) -> bool:
     if len(a) != len(b):
         return False

@@ -33,7 +33,11 @@ INTENDED_NON_EQUI = {
     "winsorize_acctbal",      # broadcast 1-row percentile frame
 }
 
-HEAVY_BUILD = {"spark_imputer_e2e"}  # fit() executes ML jobs at build time
+HEAVY_BUILD = {
+    "spark_imputer_e2e",    # fit() executes ML jobs at build time
+    "imputer_output_audit",  # wraps the e2e (same build-time fit; its own
+                             # agg adds the e2e's intended 1-row broadcasts)
+}
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - HEAVY_BUILD))
