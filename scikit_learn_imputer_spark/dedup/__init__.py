@@ -3,8 +3,18 @@ from scikit_learn_imputer_spark.dedup.ngram import char_ngrams, ngram_jaccard_pa
 from scikit_learn_imputer_spark.dedup.minhash import minhash_signatures, minhash_candidate_pairs
 from scikit_learn_imputer_spark.dedup.simhash import simhash_signatures, simhash_near_pairs
 from scikit_learn_imputer_spark.dedup.embedding import embedding_near_pairs
+from scikit_learn_imputer_spark.dedup.incremental import (
+    append_to_store,
+    build_fingerprint_store,
+    incremental_dedup,
+    incremental_dedup_and_commit,
+)
 
 __all__ = [
+    "append_to_store",
+    "build_fingerprint_store",
+    "incremental_dedup",
+    "incremental_dedup_and_commit",
     "exact_dedup",
     "exact_dup_groups",
     "char_ngrams",

@@ -1,0 +1,88 @@
+"""Incremental (cross-batch) deduplication against a persisted
+fingerprint store.
+
+A production crawl pipeline never re-deduplicates the whole corpus per
+ingest: it keeps a STORE of content fingerprints already accepted and, for
+each new batch, (1) collapses the batch to one row per distinct content
+(min-id survivor policy, same as ``exact.exact_dedup``), then (2)
+anti-joins the batch's fingerprints against the store, then (3) appends
+the accepted fingerprints back to the store. Build once, probe per batch.
+
+Scale design: the store is parquet of 32-char md5 digests only (32 bytes a
+row at 100 TB-corpus cardinality is a few TB — fine for a shuffle join,
+and AQE broadcasts the BATCH side instead when the batch is small, which
+is the common case: the store is the big side, the hourly ingest is the
+small side). Nothing in the probe ever shuffles document text — the batch
+reduces to (id, digest) before the join. The store append is an
+append-mode parquet write, no rewrite of history; duplicate digests across
+appends are harmless (the probe is a semi/anti join, set semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scikit_learn_imputer_spark.functions.text import fingerprint_col
+
+
+def build_fingerprint_store(
+    docs: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """Initialize the store: distinct fingerprints of everything already
+    in the corpus. Overwrites ``path``."""
+    (
+        docs.select(fingerprint_col(F.col(text_col)).alias("fingerprint"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rows of ``batch`` that survive dedup against BOTH the batch itself
+    (min-id per distinct content) and the persisted store.
+
+    Returns the surviving rows with their ``fingerprint`` attached (the
+    caller appends exactly these fingerprints via ``append_to_store`` —
+    one lineage, no recompute)."""
+    spark = batch.sparkSession
+    store = spark.read.parquet(store_path)
+    fp = batch.withColumn("__fp", fingerprint_col(F.col(text_col)))
+    # Within-batch survivor: min id per distinct content (deterministic).
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    survivors = fp.join(keep, on=[id_col, "__fp"], how="left_semi")
+    # Cross-batch: drop anything the store has already accepted.
+    return (
+        survivors.join(
+            store, survivors["__fp"] == store["fingerprint"], how="left_anti"
+        )
+        .withColumnRenamed("__fp", "fingerprint")
+    )
+
+
+def append_to_store(survivors: DataFrame, store_path: str) -> None:
+    """Append the accepted batch's fingerprints to the store (append-only;
+    no rewrite of history)."""
+    survivors.select("fingerprint").distinct().write.mode("append").parquet(
+        store_path
+    )
+
+
+def incremental_dedup_and_commit(
+    batch: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Probe + commit in one call. The survivors frame is the return
+    value; its fingerprints are already appended (materialized once via
+    the write, so returning it does not recompute the join)."""
+    survivors = incremental_dedup(batch, store_path, id_col, text_col)
+    append_to_store(survivors, store_path)
+    return survivors

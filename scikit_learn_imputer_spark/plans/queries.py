@@ -4303,3 +4303,106 @@ def q_q5_local_supplier_volume(spark, sf_dir):
             ).alias("revenue")
         )
     )
+
+
+# =====================================================================
+# Round-5 additions: int8-quantized ANN and incremental dedup
+# =====================================================================
+
+@register(
+    "cosine_topk_int8",
+    oracle="""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS s
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id,
+         list_transform(v, x -> CASE WHEN s > 0
+                                     THEN floor(x / s * 127.0 + 0.5)
+                                     ELSE 0.0 END) AS q
+  FROM base
+),
+qs AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 5),
+scored AS (
+  SELECT qs.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(qs.qq, c.q)
+           / (sqrt(list_dot_product(qs.qq, qs.qq))
+              * sqrt(list_dot_product(c.q, c.q))) AS qcos
+  FROM qz c, qs
+  WHERE c.vec_id != qs.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, qcos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qcos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(qcos, 6) AS qcosine, rank
+FROM ranked WHERE rank <= 10
+""",
+)
+def q_cosine_topk_int8(spark, sf_dir):
+    """Top-k ANN over int8-QUANTIZED embeddings (similarity/quantize.py):
+    per-vector symmetric scalar quantization (scale = max|x|/127,
+    round-half-up — identical arithmetic in both engines), integer dot
+    products accumulated in BIGINT, cosine from the codes directly (the
+    per-vector scale cancels). The storage/shuffle form of a 100 TB
+    vector corpus is 1 byte/dim (see ``pack_int8``); this query proves
+    the quantized scoring ranks correctly against a DuckDB oracle doing
+    the same quantization."""
+    from scikit_learn_imputer_spark.similarity.quantize import cosine_topk_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_int8(emb, queries, k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("qcosine"), 6).alias("qcosine"),
+        "rank",
+    )
+
+
+_FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+@register(
+    "incremental_dedup_batch",
+    oracle=f"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+store AS (SELECT DISTINCT {_FP_SQL} AS fingerprint FROM corpus),
+bfp AS (SELECT doc_id, {_FP_SQL} AS fingerprint FROM batch),
+keep AS (SELECT fingerprint, min(doc_id) AS doc_id FROM bfp GROUP BY fingerprint)
+SELECT k.doc_id, k.fingerprint
+FROM keep k
+WHERE k.fingerprint NOT IN (SELECT fingerprint FROM store)
+ORDER BY doc_id
+""",
+)
+def q_incremental_dedup_batch(spark, sf_dir):
+    """Cross-batch incremental dedup (dedup/incremental.py): the corpus
+    already ingested (doc_id % 5 != 0) is collapsed to a persisted
+    parquet fingerprint STORE; the incoming batch (doc_id % 5 == 0) is
+    deduplicated within itself (min-id survivor per distinct content)
+    and anti-joined against the store — the build-once / probe-per-batch
+    pattern a production crawl pipeline runs hourly. Only 32-char
+    digests ever shuffle; AQE broadcasts the small batch side against
+    the big store. The commit/re-probe invariant (a committed batch
+    probes to zero survivors) is anchored by
+    tests/test_dedup_similarity.py::test_incremental_dedup_commit_then_empty."""
+    import os
+
+    from scikit_learn_imputer_spark.dedup.incremental import (
+        build_fingerprint_store,
+        incremental_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    path = f"/tmp/sli_fp_store_{os.path.basename(sf_dir.rstrip('/'))}"
+    build_fingerprint_store(corpus, path)
+    out = incremental_dedup(batch, path)
+    return out.select("doc_id", "fingerprint").orderBy("doc_id")

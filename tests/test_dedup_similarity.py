@@ -320,3 +320,114 @@ def test_minhash_simhash_max_bucket_skew_guard(spark):
     assert s_guarded.count() == 0
     s_unbounded = simhash_near_pairs(docs, max_hamming=3, max_bucket=2**31)
     assert s_unbounded.count() == 5 * 4 // 2
+
+
+def test_incremental_dedup_commit_then_empty(spark, tmp_path):
+    """Probe-commit-reprobe invariant: a committed batch probes to zero
+    survivors, and a later batch dedups against BOTH the original store
+    and earlier commits."""
+    from scikit_learn_imputer_spark.dedup.incremental import (
+        build_fingerprint_store,
+        incremental_dedup,
+        incremental_dedup_and_commit,
+    )
+
+    store = str(tmp_path / "fpstore")
+    corpus = _docs(spark)  # docs 1-6 already ingested
+    build_fingerprint_store(corpus, store)
+
+    batch1 = spark.createDataFrame(
+        [
+            (7, "the quick brown fox jumps over the lazy dog again and again today"),  # dup of corpus doc 1
+            (8, "fresh batch-one document about incremental stores"),
+            (9, "fresh batch-one document about incremental stores"),  # in-batch dup of 8
+            (10, "another genuinely new document in batch one"),
+        ],
+        ["doc_id", "text"],
+    )
+    s1 = incremental_dedup_and_commit(batch1, store)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [8, 10]
+
+    # Re-probing the SAME batch after commit yields nothing new.
+    again = incremental_dedup(batch1, store)
+    assert again.count() == 0
+
+    # A later batch is deduped against corpus AND batch1's commit.
+    batch2 = spark.createDataFrame(
+        [
+            (11, "fresh batch-one document about incremental stores"),  # dup of committed 8
+            (12, "a batch-two only document"),
+        ],
+        ["doc_id", "text"],
+    )
+    s2 = incremental_dedup(batch2, store)
+    assert sorted(r["doc_id"] for r in s2.collect()) == [12]
+
+
+def test_int8_pack_unpack_roundtrip(spark):
+    """pack_int8/unpack_int8 are inverse, and the packed form really is
+    one byte per component."""
+    from scikit_learn_imputer_spark.similarity.quantize import (
+        pack_int8,
+        quantize_vec,
+        unpack_int8,
+    )
+
+    dim = 16
+    rows = [
+        (1, [0.3, -1.2, 0.0, 2.5] * 4),
+        (2, [-0.001, 127.0, -128.0, 1e-9] * 4),
+        (3, [0.0] * dim),  # zero vector -> all-zero codes
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = (
+        df.withColumn("codes", quantize_vec(F.col("embedding")))
+        .withColumn("packed", pack_int8(F.col("codes")))
+        .withColumn("unpacked", unpack_int8(F.col("packed"), dim))
+        .select("vec_id", "codes", "packed", "unpacked")
+        .collect()
+    )
+    for r in out:
+        assert r["unpacked"] == r["codes"], r["vec_id"]
+        assert len(r["packed"]) == dim  # 1 byte/dim, the storage claim
+        assert all(-128 <= c <= 127 for c in r["codes"])
+    zero = next(r for r in out if r["vec_id"] == 3)
+    assert zero["codes"] == [0] * dim
+
+
+def test_int8_topk_agrees_with_exact_on_separated_corpus(spark):
+    """On a corpus with clearly separated neighbors, int8-quantized
+    ranking reproduces the exact float top-k (quantization error ≪ the
+    cosine gaps)."""
+    import math
+
+    from scikit_learn_imputer_spark.similarity.quantize import cosine_topk_int8
+
+    dim = 32
+
+    def planar(theta):
+        # cosine(v0, v_theta) = cos(theta) exactly: gaps >= 0.03, far
+        # above the <1% int8 quantization error.
+        v = [0.0] * dim
+        v[0], v[1] = math.cos(theta), math.sin(theta)
+        return v
+
+    rows = [(i, planar(0.15 * i)) for i in range(8)]  # 0 is the query
+    # distractors orthogonal to the plane (cosine 0 to every planar vec)
+    for i in range(8, 30):
+        v = [0.0] * dim
+        v[2 + (i % 29)] = 1.0
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 0)
+
+    exact = [
+        r["neighbor_id"]
+        for r in cosine_topk(df, q, k=5).orderBy("rank").collect()
+    ]
+    quant = [
+        r["neighbor_id"]
+        for r in cosine_topk_int8(df, q, k=5).orderBy("rank").collect()
+    ]
+    assert exact == [1, 2, 3, 4, 5]
+    assert quant == exact
