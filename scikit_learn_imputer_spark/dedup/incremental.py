@@ -86,3 +86,43 @@ def incremental_dedup_and_commit(
     survivors = incremental_dedup(batch, store_path, id_col, text_col)
     append_to_store(survivors, store_path)
     return survivors
+
+
+def stream_dedup_ingest(
+    docs_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous ingest-with-dedup: each micro-batch is deduplicated
+    within itself AND against the persisted fingerprint store, survivors
+    land in ``out_path`` parquet, and their fingerprints commit to the
+    store — the streaming form of the hourly crawl-ingest pipeline.
+
+    ``foreachBatch`` is the right tool here (not a stateful operator):
+    the dedup state is the UNBOUNDED all-history fingerprint set, which
+    belongs in a persisted, join-able store — not in per-executor
+    streaming state that a watermark would have to bound. Exactly-once
+    note: foreachBatch can re-run a batch on failure; the survivor WRITE
+    is idempotent per batch only if re-run against the same store state,
+    so the store append happens AFTER the output write (worst case a
+    replayed batch's docs are dropped as dups — dedup is naturally
+    re-entrant: false-drop-free requires the store append to be atomic
+    with the output, which an ACID table format would provide)."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        survivors = incremental_dedup(batch, store_path, id_col, text_col)
+        survivors.persist()
+        try:
+            survivors.write.mode("append").parquet(out_path)
+            append_to_store(survivors, store_path)
+        finally:
+            survivors.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -4406,3 +4406,26 @@ def q_incremental_dedup_batch(spark, sf_dir):
     build_fingerprint_store(corpus, path)
     out = incremental_dedup(batch, path)
     return out.select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+@register("cosine_topk_int8_packed", oracle=ORACLE["cosine_topk_int8"])
+def q_cosine_topk_int8_packed(spark, sf_dir):
+    """The packed-binary twin of cosine_topk_int8 (same oracle — integer
+    dot products are exact, so the 1-byte/dim packed form ranks
+    bit-identically): corpus packed to dim-byte binaries, one
+    np.frombuffer reinterpret + one int32 matmul per Arrow batch,
+    local top-k before the only shuffle. This is the form and the
+    scoring loop a 100 TB vector corpus actually runs."""
+    from scikit_learn_imputer_spark.similarity.quantize import (
+        cosine_topk_int8_packed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_int8_packed(emb, queries, k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("qcosine"), 6).alias("qcosine"),
+        "rank",
+    )

@@ -109,6 +109,83 @@ def cosine_topk_int8(
     )
 
 
+def cosine_topk_int8_packed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Top-k quantized cosine over the PACKED 1-byte/dim form — the
+    throughput twin of ``cosine_topk_int8`` (bit-identical results:
+    integer dot products are exact, so packing changes nothing but the
+    bytes moved).
+
+    The corpus is packed to binary (dim bytes/vector — the size it would
+    be shuffled/persisted at on a 100 TB corpus), each Arrow batch is
+    decoded with ONE ``np.frombuffer`` reinterpret (no per-row work) and
+    scored with ONE int32 matmul against the broadcast query codes; the
+    shuffle feeding the global top-k carries at most
+    ``partitions x |Q| x k`` rows."""
+    import numpy as np
+
+    query_id_col = query_id_col or id_col
+    qrows = (
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            quantize_vec(F.col(vec_col)).alias("qq"),
+        )
+        .collect()
+    )
+    qids = np.array([r["qid"] for r in qrows], dtype="int64")
+    Q = np.array([r["qq"] for r in qrows], dtype="int32")
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((qids, Q))
+
+    packed = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        pack_int8(quantize_vec(F.col(vec_col))).alias("pv"),
+    )
+    schema = "query_id bigint, neighbor_id bigint, qcosine double"
+
+    def score(batches):
+        import pandas as pd
+
+        q_ids, q_mat = bq.value
+        qn = np.sqrt((q_mat.astype("int64") ** 2).sum(axis=1)).astype("float64")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["neighbor_id"].to_numpy(dtype="int64")
+            buf = np.frombuffer(b"".join(pdf["pv"]), dtype="uint8")
+            C = buf.reshape(len(ids), -1).astype("int32") - 128
+            dots = C @ q_mat.T  # exact int32 (|dot| <= 127^2 * dim)
+            cn = np.sqrt((C.astype("int64") ** 2).sum(axis=1)).astype("float64")
+            S = dots / (cn[:, None] * qn[None, :])
+            S[ids[:, None] == q_ids[None, :]] = -np.inf
+            kk = min(k, len(ids))
+            order = np.lexsort(
+                (ids[:, None].repeat(len(q_ids), 1), -S), axis=0
+            )[:kk]
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, kk),
+                    "neighbor_id": ids[order].T.ravel(),
+                    "qcosine": np.take_along_axis(S, order, axis=0).T.ravel(),
+                }
+            )
+            yield out[np.isfinite(out["qcosine"])]
+
+    candidates = packed.mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine").desc(), F.col("neighbor_id").asc()
+    )
+    return candidates.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def pack_int8(codes: Column) -> Column:
     """array<int> int8 codes -> binary, one byte per component.
 

@@ -284,3 +284,54 @@ def test_stream_to_partitioned_parquet_layout_and_restart(spark, sf_smoke, tmp_p
     q2 = stream_events_to_partitioned_parquet(spark, sf_smoke, out, cp)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_stream_dedup_ingest_dedups_across_batches(spark, tmp_path):
+    """Streaming ingest-with-dedup: micro-batches are deduped within
+    themselves and against the persisted store; survivors accumulate in
+    the output parquet, and a doc repeated in a LATER batch is dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scikit_learn_imputer_spark.dedup.incremental import (
+        build_fingerprint_store,
+        stream_dedup_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [(1, "alpha document"), (2, "beta document"), (3, "alpha document")],
+        [(4, "alpha  DOCUMENT"), (5, "gamma document")],  # 4 = normalized dup of 1
+        [(6, "beta document"), (7, "delta document")],  # 6 = dup of 2
+    ]
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+            }
+        )
+        pq.write_table(tbl, str(src / f"b{i}.parquet"))
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    # empty initial store
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    build_fingerprint_store(empty, store)
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    q = stream_dedup_ingest(stream, store, out, cp).start()
+    q.awaitTermination(120)
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    # maxFilesPerTrigger=1 keeps file order, so min-id survivors are
+    # deterministic: 1 (alpha), 2 (beta), 5 (gamma), 7 (delta).
+    assert kept == [1, 2, 5, 7]
