@@ -8,12 +8,12 @@ each new batch, (1) collapses the batch to one row per distinct content
 anti-joins the batch's fingerprints against the store, then (3) appends
 the accepted fingerprints back to the store. Build once, probe per batch.
 
-Scale design: the store is parquet of 32-char md5 digests only (32 bytes a
-row at 100 TB-corpus cardinality is a few TB — fine for a shuffle join,
-and AQE broadcasts the BATCH side instead when the batch is small, which
-is the common case: the store is the big side, the hourly ingest is the
-small side). Nothing in the probe ever shuffles document text — the batch
-reduces to (id, digest) before the join. The store append is an
+Scale design: the store is parquet of 32-char md5 digests only, and it is
+NEVER broadcast or shuffled — the probe streams the store through a semi
+join whose build side is the batch's distinct digests (bounded by
+micro-batch size), then anti-joins the batch against the resulting
+collision set (also batch-bounded). Nothing ever shuffles document text —
+the batch reduces to (id, digest) before any join. The store append is an
 append-mode parquet write, no rewrite of history; duplicate digests across
 appends are harmless (the probe is a semi/anti join, set semantics).
 """
@@ -57,10 +57,22 @@ def incremental_dedup(
     # Within-batch survivor: min id per distinct content (deterministic).
     keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     survivors = fp.join(keep, on=[id_col, "__fp"], how="left_semi")
-    # Cross-batch: drop anything the store has already accepted.
+    # Cross-batch: drop anything the store has already accepted. A naive
+    # ``survivors LEFT ANTI store`` puts the STORE on the build side (a
+    # left-anti join can only broadcast its right side) — wrong way round
+    # at scale, where the store dwarfs the batch. Instead probe the store
+    # with the batch's distinct digests via a semi join (store streamed,
+    # batch-digest side built/broadcast — bounded by micro-batch size),
+    # which yields a collision set no bigger than the batch; the final
+    # anti join's build side is that small set. The store is never
+    # broadcast and never shuffled, at any store size.
+    batch_fps = fp.select(F.col("__fp").alias("fingerprint")).distinct()
+    collisions = store.join(batch_fps, on="fingerprint", how="left_semi")
     return (
         survivors.join(
-            store, survivors["__fp"] == store["fingerprint"], how="left_anti"
+            collisions,
+            survivors["__fp"] == collisions["fingerprint"],
+            how="left_anti",
         )
         .withColumnRenamed("__fp", "fingerprint")
     )
