@@ -280,3 +280,81 @@ def test_uniform_hash_property_range_and_determinism(spark, keys):
         expected = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) / 2**32
         assert 0.0 <= got[k] < 1.0
         assert got[k] == expected
+
+
+vec_strategy = st.lists(
+    st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False).map(
+        lambda x: round(x, 4)
+    ),
+    min_size=2,
+    max_size=24,
+)
+
+
+@given(vec=vec_strategy)
+@SETTINGS
+def test_int8_quantize_pack_roundtrip_property(spark, vec):
+    """For arbitrary vectors: codes stay in [-128, 127], pack/unpack is
+    the identity, and the packed width is exactly dim bytes."""
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.similarity.quantize import (
+        pack_int8,
+        quantize_vec,
+        unpack_int8,
+    )
+
+    df = spark.createDataFrame([(1, vec)], ["vec_id", "embedding"])
+    r = (
+        df.select(
+            quantize_vec(F.col("embedding")).alias("codes"),
+        )
+        .withColumn("packed", pack_int8(F.col("codes")))
+        .withColumn("unpacked", unpack_int8(F.col("packed"), len(vec)))
+        .collect()[0]
+    )
+    assert all(-128 <= c <= 127 for c in r["codes"])
+    assert len(r["packed"]) == len(vec)
+    assert r["unpacked"] == r["codes"]
+    # max-magnitude component must hit ±127 exactly (scale definition),
+    # unless the vector is all zeros
+    if any(v != 0 for v in vec):
+        assert max(abs(c) for c in r["codes"]) == 127
+
+
+@given(
+    va=st.lists(st.floats(-100, 100, allow_nan=False).map(lambda x: round(x, 3)),
+                min_size=8, max_size=8),
+    vb=st.lists(st.floats(-100, 100, allow_nan=False).map(lambda x: round(x, 3)),
+                min_size=8, max_size=8),
+)
+@SETTINGS
+def test_int8_quantized_cosine_error_bound(spark, va, vb):
+    """Quantized cosine approximates exact cosine within the scalar-
+    quantization error envelope (loose bound ~2·√d/127 for d=8 ≈ 0.045;
+    assert 0.06 to absorb the half-ulp rounding of both vectors)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.similarity.quantize import (
+        quantize_vec,
+        quantized_cosine,
+    )
+
+    na = math.sqrt(sum(x * x for x in va))
+    nb = math.sqrt(sum(x * x for x in vb))
+    # skip degenerate/near-zero vectors: cosine is undefined at 0 and the
+    # RELATIVE quantization error is unbounded as |v| -> 0
+    if na < 1.0 or nb < 1.0:
+        return
+    exact = sum(x * y for x, y in zip(va, vb)) / (na * nb)
+
+    df = spark.createDataFrame([(va, vb)], ["a", "b"])
+    got = df.select(
+        quantized_cosine(
+            quantize_vec(F.col("a")), quantize_vec(F.col("b"))
+        ).alias("qc")
+    ).collect()[0]["qc"]
+    assert got is not None
+    assert abs(got - exact) < 0.06, (exact, got)
