@@ -23,10 +23,14 @@ def char_ngrams(
     df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, gram) — one row per DISTINCT character n-gram per document."""
+    # Guarded short-circuit: sequence(1, 0) DESCENDS in Spark instead of
+    # being empty, so a doc shorter than n grams must yield [] explicitly.
     grams = F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)),"
+            f"CASE WHEN length({text_col}) >= {n} THEN"
+            f" transform(sequence(1, length({text_col}) - {n - 1}),"
             f" i -> substring({text_col}, i, {n}))"
+            f" ELSE array() END"
         )
     )
     return df.select(

@@ -4429,3 +4429,122 @@ def q_cosine_topk_int8_packed(spark, sf_dir):
         F.round(F.col("qcosine"), 6).alias("qcosine"),
         "rank",
     )
+
+
+@register(
+    "pii_scrub",
+    oracle="""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com from 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+                   || ' card 4111 1111 1111 1111'
+              ELSE text END AS text
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(text, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ip,
+         len(regexp_extract_all(text, '\\b[0-9][0-9 -]{7,}[0-9]\\b')) AS n_longnum
+  FROM injected
+)
+SELECT doc_id,
+       CAST(n_email AS INT) AS n_email,
+       CAST(n_ip AS INT) AS n_ip,
+       CAST(n_longnum AS INT) AS n_longnum,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+             '\\b[0-9][0-9 -]{7,}[0-9]\\b', '<NUM>', 'g')) AS clean_md5
+FROM counted
+ORDER BY doc_id
+""",
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass (functions/pii.py): emails, IPv4s, and long
+    digit runs counted and replaced in one map-only projection — no
+    UDF, no shuffle, pipelines with the scan at any scale. The synthetic
+    corpus carries no organic PII, so the query deterministically
+    INJECTS a contact line into every 7th document (same expression in
+    the oracle) so the driver row exercises real redactions — counts on
+    the original text, md5 over the scrubbed text."""
+    from scikit_learn_imputer_spark.functions.pii import scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0.0."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(" card 4111 1111 1111 1111"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = scrub_pii(injected)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ip").cast("int").alias("n_ip"),
+        F.col("n_longnum").cast("int").alias("n_longnum"),
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "bigram_lm_quality",
+    oracle="""
+WITH bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(length(lower(text)) - 1, 0)),
+                               i -> substr(lower(text), CAST(i AS INT), 2))) AS bigram
+  FROM documents
+),
+counts AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+prefix AS (SELECT substr(bigram, 1, 1) AS prefix, sum(c) AS pc
+           FROM counts GROUP BY 1),
+vocab AS (SELECT count(DISTINCT substr(bigram, 2, 1)) AS v FROM counts),
+terms AS (
+  SELECT b.doc_id,
+         CAST(round(ln((c.c + 1)::DOUBLE / (p.pc + vocab.v)::DOUBLE) * 1e6)
+              AS BIGINT) AS m
+  FROM bg b
+  JOIN counts c USING (bigram)
+  JOIN prefix p ON p.prefix = substr(b.bigram, 1, 1)
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(m)::DOUBLE / count(*) / 1e6, 6) AS lm_score
+FROM terms
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def q_bigram_lm_quality(spark, sf_dir):
+    """In-plan LM quality filter (functions/lm.py): train char-bigram
+    counts over the corpus (map-side partials collapse to O(alphabet²)
+    per partition — the shuffle never grows with corpus size), broadcast
+    the count table back, score each document's mean add-one-smoothed
+    bigram log-prob. Per-term log-probs are snapped to integer
+    micro-nats BEFORE summation so the per-doc aggregate is exact
+    integer math — partitioning- and order-invariant, hence
+    oracle-stable. The low tail of lm_score is the filter's reject
+    set (the perplexity-filter dataflow at 100 TB)."""
+    from scikit_learn_imputer_spark.functions.lm import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    out = bigram_lm_scores(d)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("lm_score"), 6).alias("lm_score"),
+    ).orderBy("doc_id")

@@ -167,3 +167,52 @@ def test_quality_score_degenerate_docs_match_sql_twin(spark):
     for k in got:
         assert got[k] is not None, f"id {k}: Spark q_score is null"
         assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_pii_scrub_patterns(spark):
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.functions.pii import scrub_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@sub.example.co.uk today"),
+        (2, "server at 192.168.0.1 and 10.0.0.255 up"),
+        (3, "call 555-123-4567 or card 4111 1111 1111 1111"),
+        (4, "no pii here, just 42 and 3.14 and v1.2.3"),
+        (5, "a@b.io then 1.2.3.4 then 123456789"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+
+    assert got[1]["n_email"] == 1 and "<EMAIL>" in got[1]["clean_text"]
+    assert "jane" not in got[1]["clean_text"]
+    assert got[2]["n_ip"] == 2 and got[2]["clean_text"].count("<IP>") == 2
+    assert got[3]["n_longnum"] == 2  # phone + card both redact
+    assert "<NUM>" in got[3]["clean_text"]
+    # short quantities / versions / floats must NOT redact
+    assert got[4]["n_email"] == got[4]["n_ip"] == got[4]["n_longnum"] == 0
+    assert got[4]["clean_text"] == rows[3][1]
+    assert (got[5]["n_email"], got[5]["n_ip"], got[5]["n_longnum"]) == (1, 1, 1)
+
+
+def test_bigram_lm_scores_rank_garbage_below_prose(spark):
+    """Documents drawn from the corpus distribution must outscore
+    character noise; degenerate short docs are excluded (no bigrams)."""
+    from scikit_learn_imputer_spark.functions.lm import bigram_lm_scores
+
+    prose = [
+        "the quick brown fox jumps over the lazy dog",
+        "the lazy dog sleeps while the quick fox runs",
+        "a quick brown dog jumps over the lazy fox today",
+        "the brown fox and the lazy dog run over the hill",
+    ]
+    rows = [(i, t) for i, t in enumerate(prose)]
+    rows.append((90, "zqxj wvkp qzzx jvvw xkqz pjwv"))  # off-distribution noise
+    rows.append((91, "x"))  # 1 char -> no bigrams -> no row
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["lm_score"] for r in bigram_lm_scores(df).collect()}
+
+    assert 91 not in got
+    assert all(i in got for i in range(4)) and 90 in got
+    worst_prose = min(got[i] for i in range(4))
+    assert got[90] < worst_prose  # noise scores strictly lower
