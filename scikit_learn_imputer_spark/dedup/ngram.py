@@ -23,6 +23,11 @@ def char_ngrams(
     df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, gram) — one row per DISTINCT character n-gram per document."""
+    from scikit_learn_imputer_spark.functions.skew import fan_out
+
+    # Shingling is the CPU-bound fan-out stage: floor its parallelism
+    # when the upstream scan is a single small file (no-op at scale).
+    df = fan_out(df)
     # Guarded short-circuit: sequence(1, 0) DESCENDS in Spark instead of
     # being empty, so a doc shorter than n grams must yield [] explicitly.
     grams = F.array_distinct(

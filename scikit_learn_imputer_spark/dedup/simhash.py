@@ -34,7 +34,9 @@ def simhash_signatures(
     """(id, simhash BIGINT) per document. ``hasher='md5'`` gives the
     engine-portable (oracle-reproducible) signature."""
     from scikit_learn_imputer_spark.dedup.minhash import _md5_hash60
+    from scikit_learn_imputer_spark.functions.skew import fan_out
 
+    df = fan_out(df)  # parallelism floor for the token-hash fan-out
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("tok"),

@@ -29,32 +29,125 @@ from pyspark.sql import functions as F
 
 def _bigrams(text_col: str):
     """array of char bigrams of lower(text) — JVM higher-order exprs.
-    Short docs short-circuit to [] (Spark's sequence(1, 0) DESCENDS
-    rather than being empty — see functions/text.py:word_ngrams_col)."""
-    t = f"lower({text_col})"
-    return F.expr(
-        f"CASE WHEN length({t}) >= 2 THEN"
-        f" transform(sequence(1, length({t}) - 1),"
-        f" i -> substring({t}, i, 2))"
-        f" ELSE array() END"
+
+    Built as zip_with over two shifted slices of the char split: O(len)
+    per document. (A transform over sequence(1, len-1) with
+    substring(lower(text), i, 2) re-evaluates lower(text) per ELEMENT —
+    O(len²)/doc, ~4× the whole query's wall clock at bench SF — and
+    Spark's sequence(1, 0) DESCENDS rather than being empty, so short
+    docs must short-circuit to []. Same lessons as
+    functions/text.py:word_ngrams_col.)"""
+    chars = F.split(F.lower(F.col(text_col)), "")
+    k = F.greatest(F.size(chars) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(chars, 1, k),
+        F.slice(chars, 2, k),
+        lambda a, b: F.concat(a, b),
     )
+    return F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
 
 
 def char_bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(bigram, c) counts over the corpus, plus implied prefix totals:
     the TRAIN pass. O(alphabet²) output."""
+    from scikit_learn_imputer_spark.functions.skew import fan_out
+
     return (
-        docs.select(F.explode(_bigrams(text_col)).alias("bigram"))
+        fan_out(docs).select(F.explode(_bigrams(text_col)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
 
 
-def bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_map_entries: int = 65536,
+) -> DataFrame:
     """(id, n_bigrams, lm_score): mean add-one-smoothed bigram log-prob
     per document (higher = more typical of the corpus; filter the low
-    tail). Documents with < 2 chars score NULL."""
+    tail). Documents with < 2 chars produce no row (no bigrams).
+
+    Two scoring paths, chosen by observed alphabet size:
+
+    - LITERAL-MAP (alphabet² ≤ ``max_map_entries``, the realistic case):
+      the count table is collected (it is O(alphabet²) — bounded
+      regardless of corpus size, the same justified tiny-collect as IVF
+      centroids) and embedded as literal maps, so the score pass is a
+      PURE PROJECTION over each doc's bigram array — zero joins, zero
+      shuffles, pipelines with the scan.
+    - JOIN (exotic alphabets): explode + broadcast-join the count table,
+      integer micro-nat sum per doc — one doc-keyed shuffle.
+
+    Both paths produce identical results (integer micro-nat snapping
+    before the sum makes the aggregate exact and order-invariant)."""
+    import math
+
     counts = char_bigram_counts(docs, text_col)
+    rows = counts.limit(max_map_entries + 1).collect()
+    if len(rows) <= max_map_entries:
+        c = {r["bigram"]: r["c"] for r in rows}
+        if not c:
+            return docs.sparkSession.createDataFrame(
+                [], f"{id_col} bigint, n_bigrams bigint, lm_score double"
+            )
+        pc: dict[str, int] = {}
+        for bg, n in c.items():
+            pc[bg[0]] = pc.get(bg[0], 0) + n
+        v = len({bg[1] for bg in c})
+        micro = {
+            bg: int(round(math.log((n + 1) / (pc[bg[0]] + v)) * 1e6))
+            for bg, n in c.items()
+        }
+        bgmap = F.create_map(
+            *[x for bg, m in sorted(micro.items()) for x in (F.lit(bg), F.lit(m))]
+        )
+        pmap = F.create_map(
+            *[x for p, n in sorted(pc.items()) for x in (F.lit(p), F.lit(n))]
+        )
+        bg = _bigrams(text_col)
+        # unseen bigram (scoring docs outside the train corpus): c=0, so
+        # ln(1 / (prefix_total + V)) — same formula the join path yields.
+        unseen = lambda g: F.round(
+            F.log(
+                1.0
+                / (
+                    F.coalesce(
+                        F.element_at(pmap, F.substring(g, 1, 1)), F.lit(0)
+                    )
+                    + F.lit(v)
+                ).cast("double")
+            )
+            * 1e6
+        ).cast("bigint")
+        terms = F.transform(
+            bg, lambda g: F.coalesce(F.element_at(bgmap, g), unseen(g))
+        )
+        sm = F.aggregate(
+            terms, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        )
+        n_bg = F.size(bg).cast("bigint")
+        from scikit_learn_imputer_spark.functions.skew import fan_out
+
+        return (
+            fan_out(docs).select(
+                F.col(id_col),
+                n_bg.alias("n_bigrams"),
+                (sm.cast("double") / n_bg / 1e6).alias("lm_score"),
+            )
+            .filter(F.col("n_bigrams") > 0)
+        )
+    return _bigram_lm_scores_join(docs, counts, id_col, text_col)
+
+
+def _bigram_lm_scores_join(
+    docs: DataFrame,
+    counts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Broadcast-join scoring path (see ``bigram_lm_scores``)."""
     prefix = counts.withColumn(
         "prefix", F.substring("bigram", 1, 1)
     ).groupBy("prefix").agg(F.sum("c").alias("pc"))
@@ -62,7 +155,9 @@ def bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         F.countDistinct(F.substring("bigram", 2, 1)).alias("v")
     )
 
-    terms = docs.select(
+    from scikit_learn_imputer_spark.functions.skew import fan_out
+
+    terms = fan_out(docs).select(
         F.col(id_col), F.explode(_bigrams(text_col)).alias("bigram")
     )
     joined = (

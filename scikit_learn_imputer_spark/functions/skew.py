@@ -49,3 +49,23 @@ def salted_agg(
             for out, (col, fn) in aggs.items()
         ]
     )
+
+
+def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Parallelism floor for CPU-bound fan-out stages (n-gram/shingle
+    explodes, per-char hashing, signature computation).
+
+    A small parquet file scans as ONE partition, which serializes every
+    downstream per-row expansion on a single core even on a 32-core
+    box — the local-mode analogue of reading a few unsplittable files.
+    When the upstream partition count is well below cluster parallelism,
+    round-robin repartition up to ``defaultParallelism × multiplier``;
+    otherwise NO-OP (at 100 TB a corpus scan already has thousands of
+    partitions, so this never inserts a shuffle there). The shuffle it
+    does insert moves the raw input rows — by contract the cheap side of
+    a fan-out stage (documents before shingling, not shingles)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() * 4 <= target:
+        return df.repartition(target)
+    return df

@@ -107,11 +107,14 @@ def fingerprint_col(text: Column) -> Column:
 
 
 def rolling_hash_expr(text_col_name: str, mod: int = 1_000_000_007, base: int = 31) -> Column:
-    """Polynomial rolling hash h = Σ base^i·code(c_i) mod m, via
-    ``aggregate(sequence(...), ...)`` — JVM higher-order function, no UDF."""
+    """Polynomial rolling hash h = Σ base^i·code(c_i) mod m — JVM
+    higher-order function, no UDF. Folds over ``split(text, '')`` so each
+    character is visited once: ``substring(text, i, 1)`` per sequence
+    element is an O(i) UTF-8 seek, i.e. O(len²) per document (~2× the
+    query's wall clock at bench SF). Empty text hashes to 0 either way."""
     return F.expr(
-        f"aggregate(sequence(1, length({text_col_name})), 0L, "
-        f"(acc, i) -> (acc * {base} + ascii(substring({text_col_name}, i, 1))) % {mod})"
+        f"aggregate(split({text_col_name}, ''), 0L, "
+        f"(acc, c) -> (acc * {base} + ascii(c)) % {mod})"
     )
 
 

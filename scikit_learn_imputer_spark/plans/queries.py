@@ -604,8 +604,11 @@ FROM documents
 )
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 canonical digest + polynomial rolling
-    hash, both JVM-side expressions."""
-    d = _t(spark, sf_dir, "documents")
+    hash, both JVM-side expressions. fan_out floors the parallelism of
+    the per-char fold when the scan is one small file (no-op at scale)."""
+    from scikit_learn_imputer_spark.functions.skew import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         fingerprint_col(F.col("text")).alias("fingerprint"),

@@ -40,6 +40,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         # Quiet the UI for test runs; harmless on a cluster.
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
+        # local[n] runs executors inside the driver JVM; the env knob
+        # raises its heap for memory-hungry ad-hoc work (e.g. unguarded
+        # quadratic pair joins at high SF, which hit GCLocker stalls at
+        # 1g). The DEFAULT stays at Spark's 1g: a full-suite A/B on this
+        # box measured 154s (1g) vs 201s (24g) — the big heap lets G1
+        # accumulate garbage across 32 threads and the collections
+        # thrash cache, a pure loss for the small-working-set bench. On
+        # a real cluster per-executor memory is sized to the partition
+        # working set instead. Only takes effect at JVM launch.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "1g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
