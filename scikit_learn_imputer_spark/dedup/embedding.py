@@ -46,7 +46,12 @@ def embedding_near_pairs(
 
     Norms are computed ONCE per vector before the pair join (O(n·d)), not
     per pair (O(n²·d)); the division keeps the identical float sequence
-    dot/(‖a‖·‖b‖) so results stay bit-equal to the naive form."""
+    dot/(‖a‖·‖b‖) so results stay bit-equal to the naive form. fan_out
+    floors the STREAMED side's parallelism: a single-file corpus scan
+    would otherwise evaluate all O(n²) dot products on one core."""
+    from scikit_learn_imputer_spark.functions.skew import fan_out
+
+    df = fan_out(df)
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).cast("array<double>").alias("va"),

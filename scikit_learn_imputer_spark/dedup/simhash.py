@@ -41,7 +41,15 @@ def simhash_signatures(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("tok"),
     )
-    h = (_fast_hash if hasher == "fast" else _md5_hash60)(F.col("tok"), 0)
+    # Materialize the token hash as a CONCRETE column before aggregating:
+    # referencing the hash EXPRESSION from all 60 bit sums would inline
+    # it into each one — 60 md5s per token instead of 1 (measured ~5x
+    # the whole signature pass at bench SF).
+    toks = toks.select(
+        id_col,
+        (_fast_hash if hasher == "fast" else _md5_hash60)(F.col("tok"), 0).alias("__h"),
+    )
+    h = F.col("__h")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -78,7 +86,12 @@ def simhash_near_pairs(
     """(id_a, id_b, hamming) pairs with Hamming distance ≤ max_hamming
     (must be < CHUNKS for the pigeonhole guarantee to be exact).
     ``hasher='md5'`` makes the result oracle-reproducible."""
-    sigs = simhash_signatures(df, id_col, text_col, hasher=hasher)
+    # The signature frame feeds CHUNKS union branches, the bucket-size
+    # guard, and both sides of the pair join — without a persist each
+    # consumer recomputes (and re-codegens) the 60-term signature
+    # aggregate. One row per doc (MEMORY_AND_DISK, spills at scale).
+    sigs = simhash_signatures(df, id_col, text_col, hasher=hasher).persist()
+    sigs.count()
     chunk_frames = []
     for c in range(CHUNKS):
         chunk = F.shiftright(F.col("simhash"), c * CHUNK_BITS).bitwiseAND(
