@@ -102,7 +102,13 @@ def minhash_candidate_pairs(
     pure function of the signatures, so candidates are too)."""
     k = num_hashes
     rows_per_band = k // bands
-    sigs = minhash_signatures(df, k, shingle, id_col, text_col, hasher=hasher)
+    # One row per doc; feeds `bands` union branches, the skew guard, and
+    # both pair-join sides — persist so the shingle+minhash aggregate
+    # runs (and codegens) once, not once per consumer.
+    sigs = minhash_signatures(
+        df, k, shingle, id_col, text_col, hasher=hasher
+    ).persist()
+    sigs.count()
 
     # Band key = md5 of the concatenated band slice.
     band_frames = []
