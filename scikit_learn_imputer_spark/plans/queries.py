@@ -4551,3 +4551,50 @@ def q_bigram_lm_quality(spark, sf_dir):
         "n_bigrams",
         F.round(F.col("lm_score"), 6).alias("lm_score"),
     ).orderBy("doc_id")
+
+
+@register(
+    "sorted_layout_scan",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-06-01' AND l_shipdate < DATE '1995-07-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_sorted_layout_scan(spark, sf_dir):
+    """Row-group skipping via sort-ordered layout (sources/layout.py):
+    lineitem is rewritten range-sorted by l_shipdate (repartitionByRange
+    → non-overlapping per-FILE date ranges, footer min/max prunes whole
+    files; sortWithinPartitions → row groups subdivide each file's
+    range). A one-month predicate then reads ~1/84 of the files instead
+    of all of them — the file-granularity complement to directory-level
+    partition pruning, and the layout a 100 TB fact table should be
+    written in. Values are layout-independent (same oracle as a plain
+    scan); the SKIPPING is asserted by
+    tests/test_sinks_sampling.py::test_sorted_layout_prunes_files."""
+    import os
+
+    from scikit_learn_imputer_spark.sources.layout import read_layout, write_sorted
+
+    li = _t(spark, sf_dir, "lineitem")
+    path = f"/tmp/sli_sorted_lineitem_{os.path.basename(sf_dir.rstrip('/'))}"
+    write_sorted(li, path, "l_shipdate", num_files=16)
+    back = read_layout(spark, path)
+    return (
+        back.filter(
+            (F.col("l_shipdate") >= "1995-06-01")
+            & (F.col("l_shipdate") < "1995-07-01")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

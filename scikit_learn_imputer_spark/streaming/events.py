@@ -193,3 +193,25 @@ def purchase_error_pairs(
         "e_ts",
         "purchase_value",
     )
+
+
+def enrich_stream_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on_stream: str = "user_id",
+    on_dim: str = "c_custkey",
+    dim_cols: tuple[str, ...] = ("c_mktsegment", "c_nationkey"),
+) -> DataFrame:
+    """Stream-STATIC enrichment join: attach dimension attributes to a
+    stream (the standard fact-enrichment pattern).
+
+    The static side needs no watermark and holds no state — Spark
+    re-plans it per micro-batch (so a dim table refreshed on disk is
+    picked up batch-over-batch) and broadcasts it when small, which is
+    the common case for dims. Left join keeps stream rows whose key has
+    no dim match (late-arriving dimension members) rather than dropping
+    events."""
+    from pyspark.sql import functions as F
+
+    d = dim.select(F.col(on_dim).alias(on_stream), *dim_cols)
+    return events.join(d, on=on_stream, how="left")

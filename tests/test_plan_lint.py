@@ -18,6 +18,7 @@ from scikit_learn_imputer_spark.plans.queries import QUERIES
 # sub-quadratic scale paths exist separately.
 INTENDED_NON_EQUI = {
     "cosine_topk",            # broadcast |Q|=5 query vectors
+    "cosine_topk_int8",       # same broadcast |Q|=5, quantized codes
     "q22_idle_rich_customers",  # broadcast 1-row scalar threshold
     "minmax_scale",           # broadcast 1-row global min/max frame
     "create_features",        # ditto (scaling stage)

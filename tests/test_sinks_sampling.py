@@ -152,3 +152,59 @@ def test_jsonl_roundtrip(spark, sf_smoke):
         assert a == b
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_sorted_layout_prunes_files(spark, sf_smoke, tmp_path):
+    """The range-sorted layout really skips: per-file parquet footer
+    min/max ranges are non-overlapping, and only a small subset of files
+    intersects a narrow predicate range."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from scikit_learn_imputer_spark.sources.layout import read_layout, write_sorted
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    path = str(tmp_path / "sorted_li")
+    write_sorted(li, path, "l_shipdate", num_files=8)
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) > 4  # the layout actually split
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_shipdate"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    # non-overlapping per-file ranges (range partitioning): sort by min,
+    # each file's max <= next file's min
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+
+    # a one-month window intersects only a few files
+    import datetime as dt
+
+    def _d(x):
+        return x.date() if isinstance(x, dt.datetime) else x
+
+    lo, hi = dt.date(1995, 6, 1), dt.date(1995, 7, 1)
+    touched = sum(1 for (mn, mx) in ranges if _d(mx) >= lo and _d(mn) < hi)
+    assert touched <= max(1, len(files) // 3)
+
+    # and the predicate is pushed to the scan
+    back = read_layout(spark, path).filter("l_shipdate >= '1995-06-01'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan

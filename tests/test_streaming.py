@@ -335,3 +335,53 @@ def test_stream_dedup_ingest_dedups_across_batches(spark, tmp_path):
     # maxFilesPerTrigger=1 keeps file order, so min-id survivors are
     # deterministic: 1 (alpha), 2 (beta), 5 (gamma), 7 (delta).
     assert kept == [1, 2, 5, 7]
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_smoke):
+    """Stream-static join: streaming enrichment produces exactly the
+    batch join's result — dim attributes attached, unmatched stream keys
+    kept with nulls."""
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.sources.tables import load_table
+    from scikit_learn_imputer_spark.streaming.events import (
+        enrich_stream_with_dim,
+        stream_events_from_parquet,
+    )
+
+    dim = load_table(spark, sf_smoke, "customer")
+    stream = stream_events_from_parquet(spark, sf_smoke)
+    enriched = enrich_stream_with_dim(stream, dim)
+    # countDistinct is unsupported on streams; max(user_id) is a cheap
+    # deterministic stand-in that still exercises the joined key.
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("user_id").alias("max_user"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("enriched_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["c_mktsegment"]: (r["n"], r["max_user"])
+            for r in spark.table("enriched_counts").collect()
+        }
+    finally:
+        q.stop()
+
+    ev = load_table(spark, sf_smoke, "events")
+    want = {
+        r["c_mktsegment"]: (r["n"], r["max_user"])
+        for r in enrich_stream_with_dim(ev, dim)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("user_id").alias("max_user"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) >= 2
