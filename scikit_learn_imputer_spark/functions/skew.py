@@ -64,6 +64,10 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     partitions, so this never inserts a shuffle there). The shuffle it
     does insert moves the raw input rows — by contract the cheap side of
     a fan-out stage (documents before shingling, not shingles)."""
+    if df.isStreaming:
+        # Streaming plans have no static partition count to inspect;
+        # micro-batch parallelism is the source's concern.
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * multiplier
     if df.rdd.getNumPartitions() * 4 <= target:

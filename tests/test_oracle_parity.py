@@ -157,3 +157,42 @@ def test_all_queries_return_rows(spark, sf_smoke):
         n = df.count()
         if name not in may_be_empty:
             assert n > 0, f"{name} returned 0 rows"
+
+
+#: Queries with external state (temp paths, persisted indexes/stores),
+#: seeded randomness, or caching — the ones a re-run could plausibly
+#: change. The driver may execute the registry any number of times in
+#: one session; results must be bit-stable.
+RERUN_SENSITIVE = [
+    "csv_roundtrip",
+    "orc_roundtrip",
+    "sorted_layout_scan",
+    "incremental_dedup_batch",
+    "split_modulo",
+    "quality_weighted_sample",
+    "stratified_sample",
+    "cosine_topk_lsh",
+    "near_pairs_lsh",
+    "minhash_candidates",
+    "simhash_near_pairs_md5",
+    "ann_ivf_topk",
+    "ann_ivf_persisted_topk",
+    "group_split",
+]
+
+
+@pytest.mark.parametrize("name", RERUN_SENSITIVE)
+def test_rerun_is_deterministic(spark, sf_smoke, name):
+    from scikit_learn_imputer_spark.plans.queries import QUERIES
+
+    def snap():
+        df = QUERIES[name](spark, sf_smoke)
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(str(r[c]) for c in cols) for r in df.collect()
+        )
+
+    first = snap()
+    second = snap()
+    assert first == second, f"{name}: results changed across re-runs"
+    assert len(first) > 0, f"{name}: vacuous (0 rows)"
