@@ -4598,3 +4598,50 @@ def q_sorted_layout_scan(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+SELECT coalesce(r_name, '<all>') AS region,
+       coalesce(o_orderpriority, '<all>') AS priority,
+       CAST(grouping(r_name) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+       round(sum(o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name), (o_orderpriority))
+ORDER BY region, priority, gid
+""",
+)
+def q_grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form of rollup/cube, §2.10):
+    three simultaneous aggregation granularities in ONE pass over the
+    joined fact — Spark expands the sets map-side (each input row feeds
+    every set), so the shuffle is one aggregate exchange, not one per
+    granularity. grouping() disambiguates a real NULL key from a
+    rolled-up one — the coalesce to '<all>' is only safe because of it."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    joined.createOrReplaceTempView("__gs_joined")
+    return spark.sql(
+        """
+        SELECT coalesce(r_name, '<all>') AS region,
+               coalesce(o_orderpriority, '<all>') AS priority,
+               CAST(grouping(r_name) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM __gs_joined
+        GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name), (o_orderpriority))
+        ORDER BY region, priority, gid
+        """
+    )
