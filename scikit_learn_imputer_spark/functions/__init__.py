@@ -9,6 +9,9 @@ from scikit_learn_imputer_spark.functions.text import (
     lang_id_col,
     fingerprint_col,
 )
+from scikit_learn_imputer_spark.functions.pii import scrub_pii, scrub_pii_col
+from scikit_learn_imputer_spark.functions.lm import bigram_lm_scores, char_bigram_counts
+from scikit_learn_imputer_spark.functions.skew import fan_out, salted_agg
 
 __all__ = [
     "entropy_by_column",
@@ -18,4 +21,10 @@ __all__ = [
     "quality_features",
     "lang_id_col",
     "fingerprint_col",
+    "scrub_pii",
+    "scrub_pii_col",
+    "bigram_lm_scores",
+    "char_bigram_counts",
+    "fan_out",
+    "salted_agg",
 ]
