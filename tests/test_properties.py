@@ -358,3 +358,41 @@ def test_int8_quantized_cosine_error_bound(spark, va, vb):
     ).collect()[0]["qc"]
     assert got is not None
     assert abs(got - exact) < 0.06, (exact, got)
+
+
+@given(
+    texts=st.lists(
+        st.sampled_from(["alpha doc", "beta doc", "gamma doc", "delta doc", "epsilon doc"]),
+        min_size=3,
+        max_size=12,
+    ),
+    split1=st.integers(min_value=1, max_value=11),
+)
+@SETTINGS
+def test_incremental_dedup_equals_global_dedup(spark, tmp_path_factory, texts, split1):
+    """Sequential incremental dedup over any batch split must keep
+    exactly the same survivor set as one global exact dedup, when doc
+    ids increase across batches (min-id survivor policy composes)."""
+    from scikit_learn_imputer_spark.dedup.exact import exact_dedup
+    from scikit_learn_imputer_spark.dedup.incremental import (
+        build_fingerprint_store,
+        incremental_dedup_and_commit,
+    )
+
+    split1 = min(split1, len(texts) - 1)
+    rows = [(i, t) for i, t in enumerate(texts)]
+    all_docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = sorted(r["doc_id"] for r in exact_dedup(all_docs).collect())
+
+    store = str(tmp_path_factory.mktemp("fp") / "store")
+    build_fingerprint_store(
+        spark.createDataFrame([], "doc_id bigint, text string"), store
+    )
+    got = []
+    for batch_rows in (rows[:split1], rows[split1:]):
+        if not batch_rows:
+            continue
+        batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+        s = incremental_dedup_and_commit(batch, store)
+        got += [r["doc_id"] for r in s.collect()]
+    assert sorted(got) == want
