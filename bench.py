@@ -160,6 +160,27 @@ def main() -> None:
         )
         t0 = time.time()
         warm.write.format("noop").mode("overwrite").save()
+        # Also touch the MLlib-fit and dynamic-partitioned-write code
+        # paths: their first-use JIT/codegen otherwise lands on whichever
+        # entry alphabetically first exercises them (ann_ivf_build was
+        # carrying ~4-5s of it). Tiny inputs — the warm-up measures
+        # nothing, it only compiles.
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        tiny = (
+            load_table(spark, sf_dir, "embeddings")
+            .limit(64)
+            .select("vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("__vec"))
+        )
+        KMeans(k=2, seed=1, featuresCol="__vec", maxIter=1, initMode="random").fit(tiny)
+        (
+            load_table(spark, sf_dir, "nation")
+            .withColumn("cell", F.col("n_regionkey"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet("/tmp/sli_bench_warm_pwrite")
+        )
         print(f"bench: warmup {round(time.time() - t0, 3)}s (unrecorded)", file=sys.stderr)
     except Exception as exc:
         print(f"bench: warmup FAILED: {exc}", file=sys.stderr)
