@@ -4645,3 +4645,41 @@ def q_grouping_sets_revenue(spark, sf_dir):
         ORDER BY region, priority, gid
         """
     )
+
+
+@register(
+    "media_frame_sample",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           0, CAST(greatest(length(text) // 32, 1) AS INT) - 1, 2)) AS fno
+  FROM documents
+)
+SELECT doc_id,
+       CAST(fno AS INT) AS frame_no,
+       md5(substr(text, CAST(fno * 32 + 1 AS INT), 32)) AS frame_md5
+FROM f
+ORDER BY doc_id, frame_no
+""",
+)
+def q_media_frame_sample(spark, sf_dir):
+    """Video-style frame sampling over binary payloads
+    (sources/multimodal.py:sample_frames): every 2nd fixed-width frame
+    per media item, one output row per frame — the row-multiplying
+    generator shape of a real ffmpeg-backed sampler, Arrow batch in /
+    many rows out. Payloads are the documents' utf-8 bytes (pure-ASCII
+    corpus, so the DuckDB oracle reproduces each frame with substr and
+    hashes it identically)."""
+    from scikit_learn_imputer_spark.sources.multimodal import (
+        media_from_documents,
+        sample_frames,
+    )
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    frames = sample_frames(media, frame_bytes=32, every_nth=2)
+    return frames.select(
+        F.col("media_id").alias("doc_id"),
+        "frame_no",
+        F.md5(F.col("frame")).alias("frame_md5"),
+    ).orderBy("doc_id", "frame_no")
