@@ -4683,3 +4683,95 @@ def q_media_frame_sample(spark, sf_dir):
         "frame_no",
         F.md5(F.col("frame")).alias("frame_md5"),
     ).orderBy("doc_id", "frame_no")
+
+
+_PII_CLEAN_SQL = """regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+      '\\b[0-9][0-9 -]{7,}[0-9]\\b', '<NUM>', 'g')"""
+
+@register(
+    "corpus_preprocess_pipeline",
+    oracle=f"""
+WITH clean AS (
+  SELECT doc_id, {_PII_CLEAN_SQL} AS text FROM documents
+),
+gated AS (
+  SELECT doc_id, text FROM clean
+  WHERE ({_QSCORE_SQL}) >= 0.5 AND ({_NTOK_SQL}) >= 20
+),
+keepers AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         min(doc_id) AS doc_id
+  FROM gated GROUP BY fp
+),
+deduped AS (
+  SELECT g.doc_id, g.text FROM gated g
+  JOIN keepers k ON k.doc_id = g.doc_id
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(length(lower(text)) - 1, 0)),
+                               i -> substr(lower(text), CAST(i AS INT), 2))) AS bigram
+  FROM deduped
+),
+counts AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+prefix AS (SELECT substr(bigram, 1, 1) AS prefix, sum(c) AS pc FROM counts GROUP BY 1),
+vocab AS (SELECT count(DISTINCT substr(bigram, 2, 1)) AS v FROM counts),
+terms AS (
+  SELECT b.doc_id,
+         CAST(round(ln((c.c + 1)::DOUBLE / (p.pc + vocab.v)::DOUBLE) * 1e6) AS BIGINT) AS m
+  FROM bg b
+  JOIN counts c USING (bigram)
+  JOIN prefix p ON p.prefix = substr(b.bigram, 1, 1)
+  CROSS JOIN vocab
+),
+lm AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         sum(m)::DOUBLE / count(*) / 1e6 AS lm_score
+  FROM terms GROUP BY doc_id
+),
+thr AS (SELECT quantile_cont(lm_score, 0.25) AS t FROM lm)
+SELECT doc_id, n_bigrams, round(lm_score, 6) AS lm_score
+FROM lm, thr
+WHERE lm_score >= t
+ORDER BY doc_id
+""",
+)
+def q_corpus_preprocess_pipeline(spark, sf_dir):
+    """The composed round-5 preprocessing pipeline as ONE lazy plan —
+    what an LLM data run executes per crawl snapshot: PII scrub (map
+    projection) → quality gate (map filter, pipelined with the scan) →
+    exact dedup (digest semi-join; only 32-byte hashes shuffle) →
+    bigram-LM scoring trained ON the surviving corpus (in-plan join
+    path — no driver collect anywhere in this query) → drop the bottom
+    lm-score quartile via a self-calibrating 1-row broadcast threshold
+    (non-vacuous at every SF by construction). Spark `percentile` ≡
+    DuckDB `quantile_cont`; per-term micro-nat integer sums keep the LM
+    aggregate order-invariant, so the whole five-stage composite is
+    oracle-checkable end to end."""
+    from scikit_learn_imputer_spark.dedup.exact import exact_dedup
+    from scikit_learn_imputer_spark.functions.lm import (
+        _bigram_lm_scores_join,
+        char_bigram_counts,
+    )
+    from scikit_learn_imputer_spark.functions.pii import scrub_pii_col
+    from scikit_learn_imputer_spark.functions.text import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    clean = d.select("doc_id", scrub_pii_col(F.col("text")).alias("text"))
+    scored = quality_features(clean)
+    gated = scored.filter(
+        (F.col("q_score") >= 0.5) & (F.col("q_tokens") >= 20)
+    ).select("doc_id", "text")
+    deduped = exact_dedup(gated)
+    lm = _bigram_lm_scores_join(deduped, char_bigram_counts(deduped))
+    thr = lm.agg(F.percentile("lm_score", F.lit(0.25)).alias("t"))
+    kept = lm.crossJoin(F.broadcast(thr)).filter(
+        F.col("lm_score") >= F.col("t")
+    )
+    return kept.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("lm_score"), 6).alias("lm_score"),
+    ).orderBy("doc_id")
