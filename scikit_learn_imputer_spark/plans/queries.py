@@ -4764,7 +4764,12 @@ def q_corpus_preprocess_pipeline(spark, sf_dir):
     gated = scored.filter(
         (F.col("q_score") >= 0.5) & (F.col("q_tokens") >= 20)
     ).select("doc_id", "text")
-    deduped = exact_dedup(gated)
+    # The deduped survivor set is the pipeline's natural materialization
+    # point (every production run persists post-dedup): four downstream
+    # subplans traverse it (bigram counts, prefix totals, vocab, scoring
+    # terms) — without it each re-runs scan→scrub→gate→dedup. At 100 TB
+    # this persist is a parquet checkpoint, not an in-memory cache.
+    deduped = exact_dedup(gated).persist()
     lm = _bigram_lm_scores_join(deduped, char_bigram_counts(deduped))
     thr = lm.agg(F.percentile("lm_score", F.lit(0.25)).alias("t"))
     kept = lm.crossJoin(F.broadcast(thr)).filter(

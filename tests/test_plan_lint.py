@@ -32,6 +32,7 @@ INTENDED_NON_EQUI = {
     "zscore_scale",           # broadcast 1-row mean/sd frame
     "fuzzy_name_pairs",       # broadcast 25-row dim self-pair join
     "winsorize_acctbal",      # broadcast 1-row percentile frame
+    "corpus_preprocess_pipeline",  # broadcast 1-row lm-score threshold
 }
 
 HEAVY_BUILD = {
