@@ -1,3 +1,8 @@
+from scikit_learn_imputer_spark.dedup.bloom import (
+    bloom_bitmap,
+    bloom_hit_col,
+    decontaminate_bloom,
+)
 from scikit_learn_imputer_spark.dedup.exact import exact_dedup, exact_dup_groups
 from scikit_learn_imputer_spark.dedup.ngram import char_ngrams, ngram_jaccard_pairs
 from scikit_learn_imputer_spark.dedup.minhash import minhash_signatures, minhash_candidate_pairs
@@ -11,6 +16,9 @@ from scikit_learn_imputer_spark.dedup.incremental import (
 )
 
 __all__ = [
+    "bloom_bitmap",
+    "bloom_hit_col",
+    "decontaminate_bloom",
     "append_to_store",
     "build_fingerprint_store",
     "incremental_dedup",

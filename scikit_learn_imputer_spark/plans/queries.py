@@ -1316,6 +1316,44 @@ def q_user_sessions(spark, sf_dir):
 
 
 @register(
+    "user_sessions_native",
+    oracle="""
+WITH lagged AS (
+  SELECT user_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+),
+numbered AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_num
+  FROM flagged
+)
+SELECT user_id, session_num,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_num
+""",
+)
+def q_user_sessions_native(spark, sf_dir):
+    """Gap-based sessionization via Spark's BUILT-IN session_window
+    (streaming/sessions.py:sessionize_native) — one incrementally-merged
+    groupBy instead of a per-user sort window, and the same call works
+    on a watermarked stream. The +1µs duration aligns the half-open
+    window boundary with the lag form's strict-greater gap test, so the
+    SAME oracle as user_sessions checks it."""
+    from scikit_learn_imputer_spark.streaming.sessions import sessionize_native
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return sessionize_native(ev, gap_minutes=30)
+
+
+@register(
     "label_encode",
     oracle="""
 WITH codes AS (
@@ -3790,6 +3828,37 @@ def q_decontaminate_corpus(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     clean = decontaminate(docs, bench)
+    return clean.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    ).orderBy("doc_id")
+
+
+@register(
+    "decontaminate_bloom_corpus",
+    oracle="""
+WITH bench AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id % 17 = 3
+)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+WHERE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN
+      (SELECT fp FROM bench)
+ORDER BY doc_id
+""",
+)
+def q_decontaminate_bloom_corpus(spark, sf_dir):
+    """Bloom-prefiltered decontamination (dedup/bloom.py): the m-bit
+    bitmap (m/8 bytes regardless of benchmark size) is built distributed
+    and broadcast as a 1-row frame; the corpus probe is map-only, and
+    only Bloom-positive candidates reach the exact confirming anti join.
+    No false negatives, so the output EQUALS the exact path's — same
+    oracle form as decontaminate_corpus, different eval slice."""
+    from scikit_learn_imputer_spark.dedup.bloom import decontaminate_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 3)
+    clean = decontaminate_bloom(docs, bench)
     return clean.select(
         "doc_id", F.length("text").cast("bigint").alias("n_chars")
     ).orderBy("doc_id")

@@ -60,6 +60,45 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def sessionize_native(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Spark-native session windows (``F.session_window``) with the SAME
+    output shape and gap semantics as ``sessionize_batch``.
+
+    Semantics note: session_window merges an event into the open session
+    while ``ts < prev_ts + gap_duration`` (the window is half-open), so a
+    pair exactly ``gap`` apart would SPLIT where the lag-based form (and
+    the DuckDB oracle, ``gap_us > gap``) keeps them together. Passing the
+    duration as ``gap*60e6 + 1 microseconds`` aligns the boundary:
+    diff <= gap merges, diff > gap splits — identical to the batch form.
+
+    Why it exists next to ``sessionize_batch``: the lag form needs a full
+    per-user sort window; this form is ONE groupBy whose state Spark
+    merges incrementally, and the SAME call works unchanged on a
+    streaming DataFrame (add ``withWatermark`` upstream) — the built-in
+    alternative to the applyInPandasWithState operator below.
+
+    ``session_num`` is assigned per user in session-start order by a
+    second window over the O(sessions) aggregate — partitioned by user,
+    never a single-partition sort."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    agg = events.groupBy(
+        "user_id",
+        F.session_window("ts", f"{gap_us + 1} microseconds").alias("__w"),
+    ).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return agg.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("session_num"),
+        "session_start",
+        "session_end",
+        "n_events",
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_minutes: int = 30,

@@ -431,3 +431,70 @@ def test_int8_topk_agrees_with_exact_on_separated_corpus(spark):
     ]
     assert exact == [1, 2, 3, 4, 5]
     assert quant == exact
+
+
+def test_bloom_decontaminate_equals_exact(spark, sf_smoke):
+    """The Bloom prefilter path must return EXACTLY the exact anti-join
+    result (no false negatives by construction; false positives removed
+    by the confirm join) — including with a deliberately tiny bitmap
+    that forces heavy false-positive traffic through the confirm join."""
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.dedup.bloom import decontaminate_bloom
+    from scikit_learn_imputer_spark.dedup.exact import decontaminate
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 17 == 3)
+    exact = sorted(
+        r["doc_id"] for r in decontaminate(docs, bench).select("doc_id").collect()
+    )
+    via_bloom = sorted(
+        r["doc_id"]
+        for r in decontaminate_bloom(docs, bench).select("doc_id").collect()
+    )
+    assert via_bloom == exact
+    # 64-bit bitmap with 2 probes: nearly every doc is a false positive;
+    # the confirm join must still produce the identical set.
+    saturated = sorted(
+        r["doc_id"]
+        for r in decontaminate_bloom(docs, bench, m_bits=64, k=2)
+        .select("doc_id")
+        .collect()
+    )
+    assert saturated == exact
+
+
+def test_bloom_no_false_negatives_and_bitmap_shape(spark):
+    """Every digest the bitmap was built from must probe positive, and
+    the bitmap is a dense array of m/64 bigint words built in-plan."""
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.dedup.bloom import (
+        BLOOM_COL,
+        bloom_bitmap,
+        bloom_hit_col,
+    )
+
+    m, k = 1 << 12, 5
+    digests = spark.range(200).select(F.md5(F.col("id").cast("string")).alias("fp"))
+    bm = bloom_bitmap(digests, "fp", m_bits=m, k=k)
+    [row] = bm.collect()
+    words = row[BLOOM_COL]
+    assert len(words) == m // 64 and all(isinstance(w, int) for w in words)
+    assert any(w != 0 for w in words)
+    probed = digests.crossJoin(F.broadcast(bm)).select(
+        bloom_hit_col(F.col("fp"), F.col(BLOOM_COL), m, k).alias("hit")
+    )
+    assert probed.filter(~F.col("hit")).count() == 0
+
+
+def test_bloom_bitmap_validates_params(spark):
+    import pytest as _pytest
+
+    from scikit_learn_imputer_spark.dedup.bloom import bloom_bitmap
+
+    digests = spark.range(1).selectExpr("md5(string(id)) AS fp")
+    with _pytest.raises(ValueError):
+        bloom_bitmap(digests, "fp", m_bits=100)
+    with _pytest.raises(ValueError):
+        bloom_bitmap(digests, "fp", m_bits=64, k=0)

@@ -33,6 +33,7 @@ INTENDED_NON_EQUI = {
     "fuzzy_name_pairs",       # broadcast 25-row dim self-pair join
     "winsorize_acctbal",      # broadcast 1-row percentile frame
     "corpus_preprocess_pipeline",  # broadcast 1-row lm-score threshold
+    "decontaminate_bloom_corpus",  # broadcast 1-row bloom-bitmap frame
 }
 
 HEAVY_BUILD = {

@@ -213,3 +213,35 @@ def test_sessionize_stream_tws_matches_batch_closed_sessions(spark, sf_smoke):
         assert batch[key] == val, f"session {key}: {val} != {batch[key]}"
     closed_expected = {k for k in batch if k[1] < last_per_user[k[0]]}
     assert closed_expected <= set(got)
+
+
+def test_sessionize_native_equals_batch_including_exact_gap(spark, sf_smoke):
+    """session_window form must reproduce the lag form row-for-row —
+    including the half-open boundary: a pair EXACTLY gap apart stays one
+    session (the +1µs duration alignment), gap+1s splits."""
+    import datetime
+
+    from scikit_learn_imputer_spark.sources.tables import load_table
+    from scikit_learn_imputer_spark.streaming.sessions import sessionize_native
+
+    ev = load_table(spark, sf_smoke, "events").select("user_id", "ts")
+    batch = sorted(map(tuple, sessionize_batch(ev, 30).collect()))
+    native = sorted(map(tuple, sessionize_native(ev, 30).collect()))
+    assert native == batch
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0),
+        (1, t0 + datetime.timedelta(minutes=30)),           # == gap: merge
+        (1, t0 + datetime.timedelta(minutes=60, seconds=1)),  # > gap: split
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (r["user_id"], r["session_num"]): r["n_events"]
+        for r in sessionize_native(df, 30).collect()
+    }
+    assert got == {(1, 1): 2, (1, 2): 1}
+    assert got == {
+        (r["user_id"], r["session_num"]): r["n_events"]
+        for r in sessionize_batch(df, 30).collect()
+    }
