@@ -7,6 +7,10 @@ from scikit_learn_imputer_spark.dedup.exact import exact_dedup, exact_dup_groups
 from scikit_learn_imputer_spark.dedup.ngram import char_ngrams, ngram_jaccard_pairs
 from scikit_learn_imputer_spark.dedup.minhash import minhash_signatures, minhash_candidate_pairs
 from scikit_learn_imputer_spark.dedup.simhash import simhash_signatures, simhash_near_pairs
+from scikit_learn_imputer_spark.dedup.spans import (
+    boilerplate_grams,
+    remove_boilerplate_spans,
+)
 from scikit_learn_imputer_spark.dedup.embedding import embedding_near_pairs
 from scikit_learn_imputer_spark.dedup.incremental import (
     append_to_store,
@@ -31,5 +35,7 @@ __all__ = [
     "minhash_candidate_pairs",
     "simhash_signatures",
     "simhash_near_pairs",
+    "boilerplate_grams",
+    "remove_boilerplate_spans",
     "embedding_near_pairs",
 ]

@@ -821,6 +821,71 @@ def q_token_budget_sample(spark, sf_dir):
 
 
 @register(
+    "chunk_documents",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE str_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks, CAST(u.s AS BIGINT) AS start
+  FROM t, LATERAL unnest(generate_series(0, greatest(len(toks) - 16 - 1, 0), 48)) AS u(s)
+  WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(start // 48 AS BIGINT) AS chunk_id,
+       start AS chunk_start,
+       CAST(len(toks[start + 1 : start + 64]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
+FROM s
+""",
+)
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window document chunking (operators/chunking.py): 64-token
+    chunks with 16-token overlap. Map-only — the explode multiplies rows
+    but nothing shuffles, so the operator scales with the scan."""
+    from scikit_learn_imputer_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=64, overlap=16
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum_prev // 512 AS BIGINT) AS seq_id,
+       CAST(cum_prev % 512 AS BIGINT) AS seq_offset,
+       (cum_prev % 512 + n_tokens > 512) AS straddles
+FROM c
+""",
+)
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-cut sequence packing (operators/chunking.py):
+    per-source deterministic order, cut every 512 tokens; each document
+    learns its (seq_id, offset, straddles) location. One shuffle on the
+    shard key, then a per-shard streaming window — the token_budget_sample
+    shape, never a global single-partition window."""
+    from scikit_learn_imputer_spark.operators.chunking import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+
+
+@register(
     "quality_weighted_sample",
     oracle=f"""
 WITH q AS (
@@ -3862,6 +3927,59 @@ def q_decontaminate_bloom_corpus(spark, sf_dir):
     return clean.select(
         "doc_id", F.length("text").cast("bigint").alias("n_chars")
     ).orderBy("doc_id")
+
+
+@register(
+    "remove_boilerplate",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE str_split_regex(trim(text), '\s+') END AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, CAST(s.i AS INT) AS start,
+         array_to_string(tk[s.i + 1 : s.i + 3], ' ') AS g
+  FROM toks, LATERAL unnest(generate_series(0, len(tk) - 3, 1)) AS s(i)
+  WHERE len(tk) >= 3
+), bad AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 5
+), cov AS (
+  SELECT DISTINCT grams.doc_id, grams.start FROM grams JOIN bad USING (g)
+), tokpos AS (
+  SELECT doc_id, CAST(p.i AS INT) AS i, tk[p.i + 1] AS tok
+  FROM toks, LATERAL unnest(generate_series(0, len(tk) - 1, 1)) AS p(i)
+  WHERE len(tk) > 0
+), kept AS (
+  SELECT t.doc_id, t.i, t.tok
+  FROM tokpos t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov c
+    WHERE c.doc_id = t.doc_id AND c.start <= t.i AND t.i < c.start + 3
+  )
+)
+SELECT toks.doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens_before,
+       CAST(coalesce(k.cnt, 0) AS BIGINT) AS n_tokens_after,
+       coalesce(k.txt, '') AS scrubbed_text
+FROM toks
+LEFT JOIN (
+  SELECT doc_id, count(*) AS cnt, string_agg(tok, ' ' ORDER BY i) AS txt
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+""",
+)
+def q_remove_boilerplate(spark, sf_dir):
+    """Cross-document boilerplate span removal (dedup/spans.py): word
+    3-grams appearing in >= 5 distinct documents are deleted from every
+    document, keeping the surrounding text — the RefinedWeb/C4-style
+    span-level cleaning stage. Two digest-keyed shuffles; text never
+    shuffles; the per-doc covered-start state is O(doc length)."""
+    from scikit_learn_imputer_spark.dedup.spans import remove_boilerplate_spans
+
+    return remove_boilerplate_spans(
+        _t(spark, sf_dir, "documents"), n=3, min_df=5
+    )
 
 
 @register(

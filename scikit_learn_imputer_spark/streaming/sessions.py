@@ -73,9 +73,10 @@ def sessionize_native(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     Why it exists next to ``sessionize_batch``: the lag form needs a full
     per-user sort window; this form is ONE groupBy whose state Spark
-    merges incrementally, and the SAME call works unchanged on a
-    streaming DataFrame (add ``withWatermark`` upstream) — the built-in
-    alternative to the applyInPandasWithState operator below.
+    merges incrementally. The session_window AGGREGATE also runs on a
+    streaming DataFrame — use ``sessionize_native_stream`` for that
+    (the ``session_num`` row_number here is a non-time window function,
+    which Structured Streaming rejects).
 
     ``session_num`` is assigned per user in session-start order by a
     second window over the O(sessions) aggregate — partitioned by user,
@@ -96,6 +97,34 @@ def sessionize_native(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         "session_start",
         "session_end",
         "n_events",
+    )
+
+
+def sessionize_native_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming form of ``sessionize_native``: the SAME session_window
+    groupBy on a watermarked stream. Append mode emits a session once the
+    watermark passes its window end (last event + gap), so state is
+    time-bounded — one open window per (user, session). Emits
+    ``(user_id, session_start, session_end, n_events)``; session
+    NUMBERING is a batch concern (non-time window functions are not
+    allowed in streaming) — join against history downstream if needed."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_us + 1} microseconds").alias("__w"),
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
     )
 
 

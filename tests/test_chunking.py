@@ -1,0 +1,89 @@
+"""Chunking/packing operator semantics (operators/chunking.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scikit_learn_imputer_spark.operators.chunking import (
+    chunk_documents,
+    pack_sequences,
+)
+
+
+def test_chunk_documents_window_grid_and_edges(spark):
+    words = " ".join(str(i) for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [
+            (1, words),            # 10 tokens, chunk 8 / overlap 4 -> starts 0, 4
+            (2, "a b c"),          # shorter than one chunk -> one chunk
+            (3, ""),               # empty -> no chunks
+            (4, "   "),            # whitespace-only -> no chunks
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, chunk_size=8, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sorted(by_doc) == [1, 2]
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    # starts = 0, 4 (start 8 would add no new tokens beyond doc 10's tail
+    # minus overlap and is excluded by the n-overlap-1 bound)
+    assert [(r["chunk_id"], r["chunk_start"], r["n_chunk_tokens"]) for r in c1] == [
+        (0, 0, 8),
+        (1, 4, 6),
+    ]
+    assert c1[0]["chunk_text"] == " ".join(str(i) for i in range(8))
+    assert c1[1]["chunk_text"] == " ".join(str(i) for i in range(4, 10))
+    [c2] = by_doc[2]
+    assert (c2["chunk_id"], c2["chunk_start"], c2["n_chunk_tokens"]) == (0, 0, 3)
+    # every token of every doc is covered by at least one chunk
+    assert set(c1[0]["chunk_text"].split() + c1[1]["chunk_text"].split()) == set(
+        words.split()
+    )
+
+
+def test_chunk_documents_validates_params(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=8, overlap=8)
+
+
+def test_pack_sequences_offsets_cuts_and_straddles(spark):
+    def doc(i, n, src="web"):
+        return (i, src, " ".join("t" * 1 for _ in range(n)))
+
+    df = spark.createDataFrame(
+        [doc(1, 6), doc(2, 3), doc(3, 5), (4, "web", ""), doc(10, 9, "code")],
+        ["doc_id", "source", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, seq_len=8, shard_col="source").collect()
+    }
+    # web shard stream: doc1 tokens 0-5, doc2 6-8 (straddles the cut at 8),
+    # doc4 empty at 9, doc3 9-13
+    assert (out[1]["seq_id"], out[1]["seq_offset"], out[1]["straddles"]) == (0, 0, False)
+    assert (out[2]["seq_id"], out[2]["seq_offset"], out[2]["straddles"]) == (0, 6, True)
+    assert (out[3]["seq_id"], out[3]["seq_offset"], out[3]["straddles"]) == (1, 1, False)
+    assert out[4]["n_tokens"] == 0 and out[4]["straddles"] is False
+    # shards pack independently
+    assert (out[10]["seq_id"], out[10]["seq_offset"], out[10]["straddles"]) == (
+        0, 0, True,
+    )
+    # conservation: per shard, cum of n_tokens equals last doc's offset math
+    web_total = sum(out[i]["n_tokens"] for i in (1, 2, 3, 4))
+    assert web_total == 14
+
+
+def test_pack_sequences_window_is_shard_partitioned(spark, sf_smoke):
+    """Scale guard: the running sum must partition by the shard key —
+    no SinglePartition window over the whole corpus."""
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    df = pack_sequences(docs, seq_len=512)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan

@@ -498,3 +498,60 @@ def test_bloom_bitmap_validates_params(spark):
         bloom_bitmap(digests, "fp", m_bits=100)
     with _pytest.raises(ValueError):
         bloom_bitmap(digests, "fp", m_bits=64, k=0)
+
+
+def test_remove_boilerplate_spans_semantics(spark):
+    """A 3-gram shared by >= min_df docs is scrubbed EVERYWHERE it
+    occurs (any position); unique content, short docs, and empty docs
+    pass through; a doc that is pure boilerplate scrubs to empty."""
+    from scikit_learn_imputer_spark.dedup.spans import remove_boilerplate_spans
+
+    rows = [
+        (1, "alpha beta gamma unique one two three"),
+        (2, "alpha beta gamma different tail words here"),
+        (3, "prefix bit alpha beta gamma suffix bit"),  # mid-doc occurrence
+        (4, "totally fresh content nothing shared at all"),
+        (5, "alpha beta gamma"),  # pure boilerplate
+        (6, ""),
+        (7, "short doc"),  # < n tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_spans(df, n=3, min_df=3).collect()
+    }
+    assert out[1]["scrubbed_text"] == "unique one two three"
+    assert out[2]["scrubbed_text"] == "different tail words here"
+    assert out[3]["scrubbed_text"] == "prefix bit suffix bit"
+    assert out[4]["scrubbed_text"] == "totally fresh content nothing shared at all"
+    assert (out[5]["n_tokens_before"], out[5]["n_tokens_after"]) == (3, 0)
+    assert out[5]["scrubbed_text"] == ""
+    assert (out[6]["n_tokens_before"], out[6]["scrubbed_text"]) == (0, "")
+    assert out[7]["scrubbed_text"] == "short doc"
+    # token accounting holds everywhere
+    for r in out.values():
+        assert r["n_tokens_after"] == (
+            len(r["scrubbed_text"].split()) if r["scrubbed_text"] else 0
+        )
+
+
+def test_remove_boilerplate_overlapping_spans_union(spark):
+    """Overlapping occurrences of different boilerplate grams scrub the
+    UNION of their covered positions (no double-count, no gaps)."""
+    from scikit_learn_imputer_spark.dedup.spans import remove_boilerplate_spans
+
+    # "a b c" and "b c d" both hit min_df=2; doc 1 contains "a b c d"
+    # whose positions 0-3 are covered by the union of the two spans.
+    rows = [
+        (1, "x a b c d y"),
+        (2, "a b c tail"),
+        (3, "head b c d"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["scrubbed_text"]
+        for r in remove_boilerplate_spans(df, n=3, min_df=2).collect()
+    }
+    assert out[1] == "x y"
+    assert out[2] == "tail"
+    assert out[3] == "head"

@@ -245,3 +245,42 @@ def test_sessionize_native_equals_batch_including_exact_gap(spark, sf_smoke):
         (r["user_id"], r["session_num"]): r["n_events"]
         for r in sessionize_batch(df, 30).collect()
     }
+
+
+def test_sessionize_native_stream_matches_batch(spark, sf_smoke):
+    """The built-in session_window aggregate on a watermarked stream must
+    emit sessions identical to the batch form (keyed by user + start);
+    append mode may hold back tail sessions the watermark hasn't passed."""
+    from scikit_learn_imputer_spark.streaming.events import (
+        stream_events_from_parquet,
+    )
+    from scikit_learn_imputer_spark.streaming.sessions import (
+        sessionize_native_stream,
+    )
+
+    batch_events = load_table(spark, sf_smoke, "events").select("user_id", "ts")
+    batch = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in sessionize_batch(batch_events, gap_minutes=30).collect()
+    }
+
+    stream = stream_events_from_parquet(spark, sf_smoke).select("user_id", "ts")
+    q = (
+        sessionize_native_stream(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("native_sess")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+            for r in spark.table("native_sess").collect()
+        }
+    finally:
+        q.stop()
+
+    assert len(got) > 0
+    for key, val in got.items():
+        assert batch[key] == val, f"session {key}: {val} != {batch[key]}"
