@@ -7,7 +7,9 @@ Both are pure column-expression operators (no UDF, no collect):
   (the RAG/long-doc-training split). MAP-ONLY: tokens, window starts,
   and slices are all per-row expressions; the explode multiplies rows
   ~n/step times but never shuffles, so the operator scales with the
-  scan. The start grid is ``0, step, 2*step, … <= max(n-overlap-1, 0)``
+  scan. (The registry's ``doc_chunks_udtf`` is the Python-UDTF twin of
+  the non-overlapping case — use that API shape when the per-row
+  expansion needs real Python; this expression path is the fast one.) The start grid is ``0, step, 2*step, … <= max(n-overlap-1, 0)``
   (``step = chunk_size - overlap``): every chunk after the first
   contributes at least one new token, the final chunk may be short, and
   empty documents produce no chunks.

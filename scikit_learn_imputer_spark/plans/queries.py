@@ -67,6 +67,10 @@ def register(name: str, oracle: str | None = None, anchor: str | None = None):
         raise ValueError(
             f"query {name!r} needs an oracle or a named anchor test"
         )
+    if name in QUERIES:
+        # A silent dict overwrite would leave the earlier registration
+        # dead while its tests keep passing against the later one.
+        raise ValueError(f"query {name!r} is already registered")
 
     def deco(fn):
         QUERIES[name] = fn
@@ -1381,7 +1385,7 @@ def q_user_sessions(spark, sf_dir):
 
 
 @register(
-    "user_sessions_native",
+    "user_sessions_numbered_native",
     oracle="""
 WITH lagged AS (
   SELECT user_id, ts,
@@ -1405,13 +1409,14 @@ SELECT user_id, session_num,
 FROM numbered GROUP BY user_id, session_num
 """,
 )
-def q_user_sessions_native(spark, sf_dir):
-    """Gap-based sessionization via Spark's BUILT-IN session_window
-    (streaming/sessions.py:sessionize_native) — one incrementally-merged
-    groupBy instead of a per-user sort window, and the same call works
-    on a watermarked stream. The +1µs duration aligns the half-open
-    window boundary with the lag form's strict-greater gap test, so the
-    SAME oracle as user_sessions checks it."""
+def q_user_sessions_numbered_native(spark, sf_dir):
+    """Gap sessionization via session_window WITH per-user session
+    numbers (streaming/sessions.py:sessionize_native) — distinct from
+    `user_sessions_native` (the bare aggregate, gap>=30 split) in two
+    ways: a +1µs duration aligns the half-open window boundary with the
+    lag form's strict-greater gap test, so output is row-identical to
+    `user_sessions` and shares its oracle; and session_num is assigned
+    by a user-partitioned window over the O(sessions) aggregate."""
     from scikit_learn_imputer_spark.streaming.sessions import sessionize_native
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")

@@ -196,3 +196,17 @@ def test_rerun_is_deterministic(spark, sf_smoke, name):
     second = snap()
     assert first == second, f"{name}: results changed across re-runs"
     assert len(first) > 0, f"{name}: vacuous (0 rows)"
+
+
+def test_register_rejects_duplicate_query_names():
+    """A silent dict overwrite leaves the earlier registration dead while
+    its tests keep passing against the later one (the round-5
+    user_sessions_native shadowing bug) — duplicates must raise."""
+    import pytest as _pytest
+
+    from scikit_learn_imputer_spark.plans.queries import QUERIES, register
+
+    before = dict(QUERIES)
+    with _pytest.raises(ValueError, match="already registered"):
+        register("missing_metrics", oracle="SELECT 1")
+    assert QUERIES == before
