@@ -4972,3 +4972,60 @@ def q_corpus_preprocess_pipeline(spark, sf_dir):
         "n_bigrams",
         F.round(F.col("lm_score"), 6).alias("lm_score"),
     ).orderBy("doc_id")
+
+
+@register(
+    "corpus_to_sequences_pipeline",
+    oracle=r"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\s+')) END AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+bench AS (SELECT DISTINCT f FROM fp WHERE doc_id % 20 = 0),
+clean AS (SELECT * FROM fp WHERE f NOT IN (SELECT f FROM bench)),
+gated AS (SELECT * FROM clean WHERE n_tokens >= 10),
+dedup AS (
+  SELECT * FROM gated
+  WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY f)
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM dedup
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum_prev // 512 AS BIGINT) AS seq_id,
+       CAST(cum_prev % 512 AS BIGINT) AS seq_offset,
+       (cum_prev % 512 + n_tokens > 512) AS straddles
+FROM c
+""",
+)
+def q_corpus_to_sequences_pipeline(spark, sf_dir):
+    """The corpus→training-run composite, ONE lazy collect-free plan:
+    decontaminate (digest anti join vs the doc_id%20 eval slice) →
+    token-count gate (>=10) → exact dedup (min-id survivor per
+    normalized fingerprint) → per-shard concat-and-cut packing
+    (operators/chunking.py:pack_sequences, 512-token sequences).
+
+    Shuffle census at 100 TB: the anti join broadcasts the eval digests
+    (AQE, runtime-sized), so the corpus crosses the wire exactly TWICE —
+    once on the dedup fingerprint, once on the shard key for the packing
+    window — and every shuffle row carries (id, digest/counts), never
+    document text. The packed (seq_id, offset) output is what a trainer
+    shards on."""
+    from scikit_learn_imputer_spark.dedup.exact import decontaminate, exact_dedup
+    from scikit_learn_imputer_spark.functions.text import token_count_col
+    from scikit_learn_imputer_spark.operators.chunking import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    clean = decontaminate(d, bench)
+    gated = clean.filter(token_count_col(F.col("text")) >= 10)
+    deduped = exact_dedup(gated)
+    return pack_sequences(deduped, seq_len=512)
