@@ -5029,3 +5029,35 @@ def q_corpus_to_sequences_pipeline(spark, sf_dir):
     gated = clean.filter(token_count_col(F.col("text")) >= 10)
     deduped = exact_dedup(gated)
     return pack_sequences(deduped, seq_len=512)
+
+
+@register(
+    "cosine_topk_pq",
+    anchor="tests/test_pq.py::test_pq_rerank_recall_floor_and_improvement",
+)
+def q_cosine_topk_pq(spark, sf_dir):
+    """Product-quantization ANN (similarity/pq.py): seeded per-subspace
+    KMeans codebooks trained on a corpus sample (FAISS practice), m-byte
+    codes, ADC shortlist scored from per-query lookup tables, exact
+    cosine re-rank of the |Q| x shortlist survivors. Rows-only
+    (approximate + KMeans, not SQL-expressible); recall floor and the
+    lossless-reconstruction exactness property are pinned by
+    tests/test_pq.py. Registered so the PQ path's throughput is
+    bench-visible beside brute/LSH/IVF/int8."""
+    from scikit_learn_imputer_spark.similarity.pq import (
+        encode_pq,
+        pq_topk_rerank,
+        train_pq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = train_pq(emb.sample(0.2, seed=7), dim=64, m=4, k=16, max_iter=8)
+    enc = encode_pq(emb, cb)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = pq_topk_rerank(enc, emb, queries, cb, k=10, shortlist=50)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    )

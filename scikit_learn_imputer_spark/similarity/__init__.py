@@ -1,4 +1,10 @@
 from scikit_learn_imputer_spark.similarity.knn import cosine_topk, cosine_topk_lsh
+from scikit_learn_imputer_spark.similarity.pq import (
+    encode_pq,
+    pq_topk,
+    pq_topk_rerank,
+    train_pq,
+)
 from scikit_learn_imputer_spark.similarity.quantize import (
     cosine_topk_int8,
     pack_int8,
@@ -9,6 +15,10 @@ from scikit_learn_imputer_spark.similarity.quantize import (
 __all__ = [
     "cosine_topk",
     "cosine_topk_lsh",
+    "encode_pq",
+    "pq_topk",
+    "pq_topk_rerank",
+    "train_pq",
     "cosine_topk_int8",
     "pack_int8",
     "quantize_vec",
