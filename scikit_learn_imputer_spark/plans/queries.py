@@ -5061,3 +5061,51 @@ def q_cosine_topk_pq(spark, sf_dir):
         F.round(F.col("cosine"), 6).alias("cosine"),
         "rank",
     )
+
+
+@register(
+    "zorder_layout_scan",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-06-01' AND l_shipdate < DATE '1995-09-01'
+  AND l_partkey BETWEEN 10 AND 400
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_zorder_layout_scan(spark, sf_dir):
+    """Z-order (Morton) layout scan (sources/layout.py:write_zorder):
+    lineitem rewritten clustered on the interleaved bits of
+    (l_shipdate, l_partkey), so a predicate on EITHER column skips most
+    files via footer min/max — where the 1-D sorted layout
+    (sorted_layout_scan) skips only on its sort column. The 2-D
+    predicate here exercises both dimensions at once. Values are
+    layout-independent (plain-scan oracle); the both-dimension skipping
+    itself is asserted from parquet footers by
+    tests/test_sinks_sampling.py::test_zorder_layout_skips_on_both_dimensions."""
+    import os
+
+    from scikit_learn_imputer_spark.sources.layout import read_layout, write_zorder
+
+    li = _t(spark, sf_dir, "lineitem")
+    path = f"/tmp/sli_zorder_lineitem_{os.path.basename(sf_dir.rstrip('/'))}"
+    write_zorder(li, path, ["l_shipdate", "l_partkey"], bits=12, num_files=16)
+    back = read_layout(spark, path)
+    return (
+        back.filter(
+            (F.col("l_shipdate") >= "1995-06-01")
+            & (F.col("l_shipdate") < "1995-09-01")
+            & (F.col("l_partkey").between(10, 400))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -167,6 +167,7 @@ RERUN_SENSITIVE = [
     "csv_roundtrip",
     "orc_roundtrip",
     "sorted_layout_scan",
+    "zorder_layout_scan",
     "incremental_dedup_batch",
     "split_modulo",
     "quality_weighted_sample",

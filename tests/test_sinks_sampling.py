@@ -208,3 +208,82 @@ def test_sorted_layout_prunes_files(spark, sf_smoke, tmp_path):
     back = read_layout(spark, path).filter("l_shipdate >= '1995-06-01'")
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, sf_smoke, tmp_path):
+    """Z-order vs 1-D sort, measured from parquet footers: the Morton
+    layout must give file-level skipping on BOTH z-ordered columns,
+    where the 1-D sort gives skipping only on its sort column (the
+    secondary column touches every file)."""
+    import datetime as dt
+    import os
+
+    import pyarrow.parquet as pq
+
+    from scikit_learn_imputer_spark.sources.layout import (
+        write_sorted,
+        write_zorder,
+    )
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    zpath, spath = str(tmp_path / "z_li"), str(tmp_path / "s_li")
+    write_zorder(li, zpath, ["l_shipdate", "l_partkey"], bits=12, num_files=16)
+    write_sorted(li, spath, "l_shipdate", num_files=16)
+
+    def file_ranges(path, col):
+        out = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = next(
+                i
+                for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    def _d(x):
+        return x.date() if isinstance(x, dt.datetime) else x
+
+    lo, hi = dt.date(1995, 6, 1), dt.date(1995, 9, 1)
+
+    def touched_date(path):
+        rs = file_ranges(path, "l_shipdate")
+        return len(rs), sum(1 for mn, mx in rs if _d(mx) >= lo and _d(mn) < hi)
+
+    def touched_pk(path):
+        rs = file_ranges(path, "l_partkey")
+        return sum(1 for mn, mx in rs if mx >= 10 and mn <= 30)
+
+    nz, z_date = touched_date(zpath)
+    ns, s_date = touched_date(spath)
+    assert nz >= 8 and ns >= 8  # the layouts actually split
+    # z-order: both dimensions skip more than half the files
+    assert z_date <= nz // 2, f"zorder date skipping: {z_date}/{nz}"
+    assert touched_pk(zpath) <= nz // 2, "zorder partkey skipping"
+    # 1-D sort: its own column skips, the other column touches everything
+    assert s_date <= ns // 2
+    assert touched_pk(spath) == ns, "1-D sort should NOT skip on partkey"
+    # layout preserves content
+    assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_zorder_validates_params(spark, sf_smoke):
+    import pytest
+
+    from scikit_learn_imputer_spark.sources.layout import write_zorder
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    with pytest.raises(ValueError):
+        write_zorder(li, "/tmp/never", [], bits=12)
+    with pytest.raises(ValueError):
+        write_zorder(li, "/tmp/never", ["l_partkey", "l_suppkey"], bits=32)
