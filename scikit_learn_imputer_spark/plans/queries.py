@@ -5109,3 +5109,40 @@ def q_zorder_layout_scan(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "ann_ivfpq_topk",
+    anchor="tests/test_pq.py::test_ivfpq_recall_floor",
+)
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF x PQ ANN (similarity/pq.py:ivfpq_topk) — the FAISS production
+    composition: coarse KMeans cells prune candidates (nprobe of nlist
+    cells scored per query), PQ codes prune memory (ADC over m-byte
+    codes), exact cosine re-ranks the shortlist. Rows-only (doubly
+    approximate); recall floors pinned by tests/test_pq.py. Cheap cell
+    build (the recall burden sits on the re-rank, not cell quality) —
+    same recipe as ann_ivf_persisted_topk."""
+    from scikit_learn_imputer_spark.similarity.ivf import build_ivf_index
+    from scikit_learn_imputer_spark.similarity.pq import (
+        encode_pq,
+        ivfpq_topk,
+        train_pq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, cents = build_ivf_index(
+        emb, nlist=8, max_iter=3, init_mode="random", build_partitions=4
+    )
+    cb = train_pq(emb.sample(0.5, seed=7), dim=64, m=8, k=64, max_iter=10)
+    enc = encode_pq(emb, cb)
+    ae = assigned.select("vec_id", "cell").join(enc, "vec_id")
+    out = ivfpq_topk(ae, emb, queries=emb.filter(F.col("vec_id") < 5),
+                     centroids=cents, codebook=cb, k=10, nprobe=4, shortlist=50)
+    assigned.unpersist()
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    )

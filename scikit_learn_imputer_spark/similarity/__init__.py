@@ -1,6 +1,7 @@
 from scikit_learn_imputer_spark.similarity.knn import cosine_topk, cosine_topk_lsh
 from scikit_learn_imputer_spark.similarity.pq import (
     encode_pq,
+    ivfpq_topk,
     pq_topk,
     pq_topk_rerank,
     train_pq,
@@ -16,6 +17,7 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_lsh",
     "encode_pq",
+    "ivfpq_topk",
     "pq_topk",
     "pq_topk_rerank",
     "train_pq",

@@ -223,6 +223,127 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    assigned_encoded: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebook: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF x PQ — the FAISS production composition: coarse cells prune
+    CANDIDATES (only the nprobe nearest cells per query are scored),
+    PQ codes prune MEMORY (candidates are scored from m-byte codes via
+    ADC), and the shortlist is exact-cosine re-ranked.
+
+    ``assigned_encoded``: (id, pq_codes, cell) — ``encode_pq`` output
+    joined with the IVF ``cell`` column (``ivf.build_ivf_index``).
+
+    Scale shape: the probed-cell filter is a literal ``isin`` over the
+    union of |Q| x nprobe cells, so against the cell-partitioned
+    persisted index (``ivf.save_ivf_index``) it becomes partition
+    pruning — unprobed cells are never read, unprobed rows of read
+    cells are masked per query inside the Arrow batch, and only
+    |partitions| x |Q| x shortlist candidate rows ever shuffle."""
+    query_id_col = query_id_col or id_col
+    cents = np.asarray(centroids, dtype=np.float64)
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    qids = [r["query_id"] for r in qrows]
+    Q = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
+    d2 = ((Q * Q).sum(1)[:, None] - 2.0 * Q @ cents.T + (cents * cents).sum(1)[None, :])
+    probe = {qid: set(np.argsort(d2[i])[:nprobe].tolist()) for i, qid in enumerate(qids)}
+    union_cells = sorted(set().union(*probe.values()))
+
+    m = len(codebook)
+    w = len(codebook[0][0])
+    cb = np.asarray(codebook, dtype=np.float64)
+    Qn = np.linalg.norm(Q, axis=1)
+    Qn[Qn == 0.0] = 1.0
+    Qhat = Q / Qn[:, None]
+    luts = np.stack(
+        [np.stack([cb[j] @ q[j * w : (j + 1) * w] for j in range(m)]) for q in Qhat]
+    )
+
+    out_schema = "query_id long, neighbor_id long, score double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.asarray(list(pdf["pq_codes"]), dtype=np.int64)
+            nid = pdf[id_col].values
+            cell = pdf["cell"].values
+            for qi, qid in enumerate(qids):
+                mask = (nid != qid) & np.isin(cell, list(probe[qid]))
+                if not mask.any():
+                    continue
+                s = np.zeros(mask.sum())
+                cm = codes[mask]
+                for j in range(m):
+                    s += luts[qi, j, cm[:, j]]
+                nm = nid[mask]
+                top = np.argsort(-s, kind="stable")[:shortlist]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(top), qid),
+                        "neighbor_id": nm[top],
+                        "score": s[top],
+                    }
+                )
+
+    short = (
+        assigned_encoded.filter(F.col("cell").isin(union_cells))
+        .select(id_col, "pq_codes", "cell")
+        .mapInPandas(score, schema=out_schema)
+    )
+    wspec = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        short.withColumn("rank", F.row_number().over(wspec))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    from scikit_learn_imputer_spark.dedup.embedding import dot, norm
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
+    scored = (
+        c.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    wspec2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wspec2))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def pq_topk_rerank(
     encoded: DataFrame,
     corpus: DataFrame,

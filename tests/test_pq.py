@@ -112,3 +112,38 @@ def test_pq_train_guards(spark):
         train_pq(emb, dim=64, m=4, k=8, max_train_rows=10)
     with pytest.raises(ValueError, match="< k"):
         train_pq(emb.limit(4), dim=64, m=4, k=8)
+
+
+def test_ivfpq_recall_floor(spark, pq_fixture):
+    """IVF x PQ: probing ALL cells must recover at least the pure-PQ
+    re-rank floor; a partial probe still clears a lower floor. (With a
+    FIXED shortlist, recall is not strictly monotone in nprobe — more
+    candidates can crowd ADC-favored impostors into the shortlist — so
+    the assertions are floors, not monotonicity.)"""
+    from scikit_learn_imputer_spark.similarity.ivf import build_ivf_index
+    from scikit_learn_imputer_spark.similarity.pq import ivfpq_topk
+
+    emb, cb, enc = pq_fixture
+    assigned, cents = build_ivf_index(
+        emb, nlist=8, max_iter=8, init_mode="random", build_partitions=4
+    )
+    ae = assigned.select("vec_id", "cell").join(enc, "vec_id")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivfpq_topk(
+                ae, emb, queries, cents, cb, k=10, nprobe=nprobe, shortlist=50
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_full, r_half = recall(8), recall(4)
+    assigned.unpersist()
+    assert r_full >= 0.7, f"full-probe recall {r_full}"
+    assert r_half >= 0.4, f"half-probe recall {r_half}"
