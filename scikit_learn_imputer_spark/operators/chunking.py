@@ -76,6 +76,137 @@ def chunk_documents(
     )
 
 
+def build_offset_store(df: DataFrame, path: str, seq_len: int = 1024,
+                       text_col: str = "text", shard_col: str = "source") -> None:
+    """Initialize the per-shard token-offset store from already-packed
+    history: one row per shard, the cumulative token count consumed so
+    far. O(#shards) rows — bounded by the shard vocabulary, not data."""
+    t = F.trim(F.col(text_col))
+    n_tokens = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, "\\s+")))
+        .cast("bigint")
+    )
+    (
+        df.select(shard_col, n_tokens.alias("__n"))
+        .groupBy(shard_col)
+        .agg(F.sum("__n").alias("cum_tokens"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def incremental_pack(
+    batch: DataFrame,
+    store_path: str,
+    seq_len: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Continue each shard's concat-and-cut token stream from the
+    persisted offset: the batch packs exactly as if it had been part of
+    one global ``pack_sequences`` run (tests pin sequential == global),
+    so ingest can pack as data arrives instead of re-packing the corpus.
+
+    The store is O(#shards) rows — unlike the dedup fingerprint store it
+    is bounded small by construction, so reading + broadcasting it is
+    correct at any corpus size (AQE does so from its runtime size)."""
+    spark = batch.sparkSession
+    store = spark.read.parquet(store_path).select(
+        F.col(shard_col), F.col("cum_tokens").alias("__base")
+    )
+    packed = pack_sequences(batch, seq_len, id_col, text_col, shard_col)
+    # pack_sequences emitted shard-local (seq_id, offset); rebase onto the
+    # stored global stream position. cum_prev = local_cum_prev + base.
+    local_cum_prev = packed["seq_id"] * seq_len + packed["seq_offset"]
+    rebased = (
+        packed.join(store, on=shard_col, how="left")
+        .withColumn("__cum_prev", local_cum_prev + F.coalesce(F.col("__base"), F.lit(0).cast("bigint")))
+        .select(
+            id_col,
+            shard_col,
+            "n_tokens",
+            F.floor(F.col("__cum_prev") / seq_len).cast("bigint").alias("seq_id"),
+            (F.col("__cum_prev") % seq_len).alias("seq_offset"),
+            ((F.col("__cum_prev") % seq_len + F.col("n_tokens")) > seq_len).alias(
+                "straddles"
+            ),
+        )
+    )
+    return rebased
+
+
+def commit_offsets(
+    packed: DataFrame, store_path: str, seq_len: int, shard_col: str = "source"
+) -> None:
+    """Advance the store by the packed batch: new cumulative offset per
+    shard = max(seq_id*seq_len + seq_offset + n_tokens). Shards untouched
+    by the batch keep their stored offsets. The store is O(#shards), so
+    the full overwrite is a tiny write."""
+    spark = packed.sparkSession
+    store = spark.read.parquet(store_path)
+    advanced = packed.groupBy(shard_col).agg(
+        F.max(
+            F.col("seq_id") * seq_len + F.col("seq_offset") + F.col("n_tokens")
+        ).alias("cum_tokens")
+    )
+    merged = (
+        store.join(advanced, on=shard_col, how="full")
+        .select(
+            shard_col,
+            F.greatest(
+                F.coalesce(store["cum_tokens"], F.lit(0).cast("bigint")),
+                F.coalesce(advanced["cum_tokens"], F.lit(0).cast("bigint")),
+            ).alias("cum_tokens"),
+        )
+    )
+    # The store must be fully materialized before overwriting its own
+    # source path.
+    rows = merged.collect()  # O(#shards)
+    spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(store_path)
+
+
+def stream_pack_ingest(
+    docs_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    seq_len: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+):
+    """Continuous pack-as-you-ingest: each micro-batch continues its
+    shards' token streams from the offset store, packed rows land in
+    ``out_path``, offsets commit after the write (same
+    re-run-idempotence trade documented on ``stream_dedup_ingest``).
+    foreachBatch rather than a stateful operator for the same reason as
+    the dedup ingest: the state must be join-able and persistent across
+    restarts, not watermark-bounded executor state. Within-batch doc
+    order is doc_id per shard — the deterministic order the batch
+    equivalence tests pin."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        packed = incremental_pack(
+            batch, store_path, seq_len, id_col, text_col, shard_col
+        )
+        packed.persist()
+        try:
+            packed.write.mode("append").parquet(out_path)
+            commit_offsets(packed, store_path, seq_len, shard_col)
+        finally:
+            packed.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int = 1024,

@@ -5146,3 +5146,49 @@ def q_ann_ivfpq_topk(spark, sf_dir):
         F.round(F.col("cosine"), 6).alias("cosine"),
         "rank",
     )
+
+
+@register(
+    "incremental_pack_batch",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum_prev // 512 AS BIGINT) AS seq_id,
+       CAST(cum_prev % 512 AS BIGINT) AS seq_offset,
+       (cum_prev % 512 + n_tokens > 512) AS straddles
+FROM c
+WHERE doc_id >= 250
+""",
+)
+def q_incremental_pack_batch(spark, sf_dir):
+    """Cross-batch sequence packing against the persisted per-shard
+    offset store (operators/chunking.py:incremental_pack): history
+    (doc_id < 250) seeds the store, then the new batch packs CONTINUING
+    each shard's token stream — emitting exactly what one global
+    pack_sequences run assigns to those docs (sequential == global,
+    pinned by tests), which is why the oracle is simply the global pack
+    restricted to the batch. The store is O(#shards) rows; the batch
+    never re-reads history documents."""
+    import os
+
+    from scikit_learn_imputer_spark.operators.chunking import (
+        build_offset_store,
+        incremental_pack,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    store = f"/tmp/sli_pack_offsets_{sf_tag}"
+    build_offset_store(d.filter(F.col("doc_id") < 250), store, seq_len=512)
+    return incremental_pack(d.filter(F.col("doc_id") >= 250), store, seq_len=512)

@@ -87,3 +87,83 @@ def test_pack_sequences_window_is_shard_partitioned(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_incremental_pack_sequential_equals_global(spark, sf_smoke, tmp_path):
+    """Packing batch-by-batch against the offset store must produce
+    EXACTLY the (seq_id, offset, straddles) a single global
+    pack_sequences run assigns — for any batch split that respects
+    per-shard doc_id order."""
+    from scikit_learn_imputer_spark.operators.chunking import (
+        build_offset_store,
+        commit_offsets,
+        incremental_pack,
+    )
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    store = str(tmp_path / "offsets")
+    build_offset_store(docs.limit(0), store, seq_len=512)
+    golden = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"], r["straddles"])
+        for r in pack_sequences(docs, 512).collect()
+    }
+    got = {}
+    for lo, hi in ((0, 170), (170, 340), (340, 10**9)):
+        b = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        p = incremental_pack(b, store, 512)
+        p.persist()
+        for r in p.collect():
+            got[r["doc_id"]] = (r["seq_id"], r["seq_offset"], r["straddles"])
+        commit_offsets(p, store, 512)
+        p.unpersist()
+    assert got == golden
+    # empty batch: a no-op that must not corrupt the store
+    empty = incremental_pack(docs.filter(F.col("doc_id") < 0), store, 512)
+    empty.persist()
+    assert empty.count() == 0
+    commit_offsets(empty, store, 512)
+    empty.unpersist()
+    after = {
+        (r["source"], r["cum_tokens"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert len(after) == 20 and all(c > 0 for _, c in after)
+
+
+def test_stream_pack_ingest_matches_batch(spark, sf_smoke, tmp_path):
+    """The foreachBatch streaming form packs the drained stream exactly
+    like one global batch run (availableNow drain, offsets committed per
+    micro-batch)."""
+    from scikit_learn_imputer_spark.operators.chunking import (
+        build_offset_store,
+        stream_pack_ingest,
+    )
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    golden = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"], r["straddles"])
+        for r in pack_sequences(docs, 512).collect()
+    }
+    store = str(tmp_path / "offsets")
+    out = str(tmp_path / "packed")
+    ck = str(tmp_path / "ck")
+    build_offset_store(docs.limit(0), store, seq_len=512)
+    # file stream source needs a DIRECTORY; narrow to the documents file
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_smoke)
+        .select(*docs.columns)
+    )
+    q = stream_pack_ingest(stream, store, out, ck, seq_len=512).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"], r["straddles"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == golden

@@ -169,6 +169,7 @@ RERUN_SENSITIVE = [
     "sorted_layout_scan",
     "zorder_layout_scan",
     "incremental_dedup_batch",
+    "incremental_pack_batch",
     "split_modulo",
     "quality_weighted_sample",
     "stratified_sample",
