@@ -103,11 +103,23 @@ def remove_boilerplate_spans(
     occurrence of a boilerplate n-gram (document frequency >= min_df)
     is deleted; untouched documents pass through with their normalized
     (whitespace-collapsed) token stream."""
-    grams = positioned_ngrams(df, n, id_col, text_col)
-    bad = boilerplate_grams(df, n, min_df, id_col, text_col)
+    # ONE positioned-gram pass feeds both the DF aggregate and the
+    # covered-start join; persisting it avoids re-scanning + re-exploding
+    # the corpus for the second consumer (at 100 TB this persist is a
+    # digest-only parquet checkpoint, same rationale as the composite's
+    # deduped-survivor persist).
+    grams = (
+        positioned_ngrams(df, n, id_col, text_col)
+        .select(id_col, "__start", F.md5("__gram").alias("__gram_fp"))
+        .persist()
+    )
+    bad = (
+        grams.groupBy("__gram_fp")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
     covered = (
-        grams.withColumn("__gram_fp", F.md5("__gram"))
-        .join(bad.select("__gram_fp"), "__gram_fp", "left_semi")
+        grams.join(bad.select("__gram_fp"), "__gram_fp", "left_semi")
         .groupBy(id_col)
         .agg(F.collect_set("__start").alias("__starts"))
     )

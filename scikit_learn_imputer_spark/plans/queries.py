@@ -5192,3 +5192,76 @@ def q_incremental_pack_batch(spark, sf_dir):
     store = f"/tmp/sli_pack_offsets_{sf_tag}"
     build_offset_store(d.filter(F.col("doc_id") < 250), store, seq_len=512)
     return incremental_pack(d.filter(F.col("doc_id") >= 250), store, seq_len=512)
+
+
+@register(
+    "temperature_mixture_sample",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\s+')) END AS BIGINT)
+           AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              AS DOUBLE) / 4294967296.0 AS u
+  FROM documents
+),
+s AS (
+  SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS n_s FROM t GROUP BY source
+),
+r AS (
+  SELECT source,
+         round(least(1.0, 5000.0 * (pow(n_s, 0.7) / sum(pow(n_s, 0.7)) OVER ())
+                          / n_s), 6) AS keep_rate
+  FROM s
+)
+SELECT t.doc_id, t.source, t.n_tokens, r.keep_rate
+FROM t JOIN r ON t.source = r.source
+WHERE t.u < r.keep_rate
+""",
+)
+def q_temperature_mixture_sample(spark, sf_dir):
+    """Temperature-reweighted mixture sampling (the XLM-R/mT5
+    language-balancing step): shard s is sampled with probability
+    proportional to n_s^tau (tau=0.7 flattens the head so low-resource
+    shards are over-represented relative to their raw size), scaled to a
+    token budget and applied as a deterministic md5-uniform Bernoulli
+    keep. Rates are rounded to 6 decimals on BOTH engines before the
+    compare so pow()'s last-ulp differences can't flip a keep decision.
+    Cost shape: one O(#shards) aggregate, a 1-row normalizer broadcast,
+    then a map-only keep — no corpus shuffle."""
+    from scikit_learn_imputer_spark.functions.text import (
+        token_count_col,
+        uniform_hash_col,
+    )
+
+    tau, budget = 0.7, 5000.0
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        token_count_col(F.col("text")).cast("bigint").alias("n_tokens"),
+        uniform_hash_col(F.col("doc_id")).alias("__u"),
+    )
+    totals = d.groupBy("source").agg(
+        F.sum("n_tokens").cast("double").alias("__n_s")
+    )
+    w = totals.withColumn("__w_s", F.pow("__n_s", F.lit(tau)))
+    z = w.agg(F.sum("__w_s").alias("__z"))
+    rates = (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(budget) * (F.col("__w_s") / F.col("__z")) / F.col("__n_s"),
+                ),
+                6,
+            ).alias("keep_rate"),
+        )
+    )
+    return (
+        d.join(rates, "source")
+        .filter(F.col("__u") < F.col("keep_rate"))
+        .select("doc_id", "source", "n_tokens", "keep_rate")
+    )

@@ -34,6 +34,7 @@ INTENDED_NON_EQUI = {
     "winsorize_acctbal",      # broadcast 1-row percentile frame
     "corpus_preprocess_pipeline",  # broadcast 1-row lm-score threshold
     "decontaminate_bloom_corpus",  # broadcast 1-row bloom-bitmap frame
+    "temperature_mixture_sample",  # broadcast 1-row normalizer frame
 }
 
 HEAVY_BUILD = {
