@@ -5265,3 +5265,132 @@ def q_temperature_mixture_sample(spark, sf_dir):
         .filter(F.col("__u") < F.col("keep_rate"))
         .select("doc_id", "source", "n_tokens", "keep_rate")
     )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=r"""
+WITH fp AS (
+  SELECT DISTINCT source,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS shared_contents
+FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
+""",
+)
+def q_source_overlap_matrix(spark, sf_dir):
+    """Cross-source contamination matrix (corpus hygiene dashboard):
+    for every source pair, how many DISTINCT normalized contents appear
+    in both — the signal that two crawl slices/data vendors overlap and
+    dedup budget should go there. One digest distinct + a self equi
+    join on the 16-byte digest (never text); the join fan-out per
+    digest is (#sources containing it choose 2), bounded by the shard
+    vocabulary, not corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(
+        "source", fingerprint_col(F.col("text")).alias("__f")
+    ).distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__f") == F.col("b.__f"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_contents"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "minhash_precision_audit",
+    oracle=f"""
+WITH cands AS ({_minhash_candidates_oracle_sql()}),
+grams AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(len(text) - 4, 0))) AS i
+        FROM documents)
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
+  FROM cands c
+  JOIN grams ga ON ga.doc_id = c.id_a
+  JOIN grams gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+  GROUP BY c.id_a, c.id_b
+),
+jac AS (
+  SELECT c.id_a, c.id_b,
+         CAST(coalesce(i.i, 0) AS DOUBLE)
+           / (sa.n + sb.n - coalesce(i.i, 0)) AS j
+  FROM cands c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN j >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       round(CAST(sum(CASE WHEN j >= 0.4 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS precision_at_04
+FROM jac
+""",
+)
+def q_minhash_precision_audit(spark, sf_dir):
+    """Self-audit of the banded LSH: of the candidate pairs the md5
+    MinHash bands admit, what fraction has TRUE 5-char-shingle Jaccard
+    >= 0.4 — the operational metric that sizes the exact-verification
+    stage the candidates feed at 100 TB (low precision = wasted
+    downstream compute; tune bands/rows). Exact Jaccard comes from a
+    digest... gram equi join restricted to candidate ids (a semi-joined
+    subset, NOT all-pairs); the audit output is one row."""
+    from scikit_learn_imputer_spark.dedup.minhash import minhash_candidate_pairs
+    from scikit_learn_imputer_spark.dedup.ngram import char_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    cands = minhash_candidate_pairs(
+        d,
+        num_hashes=_MINHASH_K,
+        bands=_MINHASH_K // 4,
+        shingle=5,
+        hasher="md5",
+        max_bucket=2**31,
+    ).select("id_a", "id_b")
+    grams = char_ngrams(d, 5)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.select(F.col("doc_id").alias("id_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("id_b"), "gram")
+    inter = (
+        cands.join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = (
+        cands.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            (
+                F.coalesce(F.col("i"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0)))
+            ).alias("j")
+        )
+    )
+    return jac.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("j") >= 0.4, 1).otherwise(0)).alias("n_true"),
+        F.round(
+            F.sum(F.when(F.col("j") >= 0.4, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("precision_at_04"),
+    )
