@@ -5270,42 +5270,55 @@ def q_temperature_mixture_sample(spark, sf_dir):
 @register(
     "source_overlap_matrix",
     oracle=r"""
-WITH fp AS (
-  SELECT DISTINCT source,
-         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
-  FROM documents
+WITH g AS (
+  SELECT DISTINCT source, md5(gr) AS gf FROM (
+    SELECT source, unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4])) AS gr
+    FROM (SELECT source, str_split_regex(trim(text), '\s+') AS w
+          FROM documents)
+  )
 )
 SELECT a.source AS source_a, b.source AS source_b,
-       CAST(count(*) AS BIGINT) AS shared_contents
-FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+       CAST(count(*) AS BIGINT) AS shared_grams
+FROM g a JOIN g b ON a.gf = b.gf AND a.source < b.source
 GROUP BY a.source, b.source
 ORDER BY source_a, source_b
 """,
 )
 def q_source_overlap_matrix(spark, sf_dir):
     """Cross-source contamination matrix (corpus hygiene dashboard):
-    for every source pair, how many DISTINCT normalized contents appear
-    in both — the signal that two crawl slices/data vendors overlap and
-    dedup budget should go there. One digest distinct + a self equi
-    join on the 16-byte digest (never text); the join fan-out per
-    digest is (#sources containing it choose 2), bounded by the shard
-    vocabulary, not corpus size."""
+    for every source pair, how many DISTINCT word 5-grams appear in
+    both — the n-gram-overlap currency of decontamination, signalling
+    which crawl slices/vendors share text and where dedup budget should
+    go. (Exact-content overlap is the stricter metric but is vacuous on
+    this testdata — duplicates are planted within sources only — so the
+    matrix measures gram-level overlap.) Grams collapse to DISTINCT
+    (source, digest) rows before a digest self equi join; per-digest
+    fan-out is bounded by (#sources)^2, never corpus size, and text
+    never shuffles."""
+    from scikit_learn_imputer_spark.functions.text import word_ngrams_col
+
     d = _t(spark, sf_dir, "documents")
-    fp = d.select(
-        "source", fingerprint_col(F.col("text")).alias("__f")
-    ).distinct()
-    a, b = fp.alias("a"), fp.alias("b")
+    g = (
+        d.select(
+            "source", F.explode(word_ngrams_col(F.col("text"), 5)).alias("__g")
+        )
+        .select("source", F.md5("__g").alias("__gf"))
+        .distinct()
+    )
+    a, b = g.alias("a"), g.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.__f") == F.col("b.__f"))
+            (F.col("a.__gf") == F.col("b.__gf"))
             & (F.col("a.source") < F.col("b.source")),
         )
         .groupBy(
             F.col("a.source").alias("source_a"),
             F.col("b.source").alias("source_b"),
         )
-        .agg(F.count(F.lit(1)).alias("shared_contents"))
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
         .orderBy("source_a", "source_b")
     )
 
@@ -5394,3 +5407,45 @@ def q_minhash_precision_audit(spark, sf_dir):
             6,
         ).alias("precision_at_04"),
     )
+
+
+@register(
+    "schema_evolution_scan",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id >= 250 THEN lang ELSE NULL END AS lang,
+       n_chars
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_schema_evolution_scan(spark, sf_dir):
+    """Schema evolution across parquet batches (the lakehouse reality:
+    producers add columns over time): an old batch written WITHOUT the
+    ``lang`` column and a new batch WITH it are read together under
+    ``mergeSchema`` — old rows surface NULL for the added column, no
+    rewrite of history. mergeSchema costs a footer-merge at planning
+    time only; the scan itself stays columnar. Deterministic slices of
+    ``documents`` stand in for the two producer generations, so the
+    oracle is a plain CASE over the source table."""
+    import os
+
+    d = _t(spark, sf_dir, "documents")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = f"/tmp/sli_schema_evo_{sf_tag}"
+    (
+        d.filter(F.col("doc_id") < 250)
+        .select("doc_id", "n_chars")
+        .write.mode("overwrite")
+        .parquet(f"{base}/gen=1")
+    )
+    (
+        d.filter(F.col("doc_id") >= 250)
+        .select("doc_id", "n_chars", "lang")
+        .write.mode("overwrite")
+        .parquet(f"{base}/gen=2")
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/gen=1", f"{base}/gen=2"
+    )
+    return merged.select("doc_id", "lang", "n_chars").orderBy("doc_id")

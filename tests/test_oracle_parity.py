@@ -170,6 +170,7 @@ RERUN_SENSITIVE = [
     "zorder_layout_scan",
     "incremental_dedup_batch",
     "incremental_pack_batch",
+    "schema_evolution_scan",
     "split_modulo",
     "quality_weighted_sample",
     "stratified_sample",
