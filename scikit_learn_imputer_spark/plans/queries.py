@@ -5449,3 +5449,55 @@ def q_schema_evolution_scan(spark, sf_dir):
         f"{base}/gen=1", f"{base}/gen=2"
     )
     return merged.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+@register(
+    "packing_stats",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\s+')) END AS BIGINT)
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(ceil(sum(n_tokens) / 512.0) AS BIGINT) AS n_sequences,
+       CAST((512 - sum(n_tokens) % 512) % 512 AS BIGINT) AS tail_padding,
+       CAST(sum(CASE WHEN cum_prev % 512 + n_tokens > 512 THEN 1 ELSE 0 END)
+            AS BIGINT) AS straddled_docs
+FROM c GROUP BY source ORDER BY source
+""",
+)
+def q_packing_stats(spark, sf_dir):
+    """Packing-efficiency report per shard (the go/no-go numbers before
+    a training run): sequences produced at 512 tokens, tail padding
+    (unused slots in the final sequence — the only padding concat-and-
+    cut packing ever wastes), and how many documents a cut straddles
+    (relevant when loss masking resets at document boundaries). Derived
+    entirely from the pack_sequences dataflow — one shard-partitioned
+    window + one aggregate."""
+    from scikit_learn_imputer_spark.operators.chunking import pack_sequences
+
+    packed = pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.ceil(F.sum("n_tokens") / 512.0).cast("bigint").alias("n_sequences"),
+            ((512 - F.sum("n_tokens") % 512) % 512).alias("tail_padding"),
+            F.sum(F.col("straddles").cast("int")).cast("bigint").alias(
+                "straddled_docs"
+            ),
+        )
+        .orderBy("source")
+    )
