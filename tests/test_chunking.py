@@ -167,3 +167,65 @@ def test_stream_pack_ingest_matches_batch(spark, sf_smoke, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == golden
+
+
+def test_chunk_documents_partition_property_no_overlap(spark):
+    """With overlap=0 the chunks PARTITION the token stream: chunk
+    texts concatenate back to the normalized document, token counts sum
+    exactly, and chunk_starts form the arithmetic grid — across a
+    seeded corpus of adversarial shapes (unicode, repeated/weird
+    whitespace, lengths straddling the chunk size)."""
+    import random
+
+    rng = random.Random(1234)
+    words = ["a", "bb", "ccc", "Ω≈ç", "étude", "x" * 17, "0"]
+    rows = []
+    for i in range(40):
+        n = rng.choice([0, 1, 7, 8, 9, 15, 16, 17, 40])
+        sep = rng.choice([" ", "  ", "\t", " \t "])
+        rows.append((i, sep.join(rng.choice(words) for _ in range(n))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, chunk_size=8, overlap=0).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in rows:
+        toks = text.split()
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_id"])
+        if not toks:
+            assert chunks == []
+            continue
+        assert [r["chunk_start"] for r in chunks] == [
+            8 * j for j in range(len(chunks))
+        ]
+        assert sum(r["n_chunk_tokens"] for r in chunks) == len(toks)
+        assert " ".join(r["chunk_text"] for r in chunks) == " ".join(toks)
+
+
+def test_chunk_documents_overlap_coverage_property(spark):
+    """With overlap>0 every token is covered, consecutive chunks share
+    exactly `overlap` tokens (except a short final chunk), and no chunk
+    is a subset of its predecessor."""
+    import random
+
+    rng = random.Random(99)
+    rows = [
+        (i, " ".join(f"t{rng.randint(0, 5)}" for _ in range(n)))
+        for i, n in enumerate([1, 4, 5, 6, 10, 11, 12, 23, 24, 25, 37])
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    c, ov = 12, 4
+    out = chunk_documents(df, chunk_size=c, overlap=ov).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in rows:
+        toks = text.split()
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        covered = set()
+        for r in chunks:
+            covered |= set(range(r["chunk_start"], r["chunk_start"] + r["n_chunk_tokens"]))
+        assert covered == set(range(len(toks))), f"doc {i} gap"
+        for p, q in zip(chunks, chunks[1:]):
+            assert q["chunk_start"] == p["chunk_start"] + (c - ov)
+            assert q["n_chunk_tokens"] >= 1
