@@ -1,5 +1,6 @@
 from scikit_learn_imputer_spark.dedup.bloom import (
     bloom_bitmap,
+    bloom_m_bits,
     bloom_hit_col,
     decontaminate_bloom,
 )
@@ -21,6 +22,7 @@ from scikit_learn_imputer_spark.dedup.incremental import (
 
 __all__ = [
     "bloom_bitmap",
+    "bloom_m_bits",
     "bloom_hit_col",
     "decontaminate_bloom",
     "append_to_store",

@@ -51,6 +51,21 @@ from scikit_learn_imputer_spark.functions.text import fingerprint_col
 BLOOM_COL = "__bloom"
 
 
+def bloom_m_bits(
+    expected_digests: int, bits_per_digest: int = 10, floor: int = 1 << 16
+) -> int:
+    """Bitmap size for an expected benchmark cardinality: ~10 bits per
+    digest (fpr ≈ 1% at k=5), rounded up to a multiple of 64, floored at
+    64 Ki bits. The r5 advice case: a fixed 1<<16 default saturates
+    (fpr→1) past ~13k digests — exactly the large-benchmark regime the
+    prefilter targets — so callers that know |benchmark| should size
+    from it."""
+    if expected_digests < 0:
+        raise ValueError(f"expected_digests must be >= 0, got {expected_digests}")
+    m = max(floor, expected_digests * bits_per_digest)
+    return ((m + 63) // 64) * 64
+
+
 def _positions(fp: Column, m_bits: int, k: int) -> Column:
     """array<int> of the k probe bit positions for one digest: k
     independent seeded xxhash64 draws mod m (engine-internal — the
@@ -115,16 +130,26 @@ def decontaminate_bloom(
     benchmark: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    m_bits: int = 1 << 16,
+    m_bits: int | None = None,
     k: int = 5,
 ) -> DataFrame:
     """Exact-result decontamination with a Bloom prefilter: returns
     precisely the rows ``dedup/exact.py:decontaminate`` returns, but the
     corpus-wide work is map-only — only Bloom-positive candidates enter
-    the confirming anti join."""
+    the confirming anti join.
+
+    ``m_bits=None`` (default) SIZES THE BITMAP FROM THE BENCHMARK: one
+    exact distinct-count over the benchmark digests (a tiny aggregate —
+    the benchmark side is the small side by construction), then
+    ``bloom_m_bits`` picks ~10 bits per digest. A fixed undersized
+    bitmap saturates and the prefilter silently degrades to the exact
+    path's cost (output stays correct either way); pass an explicit
+    ``m_bits`` to skip the count when the cardinality is known."""
     bench_fp = (
         benchmark.select(fingerprint_col(F.col(text_col)).alias("__bfp")).distinct()
     )
+    if m_bits is None:
+        m_bits = bloom_m_bits(bench_fp.count())
     bitmap = bloom_bitmap(bench_fp, "__bfp", m_bits, k)
     probed = (
         corpus.withColumn("__fp", fingerprint_col(F.col(text_col)))

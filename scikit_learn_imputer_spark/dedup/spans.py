@@ -103,26 +103,95 @@ def remove_boilerplate_spans(
     occurrence of a boilerplate n-gram (document frequency >= min_df)
     is deleted; untouched documents pass through with their normalized
     (whitespace-collapsed) token stream."""
+    return _remove_covered(
+        df, n=n, id_col=id_col, text_col=text_col, distinct_docs=True, threshold=min_df
+    )
+
+
+def remove_exact_substrings(
+    df: DataFrame,
+    min_len: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better"): delete every token that lies inside
+    a repeated substring of >= ``min_len`` tokens occurring >=
+    ``min_count`` times ANYWHERE in the corpus — including multiple
+    occurrences within one document, which ``remove_boilerplate_spans``'
+    distinct-document frequency deliberately ignores.
+
+    Distributed shape (no suffix array): a token sits inside a repeated
+    substring of length >= L iff it is covered by some length-L shingle
+    whose TOTAL occurrence count is >= min_count — every L-subgram of a
+    repeated span repeats wherever the span does, and a repeated
+    L-gram is itself a repeated span. So arbitrary-length repeated
+    substrings reduce EXACTLY to the fixed-L covered-start union: the
+    covered-start sets of overlapping repeated shingles merge into the
+    maximal repeated spans a suffix array would report, with the same
+    cost shape as the boilerplate pass (one digest aggregate + one
+    per-doc start collection; text never shuffles). The reference has
+    no counterpart (single-node imputer); this is the span-level exact
+    dedup family used on real LM corpora.
+    """
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    return _remove_covered(
+        df,
+        n=min_len,
+        id_col=id_col,
+        text_col=text_col,
+        distinct_docs=False,
+        threshold=min_count,
+    )
+
+
+def _remove_covered(
+    df: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+    distinct_docs: bool,
+    threshold: int,
+) -> DataFrame:
+    """Shared covered-start scrubber: flag n-grams by either distinct-doc
+    frequency (boilerplate) or total occurrence count (ExactSubstr),
+    union the flagged starts per document, drop covered tokens."""
     # ONE positioned-gram pass feeds both the DF aggregate and the
     # covered-start join; persisting it avoids re-scanning + re-exploding
     # the corpus for the second consumer (at 100 TB this persist is a
     # digest-only parquet checkpoint, same rationale as the composite's
-    # deduped-survivor persist).
+    # deduped-survivor persist). The cache is released before returning:
+    # ``covered`` — the ONLY consumer of both gram uses, and small
+    # (O(docs containing boilerplate) rows of int arrays) — is eagerly
+    # localCheckpoint-ed, after which the gram cache is dead weight and
+    # is unpersisted here rather than leaking until ContextCleaner GC
+    # (ADVICE r5).
     grams = (
         positioned_ngrams(df, n, id_col, text_col)
         .select(id_col, "__start", F.md5("__gram").alias("__gram_fp"))
         .persist()
     )
-    bad = (
-        grams.groupBy("__gram_fp")
-        .agg(F.countDistinct(id_col).alias("df"))
-        .filter(F.col("df") >= min_df)
-    )
-    covered = (
-        grams.join(bad.select("__gram_fp"), "__gram_fp", "left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_set("__start").alias("__starts"))
-    )
+    try:
+        freq = (
+            F.countDistinct(id_col) if distinct_docs else F.count(F.lit(1))
+        ).alias("df")
+        bad = (
+            grams.groupBy("__gram_fp")
+            .agg(freq)
+            .filter(F.col("df") >= threshold)
+        )
+        covered = (
+            grams.join(bad.select("__gram_fp"), "__gram_fp", "left_semi")
+            .groupBy(id_col)
+            .agg(F.collect_set("__start").alias("__starts"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        grams.unpersist()
     t = F.trim(F.col(text_col))
     toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, "\\s+")
@@ -146,3 +215,61 @@ def remove_boilerplate_spans(
             ),
         )
     )
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    min_len: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal repeated spans per document — the report a suffix-array
+    ExactSubstr pass would emit: ``(id, span_start, span_len)`` where
+    each row is one MAXIMAL run of tokens covered by repeated
+    ``min_len``-shingles (total corpus occurrences >= ``min_count``).
+    Overlapping/adjacent repeated shingles merge: flagged starts s and
+    s' coalesce when ``s' <= s + min_len`` (their [s, s+L) windows
+    touch), classic gaps-and-islands over a PER-DOCUMENT window —
+    bounded by the document's own token count, never corpus-scale
+    state.
+
+    ``remove_exact_substrings`` deletes these spans; this operator
+    reports them (audit / targeted review before destructive scrubbing
+    — the span inventory Lee et al. build from the suffix array)."""
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    from pyspark.sql import Window
+
+    grams = positioned_ngrams(df, min_len, id_col, text_col).select(
+        id_col, "__start", F.md5("__gram").alias("__gram_fp")
+    ).persist()
+    try:
+        bad = (
+            grams.groupBy("__gram_fp")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= min_count)
+        )
+        flagged = grams.join(bad.select("__gram_fp"), "__gram_fp", "left_semi")
+        w = Window.partitionBy(id_col).orderBy("__start")
+        prev = F.lag("__start").over(w)
+        island = F.sum(
+            F.when(prev.isNull() | (F.col("__start") > prev + min_len), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        out = (
+            flagged.withColumn("__island", island)
+            .groupBy(id_col, "__island")
+            .agg(
+                F.min("__start").cast("bigint").alias("span_start"),
+                (F.max("__start") + min_len - F.min("__start"))
+                .cast("bigint")
+                .alias("span_len"),
+            )
+            .drop("__island")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        grams.unpersist()
+    return out

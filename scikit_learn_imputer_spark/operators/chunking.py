@@ -80,7 +80,12 @@ def build_offset_store(df: DataFrame, path: str, seq_len: int = 1024,
                        text_col: str = "text", shard_col: str = "source") -> None:
     """Initialize the per-shard token-offset store from already-packed
     history: one row per shard, the cumulative token count consumed so
-    far. O(#shards) rows — bounded by the shard vocabulary, not data."""
+    far. O(#shards) rows — bounded by the shard vocabulary, not data.
+
+    ``seq_len`` is PERSISTED in the store and validated by
+    ``incremental_pack``/``commit_offsets`` (ADVICE r5): offsets are
+    only meaningful against the sequence length they were packed with,
+    so a mismatched caller fails fast instead of silently mis-packing."""
     t = F.trim(F.col(text_col))
     n_tokens = (
         F.when(F.length(t) == 0, F.lit(0))
@@ -91,9 +96,26 @@ def build_offset_store(df: DataFrame, path: str, seq_len: int = 1024,
         df.select(shard_col, n_tokens.alias("__n"))
         .groupBy(shard_col)
         .agg(F.sum("__n").alias("cum_tokens"))
+        .withColumn("seq_len", F.lit(seq_len).cast("bigint"))
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def _read_store(spark, store_path: str, seq_len: int) -> DataFrame:
+    """Read the offset store, failing fast when its persisted seq_len
+    disagrees with the caller's. Stores written before seq_len was
+    persisted (no column) skip the check."""
+    store = spark.read.parquet(store_path)
+    if "seq_len" in store.columns:
+        stored = [r[0] for r in store.select("seq_len").distinct().collect()]
+        if stored and stored != [seq_len]:
+            raise ValueError(
+                f"offset store at {store_path} was built with "
+                f"seq_len={stored}, caller passed seq_len={seq_len}"
+            )
+        store = store.drop("seq_len")
+    return store
 
 
 def incremental_pack(
@@ -113,7 +135,7 @@ def incremental_pack(
     is bounded small by construction, so reading + broadcasting it is
     correct at any corpus size (AQE does so from its runtime size)."""
     spark = batch.sparkSession
-    store = spark.read.parquet(store_path).select(
+    store = _read_store(spark, store_path, seq_len).select(
         F.col(shard_col), F.col("cum_tokens").alias("__base")
     )
     packed = pack_sequences(batch, seq_len, id_col, text_col, shard_col)
@@ -145,7 +167,7 @@ def commit_offsets(
     by the batch keep their stored offsets. The store is O(#shards), so
     the full overwrite is a tiny write."""
     spark = packed.sparkSession
-    store = spark.read.parquet(store_path)
+    store = _read_store(spark, store_path, seq_len)
     advanced = packed.groupBy(shard_col).agg(
         F.max(
             F.col("seq_id") * seq_len + F.col("seq_offset") + F.col("n_tokens")
@@ -164,9 +186,13 @@ def commit_offsets(
     # The store must be fully materialized before overwriting its own
     # source path.
     rows = merged.collect()  # O(#shards)
-    spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(store_path)
+    (
+        spark.createDataFrame(rows, merged.schema)
+        .withColumn("seq_len", F.lit(seq_len).cast("bigint"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(store_path)
+    )
 
 
 def stream_pack_ingest(

@@ -21,9 +21,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def distinct_values(df: DataFrame, col: str) -> list:
-    """Sorted distinct non-null values of a column (exact, one agg)."""
-    rows = df.select(col).filter(F.col(col).isNotNull()).distinct().collect()
+DEFAULT_MAX_VALUES = 10_000
+
+
+def distinct_values(df: DataFrame, col: str, max_values: int | None = None) -> list:
+    """Sorted distinct non-null values of a column (exact, one agg).
+
+    ``limit(max_values + 1)`` bounds both the job output and driver
+    memory (same fail-fast pattern as the imputer's label collect): a
+    column whose cardinality exceeds the cap raises instead of
+    collecting unboundedly; within the cap the limit is never reached
+    and the collect is exact. Inside the imputer the class_threshold
+    gate keeps domains tiny; the cap protects STANDALONE
+    one_hot/label_encode calls on high-cardinality columns."""
+    if max_values is None:
+        max_values = DEFAULT_MAX_VALUES
+    rows = (
+        df.select(col)
+        .filter(F.col(col).isNotNull())
+        .distinct()
+        .limit(max_values + 1)
+        .collect()
+    )
+    if len(rows) > max_values:
+        raise ValueError(
+            f"column '{col}' has more than {max_values} distinct values; "
+            f"pass an explicit value/label list or raise max_values"
+        )
     return sorted(r[0] for r in rows)
 
 

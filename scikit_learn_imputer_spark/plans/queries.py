@@ -5136,10 +5136,18 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     )
     cb = train_pq(emb.sample(0.5, seed=7), dim=64, m=8, k=64, max_iter=10)
     enc = encode_pq(emb, cb)
-    ae = assigned.select("vec_id", "cell").join(enc, "vec_id")
+    # Eagerly materialize the compact (id, cell, codes) index BEFORE
+    # releasing the KMeans assignment cache — unpersisting first would
+    # throw the cache away while the plan is still lazy, so the timed
+    # collect would silently recompute the whole index build (ADVICE r5).
+    ae = (
+        assigned.select("vec_id", "cell")
+        .join(enc, "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    assigned.unpersist()
     out = ivfpq_topk(ae, emb, queries=emb.filter(F.col("vec_id") < 5),
                      centroids=cents, codebook=cb, k=10, nprobe=4, shortlist=50)
-    assigned.unpersist()
     return out.select(
         "query_id",
         "neighbor_id",

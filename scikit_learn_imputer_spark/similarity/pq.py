@@ -204,7 +204,11 @@ def pq_topk(
                 sm, nm = s[mask], nid[mask]
                 if not len(sm):
                     continue
-                top = np.argsort(-sm, kind="stable")[: k]
+                # lexsort (score desc, neighbor_id asc) — the partition
+                # cut must agree with the global window's tie-break, or
+                # ties (guaranteed for duplicate vectors sharing PQ
+                # codes) make ranked output partitioning-dependent.
+                top = np.lexsort((nm, -sm))[:k]
                 yield pd.DataFrame(
                     {
                         "query_id": np.full(len(top), qids[qi]),
@@ -292,7 +296,8 @@ def ivfpq_topk(
                 for j in range(m):
                     s += luts[qi, j, cm[:, j]]
                 nm = nid[mask]
-                top = np.argsort(-s, kind="stable")[:shortlist]
+                # Same tie-break contract as pq_topk's partition cut.
+                top = np.lexsort((nm, -s))[:shortlist]
                 yield pd.DataFrame(
                     {
                         "query_id": np.full(len(top), qid),

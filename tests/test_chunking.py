@@ -229,3 +229,30 @@ def test_chunk_documents_overlap_coverage_property(spark):
         for p, q in zip(chunks, chunks[1:]):
             assert q["chunk_start"] == p["chunk_start"] + (c - ov)
             assert q["n_chunk_tokens"] >= 1
+
+
+def test_offset_store_seq_len_mismatch_fails_fast(spark, tmp_path):
+    """ADVICE r5: the store persists seq_len; incremental_pack/commit
+    against a different seq_len raise instead of silently mis-packing."""
+    import pytest
+
+    from scikit_learn_imputer_spark.operators.chunking import (
+        build_offset_store,
+        commit_offsets,
+        incremental_pack,
+    )
+
+    path = str(tmp_path / "store")
+    hist = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "d e", "s2")], ["doc_id", "text", "source"]
+    )
+    build_offset_store(hist, path, seq_len=8)
+    batch = spark.createDataFrame([(3, "f g h", "s1")], ["doc_id", "text", "source"])
+    with pytest.raises(ValueError, match="seq_len"):
+        incremental_pack(batch, path, seq_len=16)
+    packed = incremental_pack(batch, path, seq_len=8)
+    with pytest.raises(ValueError, match="seq_len"):
+        commit_offsets(packed, path, seq_len=16)
+    commit_offsets(packed, path, seq_len=8)  # matching: round-trips
+    # seq_len survives the commit rewrite.
+    assert [r[0] for r in spark.read.parquet(path).select("seq_len").distinct().collect()] == [8]

@@ -555,3 +555,19 @@ def test_remove_boilerplate_overlapping_spans_union(spark):
     assert out[1] == "x y"
     assert out[2] == "tail"
     assert out[3] == "head"
+
+
+def test_bloom_m_bits_sizing():
+    """ADVICE r5: bitmap sized from benchmark cardinality — ~10 bits per
+    digest, multiple of 64, floored at 64Ki."""
+    from scikit_learn_imputer_spark.dedup.bloom import bloom_m_bits
+
+    assert bloom_m_bits(0) == 1 << 16
+    assert bloom_m_bits(1000) == 1 << 16  # under the floor
+    m = bloom_m_bits(20_000)
+    assert m == 200_000 and m % 64 == 0
+    assert bloom_m_bits(6553) % 64 == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        bloom_m_bits(-1)

@@ -242,3 +242,28 @@ def test_zscore_scale_semantics(spark):
     out = {r["id"]: (r["a"], r["k"]) for r in zscore_scale(df, ["a", "k"]).collect()}
     # sd of (10,20,30) = 10 → z = (-1, 0, 1); constant col → 0.0
     assert out == {0: (-1.0, 0.0), 1: (0.0, 0.0), 2: (1.0, 0.0)}
+
+
+def test_distinct_values_cardinality_cap(spark):
+    """ADVICE r5: standalone one_hot/label_encode on a high-cardinality
+    column must fail fast, not collect unboundedly."""
+    from scikit_learn_imputer_spark.operators.encode import distinct_values
+
+    df = spark.range(100).select(F.concat(F.lit("v"), F.col("id")).alias("c"))
+    with pytest.raises(ValueError, match="more than 10 distinct"):
+        distinct_values(df, "c", max_values=10)
+    # Within the cap the collect is exact.
+    assert len(distinct_values(df, "c", max_values=100)) == 100
+
+
+def test_one_hot_cap_passthrough(spark):
+    from scikit_learn_imputer_spark.operators import encode
+
+    old = encode.DEFAULT_MAX_VALUES
+    df = spark.range(40).select(F.concat(F.lit("v"), F.col("id")).alias("c"))
+    try:
+        encode.DEFAULT_MAX_VALUES = 10
+        with pytest.raises(ValueError, match="more than 10"):
+            encode.label_encode(df, "c")
+    finally:
+        encode.DEFAULT_MAX_VALUES = old

@@ -147,3 +147,33 @@ def test_ivfpq_recall_floor(spark, pq_fixture):
     assigned.unpersist()
     assert r_full >= 0.7, f"full-probe recall {r_full}"
     assert r_half >= 0.4, f"half-probe recall {r_half}"
+
+
+def test_pq_topk_tie_break_partitioning_invariant(spark):
+    """ADVICE r5: duplicate vectors share PQ codes, so their ADC scores
+    tie EXACTLY; the per-partition cut must agree with the global
+    (score desc, neighbor_id asc) tie-break or ranked output depends on
+    the partitioning. Plant many duplicates, small k, compare rankings
+    across 1/4/16-partition layouts."""
+    rng = np.random.RandomState(11)
+    m, k_cb, w = 4, 8, 4
+    cb = rng.randn(m, k_cb, w).round(3)
+    base = np.concatenate([cb[j, 0] for j in range(m)])
+    rows = [(i, [float(x) for x in base]) for i in range(30)]  # 30 exact dups
+    other = np.concatenate([cb[j, 1] for j in range(m)])
+    rows += [(100 + i, [float(x) for x in other]) for i in range(5)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") == 0)
+    results = []
+    for parts in (1, 4, 16):
+        enc = encode_pq(df.repartition(parts), cb.tolist())
+        got = [
+            (r["rank"], r["neighbor_id"])
+            for r in pq_topk(enc, queries, cb.tolist(), k=5)
+            .orderBy("rank")
+            .collect()
+        ]
+        results.append(got)
+    assert results[0] == results[1] == results[2]
+    # ... and the winner set is the lowest-id duplicates (global tie-break).
+    assert [n for _, n in results[0]] == [1, 2, 3, 4, 5]
