@@ -58,15 +58,23 @@ def main() -> None:
     _ivf_path = "/tmp/sli_spark_bench_ivf_index"
 
     def _ivf_build(s, d):
+        # PURE index construction (KMeans fit + assignment); the on-disk
+        # persistence moved to its own ann_ivf_index_save entry so
+        # build-vs-save accounting stays comparable round over round
+        # (VERDICT r5: save_ivf_index inside this entry made r5's build
+        # look 2.3x slower than r4 while the probe got faster).
         emb = load_table(s, d, "embeddings")
         assigned, centroids = build_ivf_index(
             emb, nlist=8, max_iter=3, init_mode="random", build_partitions=4
         )
         _ivf["assigned"], _ivf["centroids"] = assigned, centroids
-        # Persist for the ann_ivf_persisted_topk entry: build+save timed
-        # here (once-per-corpus cost), probe-from-disk timed there.
-        save_ivf_index(assigned, centroids, _ivf_path)
         return assigned
+
+    def _ivf_index_save(s, d):
+        # Persist for the ann_ivf_persisted_topk entry: save timed here
+        # (once-per-corpus cost), probe-from-disk timed there.
+        save_ivf_index(_ivf["assigned"], _ivf["centroids"], _ivf_path)
+        return load_table(s, d, "nation").select("n_nationkey").limit(1)
 
     def _ivf_persisted_probe(s, d):
         emb = load_table(s, d, "embeddings")
@@ -144,6 +152,7 @@ def main() -> None:
         "near_dup_clusters": _clusters_guarded,
         "near_dup_survivors": _survivors_guarded,
         "ann_ivf_build": _ivf_build,
+        "ann_ivf_index_save": _ivf_index_save,
         "ann_ivf_topk": _ivf_search,
         "ann_ivf_persisted_topk": _ivf_persisted_probe,
     }
@@ -187,9 +196,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    # "ann_ivf_build" sorts directly before "ann_ivf_topk", so the index
-    # exists by the time the search entry runs.
-    for name in sorted(set(QUERIES) | {"ann_ivf_build"}):
+    # Alphabetical order sequences the IVF phases: ann_ivf_build <
+    # ann_ivf_index_save < ann_ivf_persisted_topk < ann_ivf_topk — the
+    # index is built, then saved, before either probe entry runs.
+    for name in sorted(set(QUERIES) | {"ann_ivf_build", "ann_ivf_index_save"}):
         fn = overrides.get(name) or QUERIES[name]
         start = time.time()
         try:

@@ -11,6 +11,8 @@ from scikit_learn_imputer_spark.dedup.simhash import simhash_signatures, simhash
 from scikit_learn_imputer_spark.dedup.spans import (
     boilerplate_grams,
     remove_boilerplate_spans,
+    remove_exact_substrings,
+    repeated_substring_spans,
 )
 from scikit_learn_imputer_spark.dedup.embedding import embedding_near_pairs
 from scikit_learn_imputer_spark.dedup.incremental import (
@@ -39,5 +41,7 @@ __all__ = [
     "simhash_near_pairs",
     "boilerplate_grams",
     "remove_boilerplate_spans",
+    "remove_exact_substrings",
+    "repeated_substring_spans",
     "embedding_near_pairs",
 ]

@@ -239,20 +239,29 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     shard_col: str = "source",
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Packed location of every document under per-shard concat-and-cut:
     ``(id, shard, n_tokens, seq_id, seq_offset, straddles)`` where
     ``seq_id``/``seq_offset`` place the document's first token in the
     shard's stream of ``seq_len``-token training sequences and
-    ``straddles`` marks documents a cut splits across two sequences."""
+    ``straddles`` marks documents a cut splits across two sequences.
+
+    ``token_count_col`` names a PRECOMPUTED per-document token count to
+    pack by (e.g. ``functions/bpe.py:with_bpe_token_counts`` output for
+    tokenizer-faithful budgets); default is the shared whitespace
+    tokenizer."""
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
-    t = F.trim(F.col(text_col))
-    n_tokens = (
-        F.when(F.length(t) == 0, F.lit(0))
-        .otherwise(F.size(F.split(t, "\\s+")))
-        .cast("bigint")
-    )
+    if token_count_col is not None:
+        n_tokens = F.col(token_count_col).cast("bigint")
+    else:
+        t = F.trim(F.col(text_col))
+        n_tokens = (
+            F.when(F.length(t) == 0, F.lit(0))
+            .otherwise(F.size(F.split(t, "\\s+")))
+            .cast("bigint")
+        )
     w = (
         Window.partitionBy(shard_col)
         .orderBy(id_col)

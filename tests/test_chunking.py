@@ -256,3 +256,19 @@ def test_offset_store_seq_len_mismatch_fails_fast(spark, tmp_path):
     commit_offsets(packed, path, seq_len=8)  # matching: round-trips
     # seq_len survives the commit rewrite.
     assert [r[0] for r in spark.read.parquet(path).select("seq_len").distinct().collect()] == [8]
+
+
+def test_pack_sequences_pluggable_token_count(spark):
+    """token_count_col packs by a precomputed count instead of the
+    whitespace tokenizer — cuts land on the supplied budget."""
+    from scikit_learn_imputer_spark.operators.chunking import pack_sequences
+
+    rows = [(1, "ignored", "s", 6), (2, "ignored", "s", 3), (3, "ignored", "s", 4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source", "n_custom"])
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["seq_id"], r["seq_offset"], r["straddles"])
+        for r in pack_sequences(df, seq_len=8, token_count_col="n_custom").collect()
+    }
+    assert out[1] == (6, 0, 0, False)
+    assert out[2] == (3, 0, 6, True)   # 6+3 > 8: straddles the cut
+    assert out[3] == (4, 1, 1, False)  # continues in sequence 1

@@ -571,3 +571,90 @@ def test_bloom_m_bits_sizing():
 
     with pytest.raises(ValueError):
         bloom_m_bits(-1)
+
+
+def test_remove_exact_substrings_merges_overlapping_repeats(spark):
+    """A repeated substring LONGER than min_len is removed in full: its
+    overlapping repeated shingles' covered starts union into the maximal
+    span (the suffix-array-equivalence claim)."""
+    from scikit_learn_imputer_spark.dedup.spans import remove_exact_substrings
+
+    rep = "r1 r2 r3 r4 r5"  # 5-token span repeated across two docs
+    rows = [
+        (0, f"a b {rep} c d"),
+        (1, f"x {rep} y"),
+        (2, "u v w p q s t"),  # unique — untouched
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in remove_exact_substrings(df, min_len=3, min_count=2).collect()
+    }
+    # the WHOLE 5-token span vanishes, not just one 3-gram of it
+    assert out[0]["scrubbed_text"] == "a b c d"
+    assert out[1]["scrubbed_text"] == "x y"
+    assert out[2]["scrubbed_text"] == "u v w p q s t"
+    assert out[0]["n_tokens_before"] == 9 and out[0]["n_tokens_after"] == 4
+
+
+def test_remove_exact_substrings_counts_within_doc_repeats(spark):
+    """Unlike boilerplate min_df (distinct docs), ExactSubstr counts
+    TOTAL occurrences — a span repeated twice inside ONE document is
+    removed even though its document frequency is 1."""
+    from scikit_learn_imputer_spark.dedup.spans import (
+        remove_boilerplate_spans,
+        remove_exact_substrings,
+    )
+
+    rows = [(0, "p q r z p q r"), (1, "a b c d e f g")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ex = {
+        r["doc_id"]: r["scrubbed_text"]
+        for r in remove_exact_substrings(df, min_len=3, min_count=2).collect()
+    }
+    assert ex[0] == "z"
+    assert ex[1] == "a b c d e f g"
+    bp = {
+        r["doc_id"]: r["scrubbed_text"]
+        for r in remove_boilerplate_spans(df, n=3, min_df=2).collect()
+    }
+    assert bp[0] == "p q r z p q r"  # df=1 < 2: boilerplate keeps it
+
+
+def test_repeated_substring_spans_maximal_intervals(spark):
+    """Span inventory: overlapping flagged starts merge into ONE maximal
+    interval; disjoint repeats stay separate rows."""
+    from scikit_learn_imputer_spark.dedup.spans import repeated_substring_spans
+
+    rep1, rep2 = "r1 r2 r3 r4", "s1 s2 s3"
+    rows = [
+        (0, f"{rep1} gap1 gap2 gap3 {rep2}"),
+        (1, f"h1 {rep1} h2 {rep2} h3"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["span_start"]): r["span_len"]
+        for r in repeated_substring_spans(df, min_len=3, min_count=2).collect()
+    }
+    # doc0: rep1 at tokens [0,4), rep2 at [7,10)
+    # doc1: rep1 at [1,5), rep2 at [6,9)
+    assert got == {(0, 0): 4, (0, 7): 3, (1, 1): 4, (1, 6): 3}
+
+
+def test_exact_substrings_param_validation(spark):
+    import pytest
+
+    from scikit_learn_imputer_spark.dedup.spans import (
+        remove_exact_substrings,
+        repeated_substring_spans,
+    )
+
+    df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        remove_exact_substrings(df, min_len=0)
+    with pytest.raises(ValueError):
+        remove_exact_substrings(df, min_count=1)
+    with pytest.raises(ValueError):
+        repeated_substring_spans(df, min_len=0)
+    with pytest.raises(ValueError):
+        repeated_substring_spans(df, min_count=1)

@@ -213,3 +213,19 @@ def test_register_rejects_duplicate_query_names():
     with _pytest.raises(ValueError, match="already registered"):
         register("missing_metrics", oracle="SELECT 1")
     assert QUERIES == before
+
+
+def test_docs_carry_current_registry_counts():
+    """VERDICT r5 #4: README/COVERAGE 'Correctness' counts must track the
+    registry — stale numbers misreport the verified surface."""
+    import os
+
+    from scikit_learn_imputer_spark.plans.queries import ANCHORS, ORACLE, QUERIES
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    claim = f"{len(ORACLE)} of {len(QUERIES)} queries"
+    readme = open(os.path.join(root, "README.md")).read()
+    assert claim in readme, f"README Correctness section out of date: want {claim!r}"
+    assert f"The {len(ANCHORS)} rows-only entries" in readme
+    cov = open(os.path.join(root, "COVERAGE.md")).read()
+    assert f"{len(QUERIES)} registered queries, {len(ORACLE)} DuckDB-oracled" in cov

@@ -216,3 +216,42 @@ def test_bigram_lm_scores_rank_garbage_below_prose(spark):
     assert all(i in got for i in range(4)) and 90 in got
     worst_prose = min(got[i] for i in range(4))
     assert got[90] < worst_prose  # noise scores strictly lower
+
+
+def test_bpe_greedy_longest_prefix_semantics(spark):
+    """Pinned-vocab greedy segmentation: longest prefix wins, unknown
+    chars count 1 each, empty/null texts count 0."""
+    from scikit_learn_imputer_spark.functions.bpe import (
+        DEFAULT_BPE_VOCAB,
+        bpe_token_counts,
+        count_word_tokens,
+    )
+
+    vs = frozenset(DEFAULT_BPE_VOCAB)
+    lens = tuple(sorted({len(v) for v in DEFAULT_BPE_VOCAB}, reverse=True))
+    # customer = cus|tom|er; batch = b|a|t|c|h; query = que|ry
+    assert count_word_tokens("customer", vs, lens) == 3
+    assert count_word_tokens("batch", vs, lens) == 5
+    assert count_word_tokens("query", vs, lens) == 2
+    assert count_word_tokens("fast", vs, lens) == 2
+
+    df = spark.createDataFrame(
+        [(0, "customer query"), (1, ""), (2, None), (3, "  fast  fast ")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_counts(df).collect()}
+    assert got == {0: 5, 1: 0, 2: 0, 3: 4}
+
+
+def test_bpe_vocab_validation():
+    import pytest
+
+    from scikit_learn_imputer_spark.functions.bpe import validate_vocab, vocab_values_sql
+
+    with pytest.raises(ValueError):
+        validate_vocab(())
+    with pytest.raises(ValueError):
+        validate_vocab(("a b",))
+    with pytest.raises(ValueError):
+        validate_vocab(("it's",))
+    assert vocab_values_sql(("ab", "c")) == "('ab'), ('c')"
