@@ -1,0 +1,102 @@
+"""Deterministic seeded global shuffle — the corpus→training-run handoff.
+
+Training consumes packed sequences in a RANDOM BUT REPRODUCIBLE order;
+"shuffle then shard" must give every worker the same permutation on
+every re-run. The engine's permutation is pure data: order by
+``md5(seed : key...)`` (ties — md5 collisions — broken by the key
+columns themselves), so the same seed always yields the same order on
+any cluster, any partitioning.
+
+The explicit global POSITION is computed without a single-partition
+window and without ``repartitionByRange`` (whose sampled boundaries are
+not deterministic across re-evaluations):
+
+1. bucket = the first ``bucket_chars`` hex chars of the md5 key — a
+   DETERMINISTIC partition assignment; uniform because md5 is. Hex
+   prefix order == key order, so (bucket, key) sorts identically to key.
+2. per-bucket local rank: one shuffle on the bucket key, row_number
+   over a window PARTITIONED by bucket (each window partition is one
+   bucket — executor-sized by construction; 2 chars = 256 buckets,
+   3 = 4096 for bigger clusters).
+3. bucket offsets: a count per bucket (O(buckets) rows after map-side
+   partial aggregation) cumulated with a window over that TINY frame,
+   broadcast back.
+
+position = offset(bucket) + local_rank — an exact 1-based global rank
+over the seeded order. Cost: two passes over the (narrow) input — one
+for counts, one for ranks — and one bucket shuffle; no sampling jobs,
+no driver state, no skew (md5-uniform buckets).
+
+No reference counterpart (single-node imputer); published precedent is
+the shard-shuffle stage of every LM data pipeline (e.g. T5/C4 and
+Megatron data loaders consume a seeded permutation of packed samples).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def seeded_shuffle_key(key_cols: list[str], seed: int):
+    """``md5(seed:col1:col2:...)`` — the deterministic shuffle key."""
+    return F.md5(
+        F.concat_ws(
+            ":", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]
+        )
+    )
+
+
+def seeded_global_shuffle(
+    df: DataFrame,
+    key_cols: list[str],
+    seed: int = 0,
+    position_col: str = "position",
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """All input columns plus ``position`` — the row's 1-based rank in
+    the seeded pseudo-random total order. ``key_cols`` must identify
+    rows uniquely (they break md5 ties, making the permutation total).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if not (1 <= bucket_chars <= 8):
+        raise ValueError(f"bucket_chars must be in [1, 8], got {bucket_chars}")
+    keyed = df.withColumn("__k", seeded_shuffle_key(key_cols, seed)).withColumn(
+        "__b", F.substring("__k", 1, bucket_chars)
+    )
+    counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    # O(16^bucket_chars)-row frame: the global-order window here ranks
+    # BUCKETS, not data.
+    woff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b",
+        F.coalesce(F.sum("__n").over(woff), F.lit(0).cast("bigint")).alias("__off"),
+    )
+    wloc = Window.partitionBy("__b").orderBy("__k", *key_cols)
+    return (
+        keyed.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            position_col,
+            (F.col("__off") + F.row_number().over(wloc)).cast("bigint"),
+        )
+        .drop("__k", "__b", "__off")
+    )
+
+
+def shuffle_sequences(
+    packed: DataFrame,
+    seed: int = 0,
+    shard_col: str = "source",
+    seq_col: str = "seq_id",
+    position_col: str = "position",
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Seeded training order of PACKED SEQUENCES: distinct
+    ``(shard, seq_id)`` units from a ``pack_sequences`` result, each
+    assigned its position in the reproducible global permutation — the
+    frame a training loader consumes (write sorted by ``position``)."""
+    seqs = packed.select(shard_col, seq_col).distinct()
+    return seeded_global_shuffle(
+        seqs, [shard_col, seq_col], seed, position_col, bucket_chars
+    )

@@ -889,6 +889,46 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
 
 
+@register(
+    "shuffle_sequences",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM t
+), seqs AS (
+  SELECT DISTINCT source, CAST(cum_prev // 512 AS BIGINT) AS seq_id FROM c
+)
+SELECT source, seq_id,
+       CAST(row_number() OVER (
+         ORDER BY md5('42:' || source || ':' || CAST(seq_id AS VARCHAR)),
+                  source, seq_id
+       ) AS BIGINT) AS position
+FROM seqs
+""",
+)
+def q_shuffle_sequences(spark, sf_dir):
+    """Seeded training-order shuffle of packed sequences
+    (operators/shuffle.py): every (shard, seq_id) unit gets its 1-based
+    position in the md5(seed:...)-keyed global permutation — the
+    reproducible order a training loader consumes. The global rank is
+    two-phase (hash-prefix buckets + broadcast offsets): deterministic
+    (no repartitionByRange sampling), no single-partition window, the
+    only global-order window ranks the O(256)-row bucket-count frame."""
+    from scikit_learn_imputer_spark.operators.chunking import pack_sequences
+    from scikit_learn_imputer_spark.operators.shuffle import shuffle_sequences
+
+    packed = pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+    return shuffle_sequences(packed, seed=42)
+
+
 def _bpe_cte() -> str:
     """Shared recursive-CTE segmentation over the pinned vocab — the SQL
     twin of functions/bpe.py's greedy longest-prefix-match counter.
