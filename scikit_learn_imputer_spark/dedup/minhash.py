@@ -95,11 +95,30 @@ def minhash_candidate_pairs(
     text_col: str = "text",
     max_bucket: int = 1000,
     hasher: str = "fast",
+    heavy: str = "drop",
 ) -> DataFrame:
     """(id_a, id_b, est_jaccard) candidate near-dup pairs from banded LSH;
     est_jaccard = fraction of matching signature components.
     ``hasher='md5'`` makes the result oracle-reproducible (banding is a
-    pure function of the signatures, so candidates are too)."""
+    pure function of the signatures, so candidates are too).
+
+    ``heavy`` picks the oversized-bucket strategy (VERDICT r5 #8):
+
+    - ``'drop'`` (default): buckets larger than ``max_bucket`` are
+      dropped — the cheap classic guard, loses their pairs.
+    - ``'salt'``: oversized buckets keep FULL recall through a salted
+      two-stage self-join. Members are split into ``g = ceil(bsize /
+      max_bucket)`` deterministic hash chunks; the probe side fans out
+      to every chunk id while the build side carries one chunk each, so
+      the join key becomes (band, bucket, chunk) and no single task
+      ever pairs more than ``bsize × max_bucket`` rows. Total work for
+      a pathological bucket is still O(bsize²) — that is what full
+      recall costs — but it is spread over g tasks instead of one
+      straggler, and the output is EXACTLY the uncapped-LSH pair set
+      (which is why the salted variant shares the uncapped oracle).
+    """
+    if heavy not in ("drop", "salt"):
+        raise ValueError(f"heavy must be 'drop' or 'salt', got {heavy!r}")
     k = num_hashes
     rows_per_band = k // bands
     # One row per doc; feeds `bands` union branches, the skew guard, and
@@ -127,37 +146,62 @@ def minhash_candidate_pairs(
         )
     banded = reduce(DataFrame.unionByName, band_frames)
 
-    # Skew guard: drop degenerate buckets before the pair join.
+    # Skew guard: size every bucket before the pair join.
     bucket_sizes = banded.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("bsize")
     )
-    banded = banded.join(
-        bucket_sizes.filter(F.col("bsize") <= max_bucket).select("band", "bucket"),
-        on=["band", "bucket"],
-        how="left_semi",
-    )
 
-    left = banded.select(
-        "band",
-        "bucket",
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"sig_{i}").alias(f"la_{i}") for i in range(k)],
-    )
-    right = banded.select(
-        "band",
-        "bucket",
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"sig_{i}").alias(f"lb_{i}") for i in range(k)],
-    )
+    def pair_cols(frame, side, extra):
+        return frame.select(
+            "band",
+            "bucket",
+            *extra,
+            F.col(id_col).alias(f"id_{side}"),
+            *[F.col(f"sig_{i}").alias(f"l{side}_{i}") for i in range(k)],
+        )
+
     matches = sum(
         F.when(F.col(f"la_{i}") == F.col(f"lb_{i}"), 1).otherwise(0)
         for i in range(k)
     )
-    return (
-        left.join(right, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", (matches.cast("double") / k).alias("est_jaccard")
+
+    def finish(pairs):
+        return (
+            pairs.filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b", (matches.cast("double") / k).alias("est_jaccard")
+            )
+            .dropDuplicates(["id_a", "id_b"])
         )
-        .dropDuplicates(["id_a", "id_b"])
+
+    if heavy == "drop":
+        small = banded.join(
+            bucket_sizes.filter(F.col("bsize") <= max_bucket).select(
+                "band", "bucket"
+            ),
+            on=["band", "bucket"],
+            how="left_semi",
+        )
+        return finish(
+            pair_cols(small, "a", []).join(
+                pair_cols(small, "b", []), on=["band", "bucket"]
+            )
+        )
+
+    sized = banded.join(bucket_sizes, on=["band", "bucket"])
+    small = sized.filter(F.col("bsize") <= max_bucket)
+    big = sized.filter(F.col("bsize") > max_bucket)
+    small_pairs = pair_cols(small, "a", []).join(
+        pair_cols(small, "b", []), on=["band", "bucket"]
     )
+    # Salted two-stage join over oversized buckets: build side carries a
+    # deterministic chunk id, probe side fans out to all g chunks — the
+    # (band, bucket, __c) key bounds per-task pair work at bsize × max_bucket.
+    g = F.ceil(F.col("bsize") / F.lit(max_bucket)).cast("int")
+    chunk = F.pmod(F.xxhash64(F.lit(7), F.col(id_col).cast("string")), g).cast("int")
+    build = pair_cols(big.withColumn("__c", chunk), "b", ["__c"])
+    probe = pair_cols(
+        big.withColumn("__c", F.explode(F.sequence(F.lit(0), g - 1))), "a", ["__c"]
+    )
+    big_pairs = probe.join(build, on=["band", "bucket", "__c"]).drop("__c")
+    return finish(small_pairs.unionByName(big_pairs))

@@ -1967,6 +1967,31 @@ def q_minhash_candidates_md5(spark, sf_dir):
     )
 
 
+@register("minhash_candidates_salted_md5", oracle=_minhash_candidates_oracle_sql())
+def q_minhash_candidates_salted_md5(spark, sf_dir):
+    """Skew-salted LSH candidates (VERDICT r5 #8): max_bucket=20 forces
+    many buckets onto the salted two-stage join path (probe fans out to
+    g=ceil(bsize/20) deterministic hash chunks; per-task pair work is
+    bounded at bsize×max_bucket), yet the output is EXACTLY the
+    uncapped-LSH pair set — so it shares minhash_candidates_md5's
+    oracle. Full recall on pathological boilerplate buckets without the
+    single-straggler task the plain uncapped join would create."""
+    from scikit_learn_imputer_spark.dedup.minhash import minhash_candidate_pairs
+
+    out = minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_MINHASH_K,
+        bands=_MINHASH_K // 4,
+        shingle=5,
+        hasher="md5",
+        max_bucket=20,
+        heavy="salt",
+    )
+    return out.select(
+        "id_a", "id_b", F.round(F.col("est_jaccard"), 6).alias("est_jaccard")
+    )
+
+
 @register(
     "simhash_md5",
     oracle=f"""
