@@ -100,3 +100,26 @@ def shuffle_sequences(
     return seeded_global_shuffle(
         seqs, [shard_col, seq_col], seed, position_col, bucket_chars
     )
+
+
+def training_shards(
+    shuffled: DataFrame,
+    shard_size: int,
+    position_col: str = "position",
+) -> DataFrame:
+    """Shard manifest of a shuffled sequence set: ``shard_id =
+    (position-1) // shard_size`` (contiguous permutation ranges — what a
+    data loader maps to files/workers), with per-shard sequence count
+    and position range. One small aggregate; writing the actual shards
+    is ``partitionBy('shard_id')`` on the same expression."""
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1, got {shard_size}")
+    shard = F.floor((F.col(position_col) - 1) / shard_size).cast("bigint")
+    return (
+        shuffled.groupBy(shard.alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sequences"),
+            F.min(position_col).cast("bigint").alias("first_position"),
+            F.max(position_col).cast("bigint").alias("last_position"),
+        )
+    )

@@ -889,6 +889,88 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
 
 
+def _rep_grams_cte(n: int) -> str:
+    """grams{n}(doc_id, start, g) — positioned word n-grams, shared by the
+    repetition-signal oracle branches."""
+    return rf"""grams{n} AS (
+  SELECT doc_id, CAST(s.i AS INT) AS start,
+         array_to_string(tk[s.i + 1 : s.i + {n}], ' ') AS g
+  FROM rtoks, LATERAL unnest(generate_series(0, len(tk) - {n}, 1)) AS s(i)
+  WHERE len(tk) >= {n}
+)"""
+
+
+@register(
+    "repetition_signals",
+    oracle=rf"""
+WITH rtoks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE str_split_regex(trim(text), '\s+') END AS tk
+  FROM documents
+), {_rep_grams_cte(2)}, {_rep_grams_cte(3)}, {_rep_grams_cte(5)}, {_rep_grams_cte(8)},
+top2 AS (
+  SELECT doc_id, max(c) * 2 AS toptok
+  FROM (SELECT doc_id, g, count(*) AS c FROM grams2 GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+top3 AS (
+  SELECT doc_id, max(c) * 3 AS toptok
+  FROM (SELECT doc_id, g, count(*) AS c FROM grams3 GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+dup5 AS (
+  SELECT doc_id, count(DISTINCT i) AS duptok
+  FROM (
+    SELECT g.doc_id, g.start + u.o AS i
+    FROM grams5 g
+    JOIN (SELECT doc_id, g AS gg FROM grams5 GROUP BY doc_id, g
+          HAVING count(*) >= 2) r
+      ON g.doc_id = r.doc_id AND g.g = r.gg,
+    LATERAL unnest(generate_series(0, 4, 1)) AS u(o)
+  ) GROUP BY doc_id
+),
+dup8 AS (
+  SELECT doc_id, count(DISTINCT i) AS duptok
+  FROM (
+    SELECT g.doc_id, g.start + u.o AS i
+    FROM grams8 g
+    JOIN (SELECT doc_id, g AS gg FROM grams8 GROUP BY doc_id, g
+          HAVING count(*) >= 2) r
+      ON g.doc_id = r.doc_id AND g.g = r.gg,
+    LATERAL unnest(generate_series(0, 7, 1)) AS u(o)
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       round(CAST(coalesce(top2.toptok, 0) AS DOUBLE)
+             / greatest(len(tk), 1), 9) AS top2_frac,
+       round(CAST(coalesce(top3.toptok, 0) AS DOUBLE)
+             / greatest(len(tk), 1), 9) AS top3_frac,
+       round(CAST(coalesce(dup5.duptok, 0) AS DOUBLE)
+             / greatest(len(tk), 1), 9) AS dup5_frac,
+       round(CAST(coalesce(dup8.duptok, 0) AS DOUBLE)
+             / greatest(len(tk), 1), 9) AS dup8_frac
+FROM rtoks t
+LEFT JOIN top2 USING (doc_id)
+LEFT JOIN top3 USING (doc_id)
+LEFT JOIN dup5 USING (doc_id)
+LEFT JOIN dup8 USING (doc_id)
+""",
+)
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style within-document repetition filters
+    (functions/repetition.py; Rae et al. 2021 §A1.1, reused by
+    RefinedWeb/Dolma): per doc, the token fraction consumed by the most
+    frequent 2-/3-gram (overlapping occurrences) and the fraction
+    covered by ALL within-doc-repeated 5-/8-grams. Token-denominated
+    (documented divergence from the char version) so the whole signal
+    set is DuckDB-oracled. One explode+aggregate per n; per-doc
+    coverage state bounded by the doc's own length."""
+    from scikit_learn_imputer_spark.functions.repetition import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
 @register(
     "shuffle_sequences",
     oracle=r"""
@@ -927,6 +1009,53 @@ def q_shuffle_sequences(spark, sf_dir):
 
     packed = pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
     return shuffle_sequences(packed, seed=42)
+
+
+@register(
+    "training_shards",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM t
+), seqs AS (
+  SELECT DISTINCT source, CAST(cum_prev // 512 AS BIGINT) AS seq_id FROM c
+), pos AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY md5('42:' || source || ':' || CAST(seq_id AS VARCHAR)),
+                    source, seq_id
+         ) AS BIGINT) AS position
+  FROM seqs
+)
+SELECT CAST((position - 1) // 16 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_sequences,
+       CAST(min(position) AS BIGINT) AS first_position,
+       CAST(max(position) AS BIGINT) AS last_position
+FROM pos GROUP BY 1
+""",
+)
+def q_training_shards(spark, sf_dir):
+    """Training-shard manifest over the shuffled sequence permutation
+    (operators/shuffle.py:training_shards): contiguous position ranges
+    of 16 sequences per shard — counts and ranges per shard, the
+    loader-facing index. A small aggregate on top of shuffle_sequences;
+    the physical shard write is the same expression as a partitionBy
+    column."""
+    from scikit_learn_imputer_spark.operators.chunking import pack_sequences
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        shuffle_sequences,
+        training_shards,
+    )
+
+    packed = pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+    return training_shards(shuffle_sequences(packed, seed=42), shard_size=16)
 
 
 def _bpe_cte() -> str:

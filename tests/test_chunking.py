@@ -367,3 +367,22 @@ def test_stream_pack_ingest_restart_from_checkpoint(spark, sf_smoke, tmp_path):
         (r["source"], r["cum_tokens"]) for r in spark.read.parquet(p).collect()
     )
     assert st(store) == st(store2)
+
+
+def test_training_shards_contiguous_ranges(spark):
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        seeded_global_shuffle,
+        training_shards,
+    )
+
+    df = spark.createDataFrame([(f"s{i}", i) for i in range(37)], ["source", "seq_id"])
+    sh = seeded_global_shuffle(df, ["source", "seq_id"], seed=1)
+    got = {
+        r["shard_id"]: (r["n_sequences"], r["first_position"], r["last_position"])
+        for r in training_shards(sh, shard_size=10).collect()
+    }
+    assert got == {0: (10, 1, 10), 1: (10, 11, 20), 2: (10, 21, 30), 3: (7, 31, 37)}
+    import pytest
+
+    with pytest.raises(ValueError):
+        training_shards(sh, 0)

@@ -255,3 +255,40 @@ def test_bpe_vocab_validation():
     with pytest.raises(ValueError):
         validate_vocab(("it's",))
     assert vocab_values_sql(("ab", "c")) == "('ab'), ('c')"
+
+
+def test_repetition_signals_known_values(spark):
+    """Hand-computed Gopher repetition fractions: overlapping top-gram
+    occurrences, union coverage for duplicated grams."""
+    from scikit_learn_imputer_spark.functions.repetition import repetition_signals
+
+    rows = [
+        # 'a a a a': top-2gram 'a a' occurs 3x (overlapping) -> 3*2/4 = 1.5
+        (0, "a a a a"),
+        # 10 tokens; 'x y z p q' repeated at starts 0 and 5 -> dup5 covers all 10
+        (1, "x y z p q x y z p q"),
+        # no repeats at all
+        (2, "u v w r s t m n o k"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in repetition_signals(df, top_ns=(2,), dup_ns=(5,)).collect()
+    }
+    assert got[0]["top2_frac"] == 1.5
+    assert got[0]["n_tokens"] == 4
+    assert got[1]["dup5_frac"] == 1.0
+    # top-2gram of doc1: 'x y' (and others) occur 2x -> 2*2/10 = 0.4
+    assert got[1]["top2_frac"] == 0.4
+    assert got[2]["dup5_frac"] == 0.0
+    # every 2-gram of doc2 occurs once -> 2/10
+    assert got[2]["top2_frac"] == 0.2
+    # doc shorter than n scores 0
+    one = spark.createDataFrame([(9, "solo")], ["doc_id", "text"])
+    r = repetition_signals(one, top_ns=(2,), dup_ns=(5,)).collect()[0]
+    assert r["top2_frac"] == 0.0 and r["dup5_frac"] == 0.0 and r["n_tokens"] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        repetition_signals(df, top_ns=(0,))
