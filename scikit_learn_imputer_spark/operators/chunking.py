@@ -184,12 +184,14 @@ def commit_offsets(
         )
     )
     # The store must be fully materialized before overwriting its own
-    # source path.
+    # source path. parallelize(rows, 1) writes the tiny store as ONE
+    # slice — createDataFrame + coalesce(1) would evaluate
+    # defaultParallelism Python slices serially through one task
+    # (seconds of worker roundtrips for a handful of rows).
     rows = merged.collect()  # O(#shards)
     (
-        spark.createDataFrame(rows, merged.schema)
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), merged.schema)
         .withColumn("seq_len", F.lit(seq_len).cast("bigint"))
-        .coalesce(1)
         .write.mode("overwrite")
         .parquet(store_path)
     )

@@ -1146,6 +1146,52 @@ def q_pack_sequences_bpe(spark, sf_dir):
 
 
 @register(
+    "corpus_training_manifest",
+    oracle=f"""
+WITH RECURSIVE {_bpe_cte()},
+c AS (
+  SELECT doc_id, source, n_bpe_tokens,
+         CAST(coalesce(sum(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM bcounts
+), seqs AS (
+  SELECT DISTINCT source, CAST(cum_prev // 512 AS BIGINT) AS seq_id FROM c
+), pos AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY md5('42:' || source || ':' || CAST(seq_id AS VARCHAR)),
+                    source, seq_id
+         ) AS BIGINT) AS position
+  FROM seqs
+)
+SELECT CAST((position - 1) // 16 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_sequences,
+       CAST(min(position) AS BIGINT) AS first_position,
+       CAST(max(position) AS BIGINT) AS last_position
+FROM pos GROUP BY 1
+""",
+)
+def q_corpus_training_manifest(spark, sf_dir):
+    """Flagship composite for the corpus→training-run handoff, chaining
+    the round-6 operators END TO END in one lazy plan: BPE token counts
+    (tokenizer-faithful budget) → per-shard concat-and-cut packing at
+    512 tokens → seeded global shuffle (seed 42) → contiguous
+    training shards of 16 sequences. Every stage has an exact SQL twin,
+    so the COMPOSITION is oracled — the loader-facing manifest is
+    hash-checked end to end."""
+    from scikit_learn_imputer_spark.functions.bpe import with_bpe_token_counts
+    from scikit_learn_imputer_spark.operators.chunking import pack_sequences
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        shuffle_sequences,
+        training_shards,
+    )
+
+    docs = with_bpe_token_counts(_t(spark, sf_dir, "documents"))
+    packed = pack_sequences(docs, seq_len=512, token_count_col="n_bpe_tokens")
+    return training_shards(shuffle_sequences(packed, seed=42), shard_size=16)
+
+
+@register(
     "quality_weighted_sample",
     oracle=f"""
 WITH q AS (
