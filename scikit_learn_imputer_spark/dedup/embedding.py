@@ -177,3 +177,54 @@ def embedding_near_pairs_lsh(
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semdedup_survivors(
+    df: DataFrame,
+    eps: float = 0.42,
+    assigned: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop semantic
+    duplicates — documents whose embeddings are within ``eps`` cosine of
+    a kept representative. Deterministic keep rule (documented variant):
+    a document is dropped iff it has a SMALLER-ID neighbor with cosine
+    >= eps in its cluster; the paper keeps the member farthest from the
+    cluster centroid, which depends on centroid floats — min-id keeps
+    the operator engine-portable and the exact variant ORACLE-able.
+
+    ``assigned`` (id, cell) scopes the pair search to clusters — the
+    paper's actual trick: pairs form per cell (one equi-join shuffle on
+    the cell key, per-cell quadratic bounded by cell size), never
+    corpus×corpus. ``assigned=None`` is the single-cluster EXACT
+    variant — the small-SF correctness baseline (quadratic; same role
+    as embedding_near_pairs)."""
+    if assigned is None:
+        pairs = embedding_near_pairs(df, threshold=eps, id_col=id_col, vec_col=vec_col)
+    else:
+        tagged = df.join(assigned.select(id_col, "cell"), id_col)
+        a = tagged.select(
+            F.col("cell"),
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).cast("array<double>").alias("va"),
+        ).withColumn("na", norm(F.col("va")))
+        b = tagged.select(
+            F.col("cell"),
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).cast("array<double>").alias("vb"),
+        ).withColumn("nb", norm(F.col("vb")))
+        pairs = (
+            a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                    "cosine"
+                ),
+            )
+            .filter(F.col("cosine") >= eps)
+        )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.select(id_col).join(dropped, id_col, "left_anti")

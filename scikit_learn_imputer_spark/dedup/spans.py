@@ -192,6 +192,15 @@ def _remove_covered(
         )
     finally:
         grams.unpersist()
+    return _scrub_with_covered(df, covered, n, id_col, text_col)
+
+
+def _scrub_with_covered(
+    df: DataFrame, covered: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Rebuild each document without the tokens covered by the per-doc
+    flagged start sets (``covered``: id -> array of n-gram starts) — one
+    left join plus array expressions, text never shuffles."""
     t = F.trim(F.col(text_col))
     toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, "\\s+")
@@ -215,6 +224,42 @@ def _remove_covered(
             ),
         )
     )
+
+
+def scrub_benchmark_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level decontamination: delete from every corpus document the
+    token spans covered by word n-grams THAT APPEAR IN THE BENCHMARK,
+    keeping the rest of the document — the surgical alternative to
+    whole-document dropping (``dedup/exact.py:decontaminate_ngram``)
+    when eval leakage is a quoted snippet inside an otherwise-clean
+    page. Overlapping benchmark grams merge into maximal leaked spans
+    via the same covered-start union as the boilerplate/ExactSubstr
+    scrubbers.
+
+    Scale shape: benchmark grams collapse to a distinct digest set
+    (small by construction — it is an eval set); the corpus side is one
+    positioned-gram explode semi-joined against those digests (AQE
+    broadcasts the benchmark side), then the per-doc covered-start
+    rebuild. The corpus text never shuffles."""
+    bench_fp = (
+        positioned_ngrams(benchmark, n, id_col, text_col)
+        .select(F.md5("__gram").alias("__gram_fp"))
+        .distinct()
+    )
+    covered = (
+        positioned_ngrams(corpus, n, id_col, text_col)
+        .select(id_col, "__start", F.md5("__gram").alias("__gram_fp"))
+        .join(bench_fp, "__gram_fp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("__start").alias("__starts"))
+    )
+    return _scrub_with_covered(corpus, covered, n, id_col, text_col)
 
 
 def repeated_substring_spans(

@@ -972,6 +972,44 @@ def q_repetition_signals(spark, sf_dir):
 
 
 @register(
+    "gopher_quality_gate",
+    oracle="""
+WITH rep AS ({rep})
+SELECT doc_id, n_tokens,
+       (n_tokens BETWEEN 30 AND 95
+        AND top2_frac <= 0.12 AND top3_frac <= 0.10
+        AND dup5_frac <= 0.15 AND dup8_frac <= 0.10) AS passes
+FROM rep
+""",
+)
+def q_gopher_quality_gate(spark, sf_dir):
+    """Gopher-rule document gate (Rae et al. 2021 §A1.1): pass iff the
+    token count sits in [30, 95] AND every repetition signal is under
+    its threshold (top-2-gram <= 0.12, top-3 <= 0.10, dup-5 <= 0.15,
+    dup-8 <= 0.10 — token-denominated analogues of the paper's
+    char-based cuts, tuned so each rule binds on this corpus). Composes
+    repetition_signals with a pure boolean projection; the whole gate is
+    oracled, so the kept-set is hash-checked — the filter a production
+    pipeline would put directly before dedup."""
+    from scikit_learn_imputer_spark.functions.repetition import repetition_signals
+
+    rep = repetition_signals(_t(spark, sf_dir, "documents"))
+    passes = (
+        F.col("n_tokens").between(30, 95)
+        & (F.col("top2_frac") <= 0.12)
+        & (F.col("top3_frac") <= 0.10)
+        & (F.col("dup5_frac") <= 0.15)
+        & (F.col("dup8_frac") <= 0.10)
+    )
+    return rep.select("doc_id", "n_tokens", passes.alias("passes"))
+
+
+ORACLE["gopher_quality_gate"] = ORACLE["gopher_quality_gate"].replace(
+    "{rep}", ORACLE["repetition_signals"]
+)
+
+
+@register(
     "shuffle_sequences",
     oracle=r"""
 WITH t AS (
@@ -1275,6 +1313,67 @@ def q_decontaminate_ngram_corpus(spark, sf_dir):
 
 
 @register(
+    "scrub_benchmark_spans",
+    oracle=r"""
+WITH btoks AS (
+  SELECT str_split_regex(trim(text), '\s+') AS tk
+  FROM documents WHERE doc_id % 100 < 2 AND length(trim(text)) > 0
+), bg AS (
+  SELECT DISTINCT array_to_string(tk[s.i + 1 : s.i + 5], ' ') AS g
+  FROM btoks, LATERAL unnest(generate_series(0, len(tk) - 5, 1)) AS s(i)
+  WHERE len(tk) >= 5
+), ctoks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE str_split_regex(trim(text), '\s+') END AS tk
+  FROM documents WHERE doc_id % 100 >= 2
+), cg AS (
+  SELECT doc_id, CAST(s.i AS INT) AS start,
+         array_to_string(tk[s.i + 1 : s.i + 5], ' ') AS g
+  FROM ctoks, LATERAL unnest(generate_series(0, len(tk) - 5, 1)) AS s(i)
+  WHERE len(tk) >= 5
+), cov AS (
+  SELECT DISTINCT cg.doc_id, cg.start FROM cg JOIN bg USING (g)
+), tokpos AS (
+  SELECT doc_id, CAST(p.i AS INT) AS i, tk[p.i + 1] AS tok
+  FROM ctoks, LATERAL unnest(generate_series(0, len(tk) - 1, 1)) AS p(i)
+  WHERE len(tk) > 0
+), kept AS (
+  SELECT t.doc_id, t.i, t.tok
+  FROM tokpos t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov c
+    WHERE c.doc_id = t.doc_id AND c.start <= t.i AND t.i < c.start + 5
+  )
+)
+SELECT ctoks.doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens_before,
+       CAST(coalesce(k.cnt, 0) AS BIGINT) AS n_tokens_after,
+       coalesce(k.txt, '') AS scrubbed_text
+FROM ctoks
+LEFT JOIN (
+  SELECT doc_id, count(*) AS cnt, string_agg(tok, ' ' ORDER BY i) AS txt
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+""",
+)
+def q_scrub_benchmark_spans(spark, sf_dir):
+    """Span-level decontamination (dedup/spans.py:scrub_benchmark_spans):
+    word 5-grams appearing in the pseudo eval set (doc_id % 100 < 2) are
+    deleted from every remaining corpus document, keeping the
+    surrounding text — the surgical alternative to
+    decontaminate_ngram_corpus's whole-document drop. Benchmark grams
+    collapse to broadcast digests; corpus text never shuffles; full
+    DuckDB rebuild oracle."""
+    from scikit_learn_imputer_spark.dedup.spans import scrub_benchmark_spans
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 100 < 2)
+    corpus = d.filter(F.col("doc_id") % 100 >= 2)
+    return scrub_benchmark_spans(corpus, bench, n=5)
+
+
+@register(
     "corpus_mixture_sample",
     oracle=rf"""
 WITH q AS (
@@ -1372,6 +1471,59 @@ def q_embedding_near_pairs(spark, sf_dir):
     return pairs.select(
         "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")
     )
+
+
+@register(
+    "semdedup_exact",
+    oracle="""
+SELECT a.vec_id FROM embeddings a
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings b
+  WHERE b.vec_id < a.vec_id
+    AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.42
+)
+""",
+)
+def q_semdedup_exact(spark, sf_dir):
+    """SemDeDup survivors, exact single-cluster variant
+    (dedup/embedding.py:semdedup_survivors; Abbas et al. 2023): keep a
+    vector iff it has NO smaller-id neighbor with cosine >= 0.42 —
+    the deterministic min-id keep rule, fully oracled. The quadratic
+    baseline for the clustered scale path (semdedup_clustered)."""
+    from scikit_learn_imputer_spark.dedup.embedding import semdedup_survivors
+
+    return semdedup_survivors(_t(spark, sf_dir, "embeddings"), eps=0.42)
+
+
+@register(
+    "semdedup_clustered",
+    anchor="tests/test_dedup_similarity.py::test_semdedup_clustered_consistency",
+)
+def q_semdedup_clustered(spark, sf_dir):
+    """SemDeDup at the paper's actual scale shape: KMeans cells scope the
+    pair search (one equi-join shuffle on the cell key, per-cell
+    quadratic bounded by cell size — never corpus x corpus). Rows-only:
+    the MLlib KMeans assignment is seeded but not SQL-reproducible;
+    anchored by the planted-duplicates consistency test, with
+    semdedup_exact as the oracled twin of the keep rule."""
+    from scikit_learn_imputer_spark.dedup.embedding import semdedup_survivors
+    from scikit_learn_imputer_spark.similarity.ivf import build_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = build_ivf_index(
+        emb, nlist=8, max_iter=3, init_mode="random", build_partitions=4
+    )
+    # Materialize the (small) survivor-id frame BEFORE releasing the
+    # KMeans assignment cache — same eager-then-unpersist order the
+    # ivfpq query uses (ADVICE r5: unpersist-before-evaluate silently
+    # recomputes the index inside the timed run).
+    out = semdedup_survivors(emb, eps=0.42, assigned=assigned).localCheckpoint(
+        eager=True
+    )
+    assigned.unpersist()
+    return out
 
 
 @register("embedding_near_pairs_blas", oracle=ORACLE["embedding_near_pairs"])

@@ -690,3 +690,89 @@ def test_minhash_salted_heavy_bucket_keeps_recall(spark):
 
     with pytest.raises(ValueError):
         minhash_candidate_pairs(df, heavy="nope")
+
+
+def test_semdedup_exact_min_id_keep_rule(spark):
+    """Planted duplicate groups: exactly the min-id member of each
+    near-identical group survives; isolated vectors all survive."""
+    import numpy as np
+
+    from scikit_learn_imputer_spark.dedup.embedding import semdedup_survivors
+
+    rng = np.random.RandomState(3)
+    base1, base2 = rng.randn(16), rng.randn(16)
+    rows = []
+    for i in range(5):  # group A: ids 0..4, tiny jitter
+        rows.append((i, [float(x) for x in base1 + rng.randn(16) * 1e-3]))
+    for i in range(3):  # group B: ids 10..12
+        rows.append((10 + i, [float(x) for x in base2 + rng.randn(16) * 1e-3]))
+    for i in range(4):  # isolated: ids 20..23
+        rows.append((20 + i, [float(x) for x in rng.randn(16)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = sorted(
+        r["vec_id"] for r in semdedup_survivors(df, eps=0.95).collect()
+    )
+    assert kept == [0, 10, 20, 21, 22, 23]
+
+
+def test_semdedup_clustered_consistency(spark):
+    """ANCHOR for semdedup_clustered (rows-only: KMeans cells are not
+    SQL-reproducible). Invariants: (1) survivors form a subset of ids
+    whose dropped complement each has a smaller-id >= eps neighbor IN
+    ITS CELL; (2) clustering can only RELAX dedup (pairs across cells
+    are not seen), so clustered survivors are a superset of the exact
+    variant's; (3) planted same-cluster duplicates still collapse."""
+    import numpy as np
+
+    from scikit_learn_imputer_spark.dedup.embedding import (
+        cosine,
+        semdedup_survivors,
+    )
+    from scikit_learn_imputer_spark.similarity.ivf import build_ivf_index
+
+    rng = np.random.RandomState(4)
+    base = rng.randn(64)
+    rows = [(i, [float(x) for x in base + rng.randn(64) * 1e-3]) for i in range(6)]
+    rows += [(50 + i, [float(x) for x in rng.randn(64)]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned, _ = build_ivf_index(
+        df, nlist=4, max_iter=3, init_mode="random", build_partitions=2
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in semdedup_survivors(df, eps=0.95, assigned=assigned).collect()
+    )
+    exact = sorted(
+        r["vec_id"] for r in semdedup_survivors(df, eps=0.95).collect()
+    )
+    assigned.unpersist()
+    # planted near-identical group lands in ONE cell -> collapses to id 0
+    assert [k for k in kept if k < 50] == [0]
+    assert set(exact).issubset(set(kept))
+    assert set(kept).issubset({r[0] for r in rows})
+
+
+def test_scrub_benchmark_spans_surgical(spark):
+    """Only the leaked span is removed; clean docs and the rest of a
+    leaking doc pass through; overlapping benchmark grams merge."""
+    from scikit_learn_imputer_spark.dedup.spans import scrub_benchmark_spans
+
+    bench = spark.createDataFrame(
+        [(900, "e1 e2 e3 e4 e5 e6")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "intro e1 e2 e3 e4 e5 e6 outro"),  # leaks the full 6-token quote
+            (1, "totally clean document body here"),
+            (2, "e1 e2 e3 e4 tail"),  # only a 4-gram prefix — below n=5, kept
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in scrub_benchmark_spans(corpus, bench, n=5).collect()
+    }
+    assert out[0]["scrubbed_text"] == "intro outro"
+    assert out[0]["n_tokens_before"] == 8 and out[0]["n_tokens_after"] == 2
+    assert out[1]["scrubbed_text"] == "totally clean document body here"
+    assert out[2]["scrubbed_text"] == "e1 e2 e3 e4 tail"

@@ -24,6 +24,8 @@ INTENDED_NON_EQUI = {
     "create_features",        # ditto (scaling stage)
     "scatter_update_mean",    # broadcast 1-row mean-fill frame
     "embedding_near_pairs",   # exact baseline; BRP-LSH is the scale path
+    "semdedup_exact",         # same exact all-pairs baseline (semdedup_clustered
+                              # is the per-cell equi-join scale path)
     "ngram_jaccard_pairs",    # exact baseline; MinHash-LSH is the scale path
     "imputation_variance",    # broadcast 1-row fill-scalar frame
     "tfidf_top_terms",        # broadcast 1-row corpus-size frame
