@@ -396,3 +396,61 @@ def test_incremental_dedup_equals_global_dedup(spark, tmp_path_factory, texts, s
         s = incremental_dedup_and_commit(batch, store)
         got += [r["doc_id"] for r in s.collect()]
     assert sorted(got) == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=24).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    min_len=st.integers(2, 4),
+)
+@SETTINGS
+def test_exact_substrings_spans_account_for_removed_tokens(spark, docs, min_len):
+    """Cross-operator invariant: per document, the scrub's removed-token
+    count equals the summed maximal-span lengths from the inventory —
+    both derive from the same covered-start union, via different plans.
+    Tiny alphabet forces heavy overlapping repeats."""
+    from scikit_learn_imputer_spark.dedup.spans import (
+        remove_exact_substrings,
+        repeated_substring_spans,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    removed = {
+        r["doc_id"]: r["n_tokens_before"] - r["n_tokens_after"]
+        for r in remove_exact_substrings(df, min_len=min_len, min_count=2).collect()
+    }
+    spans = {}
+    for r in repeated_substring_spans(df, min_len=min_len, min_count=2).collect():
+        spans[r["doc_id"]] = spans.get(r["doc_id"], 0) + r["span_len"]
+    for d in removed:
+        assert removed[d] == spans.get(d, 0), (d, removed[d], spans.get(d))
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="aberqtskcu", min_size=1, max_size=10),
+        min_size=0,
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_bpe_count_word_additivity_and_floor(spark, words):
+    """BPE doc count == sum of per-word counts, and every word costs at
+    least one token (so the BPE count floors at the whitespace count)."""
+    from scikit_learn_imputer_spark.functions.bpe import (
+        DEFAULT_BPE_VOCAB,
+        bpe_token_counts,
+        count_word_tokens,
+    )
+
+    vs = frozenset(DEFAULT_BPE_VOCAB)
+    lens = tuple(sorted({len(v) for v in DEFAULT_BPE_VOCAB}, reverse=True))
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    got = bpe_token_counts(df).collect()[0]["n_bpe_tokens"]
+    want = sum(count_word_tokens(w, vs, lens) for w in text.split())
+    assert got == want
+    assert got >= len(text.split())
