@@ -136,3 +136,27 @@ def repetition_signals(
             ).alias(f"dup{n}_frac")
         )
     return joined.select(*cols)
+
+
+def stream_quality_gate(
+    docs_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    gate,
+):
+    """Streaming form of a document-quality gate: ``gate`` is any
+    batch-DataFrame -> batch-DataFrame filter built from WITHIN-document
+    signals (``repetition_signals``-style) — per-doc statistics are
+    batch-invariant, so the drained stream output equals one batch run
+    exactly (pinned by the batch==stream test). foreachBatch because the
+    signals are multi-aggregate per doc, not an incremental stateful
+    op; each micro-batch gates independently and appends survivors."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        gate(batch).write.mode("append").parquet(out_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

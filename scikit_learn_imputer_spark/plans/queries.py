@@ -972,6 +972,72 @@ def q_repetition_signals(spark, sf_dir):
 
 
 @register(
+    "doc_length_histogram",
+    oracle=r"""
+WITH t AS (
+  SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\s+')) END AS BIGINT) AS n
+  FROM documents
+)
+SELECT CAST(n // 10 * 10 AS BIGINT) AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens
+FROM t GROUP BY 1
+""",
+)
+def q_doc_length_histogram(spark, sf_dir):
+    """Token-length histogram of the corpus (width-10 buckets, doc and
+    token mass per bucket) — the first EDA cut before choosing chunking
+    / packing / length-filter parameters. One map-side-combinable
+    aggregate over a 2-column scan."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    n = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, "\\s+")))
+        .cast("bigint")
+    )
+    return (
+        docs.select(n.alias("__n"))
+        .groupBy((F.floor(F.col("__n") / 10) * 10).cast("bigint").alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "vocab_head",
+    oracle=r"""
+WITH w AS (
+  SELECT unnest(str_split_regex(trim(text), '\s+')) AS word
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT word, CAST(count(*) AS BIGINT) AS freq
+FROM w GROUP BY word
+ORDER BY freq DESC, word
+LIMIT 25
+""",
+)
+def q_vocab_head(spark, sf_dir):
+    """Corpus vocabulary head: top-25 words by frequency (ties broken by
+    word) — the EDA staple behind stopword lists, BPE vocab seeding, and
+    boilerplate thresholds. Partial-aggregated word counts; the global
+    order is a TakeOrdered top-k, never a full sort."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    return (
+        docs.filter(F.length(t) > 0)
+        .select(F.explode(F.split(t, "\\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(25)
+    )
+
+
+@register(
     "gopher_quality_gate",
     oracle="""
 WITH rep AS ({rep})

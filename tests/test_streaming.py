@@ -456,3 +456,42 @@ def test_stream_dedup_ingest_restart_from_checkpoint(spark, tmp_path):
     assert kept == kept2 == [1, 2, 5, 7]
     fp = lambda p: sorted(r["fingerprint"] for r in spark.read.parquet(p).collect())
     assert fp(store) == fp(store2)
+
+
+def test_stream_quality_gate_matches_batch(spark, sf_smoke, tmp_path):
+    """Within-document signals are batch-invariant: the streamed Gopher
+    gate (foreachBatch, maxFilesPerTrigger split) emits exactly the
+    batch gate's survivor set."""
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.functions.repetition import (
+        repetition_signals,
+        stream_quality_gate,
+    )
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    def gate(batch):
+        rep = repetition_signals(batch)
+        return rep.filter(
+            F.col("n_tokens").between(30, 95) & (F.col("top2_frac") <= 0.12)
+        ).select("doc_id", "n_tokens")
+
+    docs = load_table(spark, sf_smoke, "documents")
+    want = sorted(r["doc_id"] for r in gate(docs).collect())
+
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(src)  # several files -> several batches
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(*docs.columns)
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = stream_quality_gate(stream, out, ck, gate).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == want and len(got) > 0
