@@ -561,6 +561,70 @@ def q_exact_dup_groups(spark, sf_dir):
 
 
 @register(
+    "dup_cluster_histogram",
+    oracle="""
+WITH g AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         count(*) AS dup_count
+  FROM documents GROUP BY 1
+)
+SELECT CAST(dup_count AS BIGINT) AS group_size,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(dup_count) AS BIGINT) AS n_docs
+FROM g GROUP BY 1
+""",
+)
+def q_dup_cluster_histogram(spark, sf_dir):
+    """Exact-dup group-size distribution — the dedup EDA summary (how
+    much mass sits in singletons vs heavy clusters decides whether
+    near-dup passes are worth their cost). Two map-side-combinable
+    aggregates over 32-byte digests; text never shuffles."""
+    groups = exact_dup_groups(_t(spark, sf_dir, "documents"))
+    return groups.groupBy(F.col("dup_count").alias("group_size")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("dup_count").cast("bigint").alias("n_docs"),
+    )
+
+
+@register(
+    "source_dedup_rates",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+            AS BIGINT) AS n_unique,
+       round(1.0 - CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                        AS DOUBLE) / count(*), 9) AS dup_rate
+FROM documents GROUP BY source
+""",
+)
+def q_source_dedup_rates(spark, sf_dir):
+    """Per-source duplication rate (docs, distinct normalized digests,
+    dup fraction) — the hygiene number a mixture designer reads before
+    weighting sources. One aggregate keyed by (source) with an exact
+    distinct over digests; shuffle carries 32-byte hashes only."""
+    from scikit_learn_imputer_spark.functions.text import fingerprint_col
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", fingerprint_col(F.col("text")).alias("__fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("__fp").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.round(
+                1.0 - F.col("n_unique").cast("double") / F.col("n_docs"), 9
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle="""
 WITH grams AS (
