@@ -1102,6 +1102,52 @@ def q_vocab_head(spark, sf_dir):
 
 
 @register(
+    "vocab_coverage",
+    oracle=r"""
+WITH w AS (
+  SELECT unnest(str_split_regex(trim(text), '\s+')) AS word
+  FROM documents WHERE length(trim(text)) > 0
+), v AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY word
+), t AS (SELECT CAST(sum(freq) AS BIGINT) AS tot FROM v)
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT) AS rank,
+       word, freq,
+       round(CAST(sum(freq) OVER (ORDER BY freq DESC, word
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot, 9) AS cum_frac
+FROM v, t
+""",
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Cumulative token-mass coverage of the frequency-ranked vocabulary
+    (the Zipf curve a tokenizer designer reads to size a vocab: how many
+    head types cover 90/99% of tokens). Word counts partial-aggregate
+    map-side; the only global-order window ranks the O(|vocab|) post-agg
+    frame — types, not tokens — and the corpus total is a 1-row
+    broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    vocab = (
+        docs.filter(F.length(t) > 0)
+        .select(F.explode(F.split(t, "\\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = vocab.agg(F.sum("freq").cast("bigint").alias("tot"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("word"))
+    return vocab.crossJoin(F.broadcast(total)).select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "word",
+        "freq",
+        F.round(
+            F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            / F.col("tot"),
+            9,
+        ).alias("cum_frac"),
+    )
+
+
+@register(
     "gopher_quality_gate",
     oracle="""
 WITH rep AS ({rep})
@@ -1136,6 +1182,171 @@ def q_gopher_quality_gate(spark, sf_dir):
 
 ORACLE["gopher_quality_gate"] = ORACLE["gopher_quality_gate"].replace(
     "{rep}", ORACLE["repetition_signals"]
+)
+
+
+@register(
+    "filter_waterfall",
+    oracle=r"""
+WITH rep0 AS ({rep}), tq0 AS ({tq}),
+fp0 AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id % 100 >= 2
+),
+bg AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4])) AS g
+    FROM (SELECT str_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE doc_id % 100 < 2)
+  )
+),
+contam AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4])) AS g
+    FROM (SELECT doc_id, str_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE doc_id % 100 >= 2)
+  ) WHERE g IN (SELECT g FROM bg)
+),
+wf AS (
+  SELECT r.doc_id, r.n_tokens, fp0.fp,
+         (fp0.lang <> 'en') AS fail_lang,
+         NOT (t.q_score >= 0.5 AND t.q_tokens >= 20) AS fail_quality,
+         NOT (r.n_tokens BETWEEN 30 AND 95
+              AND r.top2_frac <= 0.12 AND r.top3_frac <= 0.10
+              AND r.dup5_frac <= 0.15 AND r.dup8_frac <= 0.10) AS fail_gopher,
+         (c.doc_id IS NOT NULL) AS is_contam
+  FROM rep0 r
+  JOIN tq0 t USING (doc_id)
+  JOIN fp0 USING (doc_id)
+  LEFT JOIN contam c USING (doc_id)
+),
+keepers AS (
+  SELECT fp, min(doc_id) AS keep_id FROM wf
+  WHERE NOT fail_lang AND NOT fail_quality AND NOT fail_gopher
+  GROUP BY fp
+),
+staged AS (
+  SELECT wf.n_tokens,
+         CASE WHEN fail_lang THEN 1
+              WHEN fail_quality THEN 2
+              WHEN fail_gopher THEN 3
+              WHEN wf.doc_id <> k.keep_id THEN 4
+              WHEN is_contam THEN 5 ELSE 6 END AS stage_order
+  FROM wf LEFT JOIN keepers k USING (fp)
+)
+SELECT CAST(stage_order AS INTEGER) AS stage_order,
+       CASE stage_order WHEN 1 THEN 'lang' WHEN 2 THEN 'quality'
+            WHEN 3 THEN 'gopher' WHEN 4 THEN 'exact_dup'
+            WHEN 5 THEN 'decontam' ELSE 'kept' END AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM staged GROUP BY 1, 2
+""",
+)
+def q_filter_waterfall(spark, sf_dir):
+    """Filtering waterfall: every corpus doc attributed to the FIRST
+    pipeline stage that drops it — lang gate (on the corpus's lang
+    column — upstream lang-ID output; the in-engine heuristic
+    lang_id_col predicts 'en' corpus-wide on this synthetic text, which
+    would make the stage vacuous) → quality gate → Gopher
+    repetition gate → exact dedup (keeper = min doc_id per fingerprint
+    among gate survivors, pipeline-faithful) → n-gram decontamination
+    vs the pseudo benchmark (doc_id % 100 < 2) — with doc and token
+    mass per stage. THE ops report for a data run: which gate costs
+    how much corpus, before anyone tunes thresholds. All per-doc
+    signals are map-side projections/explodes; the joins are equi on
+    doc_id / 16-byte digests; output is O(#stages)."""
+    from scikit_learn_imputer_spark.functions.repetition import repetition_signals
+    from scikit_learn_imputer_spark.functions.text import word_ngrams_col
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 100 < 2)
+    corpus = d.filter(F.col("doc_id") % 100 >= 2)
+
+    rep = repetition_signals(corpus)
+    lang = corpus.select("doc_id", "lang")
+    q = quality_features(corpus.select("doc_id", "text")).select(
+        "doc_id", "q_tokens", F.round("q_score", 6).alias("q_score")
+    )
+    fp = corpus.select("doc_id", fingerprint_col(F.col("text")).alias("__fp"))
+    bench_g = (
+        bench.select(F.explode(word_ngrams_col(F.col("text"), 5)).alias("g"))
+        .select(F.md5("g").alias("gd"))
+        .distinct()
+    )
+    contam_ids = (
+        corpus.select(
+            "doc_id", F.explode(word_ngrams_col(F.col("text"), 5)).alias("g")
+        )
+        .select("doc_id", F.md5("g").alias("gd"))
+        .join(bench_g, "gd", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__contam", F.lit(True))
+    )
+
+    flags = (
+        rep.join(lang, "doc_id")
+        .join(q, "doc_id")
+        .join(fp, "doc_id")
+        .join(contam_ids, "doc_id", "left")
+    )
+    fail_lang = F.col("lang") != "en"
+    fail_quality = ~((F.col("q_score") >= 0.5) & (F.col("q_tokens") >= 20))
+    fail_gopher = ~(
+        F.col("n_tokens").between(30, 95)
+        & (F.col("top2_frac") <= 0.12)
+        & (F.col("top3_frac") <= 0.10)
+        & (F.col("dup5_frac") <= 0.15)
+        & (F.col("dup8_frac") <= 0.10)
+    )
+    keepers = (
+        flags.filter(~fail_lang & ~fail_quality & ~fail_gopher)
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("__keep_id"))
+    )
+    staged = flags.join(keepers, "__fp", "left").select(
+        F.when(fail_lang, 1)
+        .when(fail_quality, 2)
+        .when(fail_gopher, 3)
+        .when(F.col("doc_id") != F.col("__keep_id"), 4)
+        .when(F.col("__contam"), 5)
+        .otherwise(6)
+        .alias("stage_order"),
+        "n_tokens",
+    )
+    stage_name = (
+        F.when(F.col("stage_order") == 1, "lang")
+        .when(F.col("stage_order") == 2, "quality")
+        .when(F.col("stage_order") == 3, "gopher")
+        .when(F.col("stage_order") == 4, "exact_dup")
+        .when(F.col("stage_order") == 5, "decontam")
+        .otherwise("kept")
+    )
+    return (
+        staged.groupBy("stage_order")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            F.col("stage_order").cast("int").alias("stage_order"),
+            stage_name.alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+
+
+ORACLE["filter_waterfall"] = (
+    ORACLE["filter_waterfall"]
+    .replace("{rep}", ORACLE["repetition_signals"])
+    .replace("{tq}", ORACLE["text_quality"])
 )
 
 
@@ -1360,6 +1571,57 @@ def q_corpus_training_manifest(spark, sf_dir):
 
 
 @register(
+    "corpus_holdout_split",
+    oracle=f"""
+WITH u AS (
+  SELECT source,
+         CAST(('0x' || substr(md5('holdout:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              AS DOUBLE) / 4294967296.0 AS u,
+         CAST(({_NTOK_SQL}) AS BIGINT) AS n
+  FROM documents
+)
+SELECT CASE WHEN u < 0.98 THEN 'train' WHEN u < 0.99 THEN 'val' ELSE 'test' END AS split,
+       source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens
+FROM u GROUP BY 1, 2
+""",
+)
+def q_corpus_holdout_split(spark, sf_dir):
+    """Deterministic train/val/test corpus split (98/1/1) keyed on a
+    salted md5 uniform of doc_id — the held-out-set assignment a
+    training run fixes once and reproduces everywhere (no rand(), no
+    engine seed; functions/text.py:uniform_hash_col). Reported as
+    per-(split, source) doc and token mass so the designer sees split
+    balance by source. Map-only assignment plus one small aggregate —
+    at 100 TB the split is a projection, never a shuffle of the
+    corpus."""
+    from scikit_learn_imputer_spark.functions.text import uniform_hash_col
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    n = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, "\\s+")))
+        .cast("bigint")
+    )
+    u = uniform_hash_col(
+        F.concat(F.lit("holdout:"), F.col("doc_id").cast("string"))
+    )
+    split = (
+        F.when(u < 0.98, "train").when(u < 0.99, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "source", n.alias("__n"))
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@register(
     "quality_weighted_sample",
     oracle=f"""
 WITH q AS (
@@ -1440,6 +1702,78 @@ def q_decontaminate_ngram_corpus(spark, sf_dir):
     corpus = d.filter(F.col("doc_id") % 100 >= 2)
     out = decontaminate_ngram(corpus, bench, n=5)
     return out.select("doc_id", "source", "n_chars")
+
+
+@register(
+    "contamination_report",
+    oracle=r"""
+WITH bg AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4])) AS g
+    FROM (SELECT str_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE doc_id % 100 < 2)
+  )
+), contam AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4])) AS g
+    FROM (SELECT doc_id, str_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE doc_id % 100 >= 2)
+  ) WHERE g IN (SELECT g FROM bg)
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(c.doc_id) AS BIGINT) AS n_contaminated,
+       round(CAST(count(c.doc_id) AS DOUBLE) / count(*), 9) AS contam_rate
+FROM documents d LEFT JOIN contam c USING (doc_id)
+WHERE d.doc_id % 100 >= 2
+GROUP BY d.source
+""",
+)
+def q_contamination_report(spark, sf_dir):
+    """Per-source benchmark-contamination rate: of each source's corpus
+    docs, how many share ANY word 5-gram with the pseudo eval set
+    (doc_id % 100 < 2) — the audit a data owner reads BEFORE deciding
+    whether to decontaminate (drop) or scrub (span-delete), and the
+    per-source hygiene number next to source_dedup_rates. Benchmark
+    grams collapse to distinct 16-byte digests; the corpus explodes to
+    digests for one semi join — text never shuffles; output is
+    O(#sources)."""
+    from scikit_learn_imputer_spark.functions.text import word_ngrams_col
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 100 < 2)
+    corpus = d.filter(F.col("doc_id") % 100 >= 2)
+    bench_g = (
+        bench.select(F.explode(word_ngrams_col(F.col("text"), 5)).alias("g"))
+        .select(F.md5("g").alias("gd"))
+        .distinct()
+    )
+    contam_ids = (
+        corpus.select(
+            "doc_id", F.explode(word_ngrams_col(F.col("text"), 5)).alias("g")
+        )
+        .select("doc_id", F.md5("g").alias("gd"))
+        .join(bench_g, "gd", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__contam", F.lit(1))
+    )
+    return (
+        corpus.select("doc_id", "source")
+        .join(contam_ids, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__contam").alias("n_contaminated"),
+            F.round(
+                F.count("__contam").cast("double") / F.count(F.lit(1)), 9
+            ).alias("contam_rate"),
+        )
+    )
 
 
 @register(
@@ -5983,6 +6317,215 @@ def q_temperature_mixture_sample(spark, sf_dir):
         d.join(rates, "source")
         .filter(F.col("__u") < F.col("keep_rate"))
         .select("doc_id", "source", "n_tokens", "keep_rate")
+    )
+
+
+@register(
+    "mixture_epoch_plan",
+    oracle=r"""
+WITH t AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\s+')) END) AS BIGINT)
+           AS n_tokens,
+         CAST(substr(source, 4) AS INT) + 1 AS w_raw
+  FROM documents GROUP BY source
+),
+z AS (SELECT CAST(sum(w_raw) AS DOUBLE) AS zw,
+             CAST(sum(n_tokens) AS DOUBLE) AS budget FROM t)
+SELECT source, n_docs, n_tokens,
+       round(w_raw / zw, 9) AS weight,
+       CAST(round(budget * w_raw / zw) AS BIGINT) AS target_tokens,
+       round(budget * w_raw / zw / n_tokens, 6) AS epochs,
+       round(least(budget * w_raw / zw / n_tokens, 4.0), 6) AS capped_epochs,
+       CAST(round(least(budget * w_raw / zw / n_tokens, 4.0) * n_tokens)
+            AS BIGINT) AS achieved_tokens
+FROM t, z
+""",
+)
+def q_mixture_epoch_plan(spark, sf_dir):
+    """Mixture epoch plan (the LLaMA/Pile-style upsampling table):
+    given per-source target weights (here ∝ source index + 1) and a
+    token budget (the corpus's own total — rebalance at constant
+    budget), derive each source's target token mass, the epoch count
+    (repeats) needed to hit it, the epoch cap (4.0 — past which
+    upsampling hurts, per Muennighoff et al. 2023), and the achieved
+    mass under the cap. THE planning artifact a training run consumes
+    before sampling. One O(#sources) aggregate + a 1-row budget
+    broadcast — nothing corpus-sized moves."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    n = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, "\\s+")))
+        .cast("bigint")
+    )
+    per_src = (
+        d.select("source", n.alias("__n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "__w_raw", F.substring("source", 4, 10).cast("int") + F.lit(1)
+        )
+    )
+    z = per_src.agg(
+        F.sum("__w_raw").cast("double").alias("__zw"),
+        F.sum("n_tokens").cast("double").alias("__budget"),
+    )
+    target = F.col("__budget") * F.col("__w_raw") / F.col("__zw")
+    epochs = target / F.col("n_tokens")
+    capped = F.least(epochs, F.lit(4.0))
+    return per_src.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("__w_raw") / F.col("__zw"), 9).alias("weight"),
+        F.round(target).cast("bigint").alias("target_tokens"),
+        F.round(epochs, 6).alias("epochs"),
+        F.round(capped, 6).alias("capped_epochs"),
+        F.round(capped * F.col("n_tokens")).cast("bigint").alias(
+            "achieved_tokens"
+        ),
+    )
+
+
+@register(
+    "lm_score_deciles",
+    oracle=r"""
+WITH bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(length(lower(text)) - 1, 0)),
+                               i -> substr(lower(text), CAST(i AS INT), 2))) AS bigram
+  FROM documents
+),
+counts AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+prefix AS (SELECT substr(bigram, 1, 1) AS prefix, sum(c) AS pc
+           FROM counts GROUP BY 1),
+vocab AS (SELECT count(DISTINCT substr(bigram, 2, 1)) AS v FROM counts),
+terms AS (
+  SELECT b.doc_id,
+         CAST(round(ln((c.c + 1)::DOUBLE / (p.pc + vocab.v)::DOUBLE) * 1e6)
+              AS BIGINT) AS m
+  FROM bg b
+  JOIN counts c USING (bigram)
+  JOIN prefix p ON p.prefix = substr(b.bigram, 1, 1)
+  CROSS JOIN vocab
+),
+lm AS (
+  SELECT doc_id, round(sum(m)::DOUBLE / count(*) / 1e6, 6) AS s
+  FROM terms GROUP BY doc_id
+),
+thr AS (
+  SELECT quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ts
+  FROM lm
+)
+SELECT CAST(1 + len(list_filter(thr.ts, t -> lm.s >= t)) AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(lm.s), 6) AS mean_lm_score,
+       round(min(lm.s), 6) AS min_lm_score,
+       round(max(lm.s), 6) AS max_lm_score
+FROM lm, thr
+GROUP BY 1
+""",
+)
+def q_lm_score_deciles(spark, sf_dir):
+    """Perplexity-filter calibration: bigram-LM scores bucketed into
+    deciles by BROADCAST thresholds (Spark percentile ≡ DuckDB
+    quantile_cont on the same rounded inputs) with per-decile doc
+    counts and score ranges — how a CCNet-style filter picks its
+    head/middle/tail cut WITHOUT a data-sized global window: the only
+    global op is a 9-value percentile aggregate; bucketing is a
+    map-side comparison against the broadcast thresholds."""
+    from scikit_learn_imputer_spark.functions.lm import bigram_lm_scores
+
+    lm = bigram_lm_scores(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.round("lm_score", 6).alias("__s")
+    )
+    thr = lm.agg(
+        F.percentile(
+            "__s", F.array(*[F.lit(q / 10.0) for q in range(1, 10)])
+        ).alias("__ts")
+    )
+    decile = F.lit(1) + F.size(
+        F.filter("__ts", lambda t: F.col("__s") >= t)
+    )
+    return (
+        lm.crossJoin(F.broadcast(thr))
+        .select(decile.cast("int").alias("decile"), "__s")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("__s"), 6).alias("mean_lm_score"),
+            F.round(F.min("__s"), 6).alias("min_lm_score"),
+            F.round(F.max("__s"), 6).alias("max_lm_score"),
+        )
+    )
+
+
+@register(
+    "ngram_novelty_curve",
+    oracle=r"""
+WITH w AS (SELECT str_split_regex(trim(text), '\s+') AS w FROM documents),
+g AS (
+  SELECT n, unnest(grams) AS g FROM (
+    SELECT 1 AS n, w AS grams FROM w
+    UNION ALL
+    SELECT 2, list_transform(range(1, greatest(len(w), 1)),
+                             i -> w[i] || ' ' || w[i+1]) FROM w
+    UNION ALL
+    SELECT 3, list_transform(range(1, greatest(len(w) - 1, 1)),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) FROM w
+    UNION ALL
+    SELECT 5, list_transform(range(1, greatest(len(w) - 3, 1)),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  || ' ' || w[i+3] || ' ' || w[i+4]) FROM w
+    UNION ALL
+    SELECT 8, list_transform(range(1, greatest(len(w) - 6, 1)),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  || ' ' || w[i+3] || ' ' || w[i+4]
+                                  || ' ' || w[i+5] || ' ' || w[i+6]
+                                  || ' ' || w[i+7]) FROM w
+  )
+)
+SELECT CAST(n AS INTEGER) AS n,
+       CAST(count(*) AS BIGINT) AS occurrences,
+       CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams,
+       round(1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 9)
+         AS dup_mass
+FROM g GROUP BY n
+""",
+)
+def q_ngram_novelty_curve(spark, sf_dir):
+    """Corpus-level n-gram novelty curve: for n ∈ {1,2,3,5,8}, total
+    gram occurrences, distinct grams, and the corpus-wide duplicate
+    mass 1 − distinct/total — the boilerplate thermometer that says at
+    which n repetition lives (high dup mass at large n ⇒ templated
+    text ⇒ span-removal pays). Grams hash to 16-byte digests before
+    the distinct so shuffle rows never carry text; each n is one
+    map-side-combinable aggregate."""
+    from scikit_learn_imputer_spark.functions.text import word_ngrams_col
+
+    d = _t(spark, sf_dir, "documents")
+    frames = [
+        d.select(
+            F.lit(n).alias("n"),
+            F.explode(word_ngrams_col(F.col("text"), n)).alias("g"),
+        ).select("n", F.md5("g").alias("gd"))
+        for n in (1, 2, 3, 5, 8)
+    ]
+    from functools import reduce as _reduce
+
+    grams = _reduce(DataFrame.unionByName, frames)
+    return grams.groupBy(F.col("n").cast("int").alias("n")).agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.countDistinct("gd").alias("distinct_grams"),
+        F.round(
+            1.0 - F.countDistinct("gd").cast("double") / F.count(F.lit(1)), 9
+        ).alias("dup_mass"),
     )
 
 

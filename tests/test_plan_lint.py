@@ -37,6 +37,9 @@ INTENDED_NON_EQUI = {
     "corpus_preprocess_pipeline",  # broadcast 1-row lm-score threshold
     "decontaminate_bloom_corpus",  # broadcast 1-row bloom-bitmap frame
     "temperature_mixture_sample",  # broadcast 1-row normalizer frame
+    "vocab_coverage",              # broadcast 1-row corpus-total frame
+    "mixture_epoch_plan",          # broadcast 1-row budget/normalizer frame
+    "lm_score_deciles",            # broadcast 1-row decile-threshold frame
 }
 
 HEAVY_BUILD = {
