@@ -4,7 +4,14 @@ from scikit_learn_imputer_spark.dedup.bloom import (
     bloom_hit_col,
     decontaminate_bloom,
 )
-from scikit_learn_imputer_spark.dedup.exact import exact_dedup, exact_dup_groups
+from scikit_learn_imputer_spark.dedup.exact import (
+    benchmark_gram_digests,
+    decontaminate,
+    decontaminate_ngram,
+    exact_dedup,
+    exact_dup_groups,
+    stream_decontaminate_ingest,
+)
 from scikit_learn_imputer_spark.dedup.ngram import char_ngrams, ngram_jaccard_pairs
 from scikit_learn_imputer_spark.dedup.minhash import minhash_signatures, minhash_candidate_pairs
 from scikit_learn_imputer_spark.dedup.simhash import simhash_signatures, simhash_near_pairs
@@ -31,8 +38,12 @@ __all__ = [
     "build_fingerprint_store",
     "incremental_dedup",
     "incremental_dedup_and_commit",
+    "benchmark_gram_digests",
+    "decontaminate",
+    "decontaminate_ngram",
     "exact_dedup",
     "exact_dup_groups",
+    "stream_decontaminate_ingest",
     "char_ngrams",
     "ngram_jaccard_pairs",
     "minhash_signatures",

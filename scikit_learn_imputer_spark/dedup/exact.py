@@ -94,13 +94,7 @@ def decontaminate_ngram(
     corpus text still never shuffles."""
     from scikit_learn_imputer_spark.functions.text import word_ngrams_col
 
-    bench_grams = (
-        benchmark.select(
-            F.explode(word_ngrams_col(F.col(text_col), n)).alias("__g")
-        )
-        .select(F.md5("__g").alias("__bg"))
-        .distinct()
-    )
+    bench_grams = benchmark_gram_digests(benchmark, n, text_col)
     contaminated = (
         corpus.select(
             F.col(id_col),
@@ -112,3 +106,73 @@ def decontaminate_ngram(
         .distinct()
     )
     return corpus.join(contaminated, on=id_col, how="left_anti")
+
+
+def benchmark_gram_digests(
+    benchmark: DataFrame, n: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Distinct md5 digests of the benchmark's word n-grams — the
+    decontamination probe set. Factored out so long-lived consumers
+    (the streaming gate) can compute it ONCE, persist it, and reuse it
+    across every micro-batch instead of re-shingling the eval set per
+    batch."""
+    from scikit_learn_imputer_spark.functions.text import word_ngrams_col
+
+    return (
+        benchmark.select(
+            F.explode(word_ngrams_col(F.col(text_col), n)).alias("__g")
+        )
+        .select(F.md5("__g").alias("__bg"))
+        .distinct()
+    )
+
+
+def stream_decontaminate_ingest(
+    docs_stream: DataFrame,
+    benchmark: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming n-gram decontamination: every arriving micro-batch is
+    scrubbed against a STATIC eval set before it lands — the gate a
+    continuous crawl-ingest runs so contaminated docs never reach the
+    training store.
+
+    The benchmark digest set is computed once, persisted, and
+    materialized eagerly (it is batch-invariant), then reused by every
+    micro-batch's stream-static semi join — at 100 TB of ingest the
+    per-batch cost is the batch's own shingling plus a join against an
+    already-built digest table. Because the contamination decision is a
+    pure per-doc function of (doc text, static benchmark), the drained
+    stream output equals the one-shot batch decontaminate_ngram run
+    exactly (pinned by the batch==stream test). foreachBatch, not a
+    stateful operator: there is no cross-batch state — the only shared
+    input is static."""
+    from scikit_learn_imputer_spark.functions.text import word_ngrams_col
+
+    bench_grams = benchmark_gram_digests(benchmark, n, text_col).persist()
+    bench_grams.count()
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        contaminated = (
+            batch.select(
+                F.col(id_col),
+                F.explode(word_ngrams_col(F.col(text_col), n)).alias("__g"),
+            )
+            .select(id_col, F.md5("__g").alias("__cg"))
+            .join(bench_grams, F.col("__cg") == F.col("__bg"), "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        batch.join(contaminated, on=id_col, how="left_anti").write.mode(
+            "append"
+        ).parquet(out_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

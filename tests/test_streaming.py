@@ -495,3 +495,46 @@ def test_stream_quality_gate_matches_batch(spark, sf_smoke, tmp_path):
         q.stop()
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got == want and len(got) > 0
+
+
+def test_stream_decontaminate_ingest_matches_batch(spark, sf_smoke, tmp_path):
+    """Streaming n-gram decontamination: draining the file stream through
+    stream_decontaminate_ingest yields exactly the one-shot batch
+    decontaminate_ngram result (the gate is a pure per-doc function of a
+    STATIC benchmark), across micro-batch boundaries."""
+    from scikit_learn_imputer_spark.dedup.exact import (
+        decontaminate_ngram,
+        stream_decontaminate_ingest,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six")], "doc_id bigint, text string"
+    )
+    corpus_rows = [
+        (1, "prefix one two three four five suffix"),   # embedded bench gram
+        (2, "totally clean document with fresh words"),
+        (3, "six five four three two one"),              # reversed: no gram hit
+        (4, "xx two three four five six yy"),            # second bench gram
+        (5, "another clean words here indeed today"),
+        (6, "short"),                                    # < n tokens
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    want = sorted(r["doc_id"] for r in decontaminate_ngram(corpus, bench).collect())
+    assert want == [2, 3, 5, 6]  # the gate is non-vacuous in both directions
+
+    src = str(tmp_path / "src")
+    corpus.repartition(3).write.parquet(src)  # several files -> several batches
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(*corpus.columns)
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = stream_decontaminate_ingest(stream, bench, out, ck).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == want
