@@ -115,6 +115,99 @@ def bpe_token_counts(
     return df.select(F.col(id_col), counter(F.col(text_col)).alias(out_col))
 
 
+def learn_bpe_merges(
+    docs: DataFrame,
+    num_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016 §3.2, sans the
+    end-of-word marker): learn ``num_merges`` merge rules from the
+    corpus. Returns the merge table — (merge_rank, lhs, rhs, merged,
+    pair_freq), the artifact a tokenizer ships.
+
+    Distributed shape: the ONLY corpus-scale work is the word-frequency
+    aggregate (one shuffle of words); every iteration after that
+    operates on the distinct-WORD table (vocabulary-sized — millions of
+    rows at 100 TB, not trillions), exactly like reference BPE trainers
+    that work from a word-count dict. Per merge: one pair-count
+    aggregate over the word table plus a 1-row argmax collect — the
+    driver loop is O(num_merges) by the algorithm's nature (each rule
+    depends on the table the previous rule rewrote), the same accepted
+    shape as iterative PageRank. Segmentations are re-persisted and the
+    predecessor released each round, so lineage stays one rewrite deep.
+
+    Merge semantics: a word's segmentation is a space-joined symbol
+    string '' c1 c2 … ''; applying rule (a, b) is a DOUBLE literal
+    replace of ' a b ' with ' ab ' (the second pass catches occurrences
+    whose shared boundary space the first pass consumed). This
+    deterministic rewrite agrees with the reference zero-width-regex
+    sub on ordinary text and is exactly reproducible in engines without
+    lookaround regex (the DuckDB oracle unrolls the identical loop).
+    Pair counts weight overlapping adjacencies per word occurrence;
+    ties break lexicographically on the pair string. Stops early if no
+    pair remains."""
+    spark = docs.sparkSession
+    t = F.trim(F.col(text_col))
+    words = (
+        docs.filter(F.length(t) > 0)
+        .select(F.explode(F.split(t, "\\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    cur = words.select(
+        "word",
+        "freq",
+        F.concat(F.lit(" "), F.concat_ws(" ", chars), F.lit(" ")).alias("sym"),
+    ).persist()
+    cur.count()
+
+    merges: list[tuple] = []
+    try:
+        for r in range(1, num_merges + 1):
+            s = F.split(F.trim(F.col("sym")), " ")
+            adj = F.zip_with(
+                F.slice(s, 1, F.size(s) - 1),
+                F.slice(s, 2, F.size(s) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+            top = (
+                cur.select("freq", F.explode(adj).alias("pr"))
+                .groupBy("pr")
+                .agg(F.sum("freq").cast("bigint").alias("c"))
+                .orderBy(F.col("c").desc(), F.col("pr").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pr, c = top[0]["pr"], top[0]["c"]
+            lhs, rhs = pr.split(" ")
+            search, target = f" {pr} ", f" {lhs}{rhs} "
+            nxt = cur.withColumn(
+                "sym",
+                F.replace(
+                    F.replace(F.col("sym"), F.lit(search), F.lit(target)),
+                    F.lit(search),
+                    F.lit(target),
+                ),
+            ).persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+            merges.append((r, lhs, rhs, lhs + rhs, c))
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(merges, 1),
+        "merge_rank int, lhs string, rhs string, merged string, pair_freq bigint",
+    )
+
+
 def with_bpe_token_counts(
     df: DataFrame,
     vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB,

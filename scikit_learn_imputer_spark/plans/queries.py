@@ -1498,6 +1498,62 @@ btoks AS (
 )"""
 
 
+def _bpe_learn_oracle(k: int) -> str:
+    """Unrolled DuckDB twin of functions/bpe.py:learn_bpe_merges — k
+    fixed merge iterations as chained CTE stages (pair count → argmax →
+    double literal replace), identical semantics step for step. An
+    exhausted stage (no pair left) yields an empty b{i}, emptying every
+    later stage — the unrolled form of the library's early stop."""
+    ctes = [
+        r"""w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(str_split_regex(trim(text), '\s+')) AS word
+    FROM documents WHERE length(trim(text)) > 0
+  ) WHERE word <> '' GROUP BY word
+)""",
+        "s0 AS (SELECT word, freq, ' ' || array_to_string("
+        "list_transform(range(1, length(word) + 1), i -> word[i]), ' ')"
+        " || ' ' AS sym FROM w0)",
+    ]
+    sels = []
+    for i in range(1, k + 1):
+        ctes.append(
+            f"p{i} AS (SELECT pr, CAST(sum(freq) AS BIGINT) AS c FROM ("
+            "SELECT freq, unnest(list_transform(range(1, len(s)),"
+            " j -> s[j] || ' ' || s[j+1])) AS pr "
+            f"FROM (SELECT freq, str_split_regex(trim(sym), ' ') AS s FROM s{i-1})"
+            ") GROUP BY pr)"
+        )
+        ctes.append(f"b{i} AS (SELECT pr, c FROM p{i} ORDER BY c DESC, pr LIMIT 1)")
+        ctes.append(
+            f"s{i} AS (SELECT word, freq, "
+            f"replace(replace(sym, ' ' || b{i}.pr || ' ', ' ' || replace(b{i}.pr, ' ', '') || ' '),"
+            f" ' ' || b{i}.pr || ' ', ' ' || replace(b{i}.pr, ' ', '') || ' ') AS sym "
+            f"FROM s{i-1}, b{i})"
+        )
+        sels.append(
+            f"SELECT CAST({i} AS INTEGER) AS merge_rank,"
+            " split_part(pr, ' ', 1) AS lhs, split_part(pr, ' ', 2) AS rhs,"
+            f" replace(pr, ' ', '') AS merged, c AS pair_freq FROM b{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+@register("bpe_learn_merges", oracle=_bpe_learn_oracle(8))
+def q_bpe_learn_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING (functions/bpe.py:learn_bpe_merges —
+    Sennrich et al. 2016): learn the first 8 merge rules from the
+    corpus's word-frequency table. The merge table is the artifact the
+    bpe_token_counts / pack_sequences_bpe consumers would ship. The
+    corpus is touched once (word-count shuffle); each rule is one
+    pair-count aggregate over the vocabulary-sized word table plus a
+    1-row argmax — the O(k) driver loop is the algorithm's dependency
+    chain, not a scalability compromise."""
+    from scikit_learn_imputer_spark.functions.bpe import learn_bpe_merges
+
+    return learn_bpe_merges(_t(spark, sf_dir, "documents"), num_merges=8)
+
+
 @register(
     "bpe_token_counts",
     oracle=f"""

@@ -112,3 +112,78 @@ def test_contamination_report_rates_bounded(spark, sf_smoke, docs_total):
     for r in rows:
         assert 0 <= r["n_contaminated"] <= r["n_docs"]
         assert abs(r["contam_rate"] - r["n_contaminated"] / r["n_docs"]) < 1e-6
+
+
+def _reference_bpe(word_freqs: dict[str, int], k: int):
+    """Independent in-test BPE learner (Sennrich et al. 2016 learn_bpe,
+    dict-of-word-counts form) used to golden-check the distributed one."""
+    segs = {w: list(w) for w in word_freqs}
+    out = []
+    for rank in range(1, k + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in word_freqs.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w in segs:
+            s, merged, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(s[i])
+                    i += 1
+            segs[w] = merged
+        out.append((rank, a, b, a + b, c))
+    return out
+
+
+def test_learn_bpe_merges_matches_reference_learner(spark):
+    from scikit_learn_imputer_spark.functions.bpe import learn_bpe_merges
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "widest widest widest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    want = _reference_bpe(freqs, 6)
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_freq"])
+        for r in learn_bpe_merges(docs, num_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == want
+    # best-pair frequency is non-increasing across ranks
+    fs = [g[4] for g in got]
+    assert all(a >= b for a, b in zip(fs, fs[1:]))
+    # determinism across runs
+    again = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_freq"])
+        for r in learn_bpe_merges(docs, num_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert again == got
+
+
+def test_learn_bpe_merges_early_stop_when_exhausted(spark):
+    from scikit_learn_imputer_spark.functions.bpe import learn_bpe_merges
+
+    docs = spark.createDataFrame([(0, "ab ab ab")], "doc_id bigint, text string")
+    rows = learn_bpe_merges(docs, num_merges=10).collect()
+    # 'ab' has exactly one merge; the loop must stop, not loop on nothing
+    assert len(rows) == 1
+    assert (rows[0]["lhs"], rows[0]["rhs"], rows[0]["merged"]) == ("a", "b", "ab")
