@@ -1,0 +1,117 @@
+"""Model-based quality filtering (the fineweb-edu / DCLM pattern):
+distill an EXPENSIVE document gate into a cheap-feature classifier.
+
+The Gopher repetition gate (functions/repetition.py) costs four gram
+explodes per document. At 100 TB you run it once over a sample, train a
+model that predicts its verdict from CHEAP map-only features (char/token
+counts and ratios — one projection over the scan), then gate the full
+corpus with the model: inference is a single whole-stage-codegen
+projection plus a broadcast model, no explodes. The same dataflow
+generalizes to any teacher signal (an LLM judge, a human-labeled set).
+
+Determinism: RandomForest with a fixed seed on a fixed split is
+reproducible run to run; the train/eval split is the engine's modular
+doc_id split (no engine randomness). No SQL oracle is possible for MLlib
+internals — the query registers rows-only with a NAMED anchor test
+(holdout-accuracy floor + determinism), the same contract as
+spark_imputer_e2e.
+
+No reference counterpart (the reference is a single-node imputer); this
+is north-star training-data surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline
+from pyspark.ml.classification import RandomForestClassifier
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scikit_learn_imputer_spark.functions.repetition import repetition_signals
+from scikit_learn_imputer_spark.functions.text import quality_features
+
+CHEAP_FEATURES = (
+    "q_chars",
+    "q_tokens",
+    "q_avg_token_len",
+    "q_stopword_ratio",
+    "q_punct_ratio",
+    "q_score",
+)
+
+
+def gopher_label_col() -> Column:
+    """The teacher verdict: the oracled Gopher gate (same thresholds as
+    the gopher_quality_gate query), as a 0/1 label."""
+    return (
+        F.col("n_tokens").between(30, 95)
+        & (F.col("top2_frac") <= 0.12)
+        & (F.col("top3_frac") <= 0.10)
+        & (F.col("dup5_frac") <= 0.15)
+        & (F.col("dup8_frac") <= 0.10)
+    ).cast("double")
+
+
+def quality_training_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, cheap features..., label) — teacher signals computed ONCE
+    (the expensive pass), cheap features as map-only projections."""
+    cheap = quality_features(docs.select(id_col, text_col)).select(
+        id_col,
+        *[F.coalesce(F.col(c), F.lit(0.0)).cast("double").alias(c) for c in CHEAP_FEATURES],
+    )
+    teacher = repetition_signals(docs, id_col=id_col, text_col=text_col).select(
+        id_col, gopher_label_col().alias("label")
+    )
+    return cheap.join(teacher, id_col)
+
+
+def train_quality_model(
+    train: DataFrame, seed: int = 42, num_trees: int = 20, max_depth: int = 5
+):
+    """Fit assembler+RF on a quality_training_frame. Tree ensembles are
+    the right hypothesis class here: the teacher gate is a BAND on
+    n_tokens plus threshold rules — axis-aligned splits express it,
+    a linear model cannot."""
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=list(CHEAP_FEATURES), outputCol="features"),
+            RandomForestClassifier(
+                numTrees=num_trees, maxDepth=max_depth, seed=seed, labelCol="label"
+            ),
+        ]
+    )
+    return pipe.fit(train)
+
+
+def quality_model_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Train on the modular 80% split (doc_id % 10 < 8), score the held
+    20%: (id, label, p_good, pred). The returned frame is the HOLDOUT
+    evaluation a filter designer reads before trusting the distilled
+    gate on the full corpus."""
+    # The training frame is the pipeline's natural materialization point:
+    # fit() consumes it eagerly and the returned lazy holdout plan reads
+    # it again at evaluation — unpersisting before that evaluation would
+    # silently recompute the expensive teacher pass (ADVICE r5 on the
+    # ivfpq query). Scoped to the plan's lifetime, like the preprocess
+    # composite's survivor persist; at 100 TB it is a parquet checkpoint.
+    frame = quality_training_frame(docs, id_col, text_col).persist()
+    train = frame.filter(F.col(id_col) % 10 < 8)
+    hold = frame.filter(F.col(id_col) % 10 >= 8)
+    model = train_quality_model(train, seed=seed)
+    scored = model.transform(hold)
+    p_good = F.element_at(vector_to_array("probability"), 2)
+    return scored.select(
+        F.col(id_col),
+        F.col("label").cast("bigint").alias("label"),
+        F.round(p_good, 6).alias("p_good"),
+        F.col("prediction").cast("bigint").alias("pred"),
+    )

@@ -1186,6 +1186,28 @@ ORACLE["gopher_quality_gate"] = ORACLE["gopher_quality_gate"].replace(
 
 
 @register(
+    "quality_model_scores",
+    anchor="tests/test_pipeline_reports.py::test_quality_model_scores_anchor",
+)
+def q_quality_model_scores(spark, sf_dir):
+    """Model-based quality filtering (functions/quality_model.py — the
+    fineweb-edu/DCLM distillation pattern): the expensive Gopher gate
+    is the teacher; a seeded RandomForest learns its verdict from CHEAP
+    map-only features, and this query returns the holdout evaluation
+    (doc_id, teacher label, p_good, model verdict) on the modular 20%
+    split. MLlib internals are not SQL-expressible — rows-only, with a
+    NAMED anchor pinning a holdout-accuracy floor and determinism. At
+    100 TB: teacher runs once over a sample; the distilled gate scores
+    the corpus as one codegen projection + broadcast model, no gram
+    explodes."""
+    from scikit_learn_imputer_spark.functions.quality_model import (
+        quality_model_scores,
+    )
+
+    return quality_model_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "filter_waterfall",
     oracle=r"""
 WITH rep0 AS ({rep}), tq0 AS ({tq}),

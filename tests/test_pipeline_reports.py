@@ -187,3 +187,18 @@ def test_learn_bpe_merges_early_stop_when_exhausted(spark):
     # 'ab' has exactly one merge; the loop must stop, not loop on nothing
     assert len(rows) == 1
     assert (rows[0]["lhs"], rows[0]["rhs"], rows[0]["merged"]) == ("a", "b", "ab")
+
+
+def test_quality_model_scores_anchor(spark, sf_smoke):
+    """ANCHOR for quality_model_scores (rows-only in the driver gate):
+    the distilled cheap-feature model must actually track the expensive
+    teacher gate on held-out docs, and be reproducible."""
+    rows = QUERIES["quality_model_scores"](spark, sf_smoke).collect()
+    assert len(rows) > 0
+    acc = sum(1 for r in rows if r["pred"] == r["label"]) / len(rows)
+    assert acc >= 0.8, f"distilled gate accuracy {acc:.3f} below floor"
+    for r in rows:
+        assert 0.0 <= r["p_good"] <= 1.0
+        assert r["doc_id"] % 10 >= 8  # holdout only
+    again = QUERIES["quality_model_scores"](spark, sf_smoke).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
