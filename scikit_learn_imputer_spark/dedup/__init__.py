@@ -23,10 +23,14 @@ from scikit_learn_imputer_spark.dedup.spans import (
 )
 from scikit_learn_imputer_spark.dedup.embedding import embedding_near_pairs
 from scikit_learn_imputer_spark.dedup.incremental import (
+    append_signatures,
     append_to_store,
     build_fingerprint_store,
+    build_signature_store,
     incremental_dedup,
     incremental_dedup_and_commit,
+    incremental_near_dedup,
+    incremental_near_dedup_and_commit,
 )
 
 __all__ = [
@@ -34,10 +38,14 @@ __all__ = [
     "bloom_m_bits",
     "bloom_hit_col",
     "decontaminate_bloom",
+    "append_signatures",
     "append_to_store",
     "build_fingerprint_store",
+    "build_signature_store",
     "incremental_dedup",
     "incremental_dedup_and_commit",
+    "incremental_near_dedup",
+    "incremental_near_dedup_and_commit",
     "benchmark_gram_digests",
     "decontaminate",
     "decontaminate_ngram",

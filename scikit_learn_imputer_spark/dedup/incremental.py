@@ -138,3 +138,169 @@ def stream_dedup_ingest(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+# ---------------------------------------------------------------------
+# Incremental NEAR-duplicate filtering (MinHash band-bucket store)
+# ---------------------------------------------------------------------
+
+_SIG_META = ("num_hashes", "bands", "shingle", "hasher")
+
+
+def build_signature_store(
+    docs: DataFrame,
+    path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 5,
+    hasher: str = "fast",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Initialize the near-dup store: (doc_id, band, bucket) rows for
+    everything already accepted, plus the LSH configuration PERSISTED as
+    columns — probes validate it, so a store built at one (K, bands,
+    shingle, hasher) can never be silently probed at another (the
+    offset-store seq_len contract, applied to LSH). Overwrites ``path``."""
+    from scikit_learn_imputer_spark.dedup.minhash import (
+        band_buckets,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs, num_hashes, shingle, id_col, text_col, hasher)
+    bb = band_buckets(sigs, num_hashes, bands, id_col)
+    (
+        bb.withColumn("num_hashes", F.lit(num_hashes))
+        .withColumn("bands", F.lit(bands))
+        .withColumn("shingle", F.lit(shingle))
+        .withColumn("hasher", F.lit(hasher))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _read_signature_store(
+    spark: SparkSession,
+    path: str,
+    num_hashes: int,
+    bands: int,
+    shingle: int,
+    hasher: str,
+) -> DataFrame:
+    store = spark.read.parquet(path)
+    meta = store.select(*_SIG_META).limit(1).collect()
+    if meta:
+        got = tuple(meta[0])
+        want = (num_hashes, bands, shingle, hasher)
+        if got != want:
+            raise ValueError(
+                f"signature store at {path} was built with "
+                f"(num_hashes, bands, shingle, hasher)={got}, probed with {want}"
+            )
+    return store
+
+
+def incremental_near_dedup(
+    batch: DataFrame,
+    store_path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 5,
+    hasher: str = "fast",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rows of ``batch`` with NO banded-LSH collision against the store —
+    the history-filter form of incremental near-dedup: a new doc is
+    dropped iff some already-accepted doc shares a band bucket (i.e.
+    batch-vs-history candidate pairing, the same keying as
+    ``minhash_candidate_pairs``). Within-batch near-dups are deliberately
+    NOT collapsed here (batch-local near-dedup composes via the batch
+    operators; a greedy cross-doc keep rule inside one batch would need
+    an iterative MIS and would break the clean sequential semantics this
+    probe is tested for).
+
+    Join shape mirrors ``incremental_dedup``: the store is streamed
+    through a semi join whose other side is the batch's distinct bucket
+    keys (micro-batch-bounded, AQE-broadcast), then the batch anti-joins
+    the resulting batch-bounded collision set. The store is never
+    broadcast and never shuffled, at any store size; nothing ever
+    shuffles document text."""
+    from scikit_learn_imputer_spark.dedup.minhash import (
+        band_buckets,
+        minhash_signatures,
+    )
+
+    spark = batch.sparkSession
+    store = _read_signature_store(
+        spark, store_path, num_hashes, bands, shingle, hasher
+    )
+    sigs = minhash_signatures(batch, num_hashes, shingle, id_col, text_col, hasher)
+    probe = band_buckets(sigs, num_hashes, bands, id_col)
+    batch_keys = probe.select("band", "bucket").distinct()
+    store_hits = store.join(batch_keys, on=["band", "bucket"], how="left_semi")
+    hit_ids = (
+        probe.join(
+            store_hits.select("band", "bucket").distinct(),
+            on=["band", "bucket"],
+            how="left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return batch.join(hit_ids, on=id_col, how="left_anti")
+
+
+def append_signatures(
+    survivors: DataFrame,
+    store_path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 5,
+    hasher: str = "fast",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Commit accepted docs' band buckets to the store (append-only; the
+    probe has set semantics, so duplicate rows across appends are
+    harmless). Re-shingles only the survivor rows — micro-batch-bounded."""
+    from scikit_learn_imputer_spark.dedup.minhash import (
+        band_buckets,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(
+        survivors, num_hashes, shingle, id_col, text_col, hasher
+    )
+    bb = band_buckets(sigs, num_hashes, bands, id_col)
+    (
+        bb.withColumn("num_hashes", F.lit(num_hashes))
+        .withColumn("bands", F.lit(bands))
+        .withColumn("shingle", F.lit(shingle))
+        .withColumn("hasher", F.lit(hasher))
+        .write.mode("append")
+        .parquet(store_path)
+    )
+
+
+def incremental_near_dedup_and_commit(
+    batch: DataFrame,
+    store_path: str,
+    **kw,
+) -> DataFrame:
+    """Probe + commit in one call. Safe to re-evaluate after the commit:
+    the probe's store scan captured its file listing when the plan was
+    built, so the returned frame keeps answering against the
+    PRE-commit store even though new files were appended (same contract
+    as ``incremental_dedup_and_commit``)."""
+    survivors = incremental_near_dedup(batch, store_path, **kw)
+    append_signatures(
+        survivors,
+        store_path,
+        **{
+            k: v
+            for k, v in kw.items()
+            if k in ("num_hashes", "bands", "shingle", "hasher", "id_col", "text_col")
+        },
+    )
+    return survivors

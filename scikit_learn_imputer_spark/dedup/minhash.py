@@ -86,6 +86,34 @@ def minhash_signatures(
     return grams.groupBy(id_col).agg(*aggs)
 
 
+def band_buckets(
+    sigs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, bucket) — one row per band per document over a
+    ``minhash_signatures`` frame; bucket = md5 of the band's signature
+    slice, the SAME keying ``minhash_candidate_pairs`` uses, so two
+    documents are band-bucket-colliding here iff banded LSH would pair
+    them. The lean probe/store currency for incremental near-dedup."""
+    rows_per_band = num_hashes // bands
+    frames = []
+    for b in range(bands):
+        slice_cols = [
+            F.col(f"sig_{i}").cast("string")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        frames.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *slice_cols)).alias("bucket"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     num_hashes: int = 16,

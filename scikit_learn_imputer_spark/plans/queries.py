@@ -5750,6 +5750,64 @@ def q_incremental_dedup_batch(spark, sf_dir):
     return out.select("doc_id", "fingerprint").orderBy("doc_id")
 
 
+def _incremental_near_dedup_oracle_sql() -> str:
+    """Batch-vs-history banded-LSH filter: a batch doc survives iff NO
+    band slice fully matches any store doc (brute-force band predicate
+    over the already-oracled md5 signatures, store = doc_id % 5 != 0,
+    batch = doc_id % 5 = 0)."""
+    bands = " OR ".join(
+        "("
+        + " AND ".join(f"a.sig_{4*b+j} = b.sig_{4*b+j}" for j in range(4))
+        + ")"
+        for b in range(_MINHASH_K // 4)
+    )
+    return f"""
+WITH sigs AS ({_minhash_oracle_sql()}),
+hits AS (
+  SELECT DISTINCT a.doc_id
+  FROM (SELECT * FROM sigs WHERE doc_id % 5 = 0) a
+  JOIN (SELECT * FROM sigs WHERE doc_id % 5 <> 0) b ON ({bands})
+)
+SELECT d.doc_id, d.source, d.n_chars FROM documents d
+WHERE d.doc_id % 5 = 0 AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "incremental_near_dedup_batch", oracle=_incremental_near_dedup_oracle_sql()
+)
+def q_incremental_near_dedup_batch(spark, sf_dir):
+    """Cross-batch incremental NEAR-dedup (dedup/incremental.py): the
+    already-ingested corpus (doc_id % 5 != 0) is collapsed to a persisted
+    (band, bucket) signature STORE; the incoming batch (doc_id % 5 == 0)
+    drops every doc banded LSH would pair with history — the build-once /
+    probe-per-batch near-dup form of the crawl pipeline, beside the exact
+    incremental_dedup_batch. md5 hasher here so the whole probe is
+    oracled (the brute-force band predicate over oracled signatures);
+    the xxhash64 production path shares the code path. Store streamed,
+    never broadcast; only band digests shuffle. The commit/re-probe and
+    config-mismatch contracts are pinned by
+    tests/test_dedup_similarity.py::test_incremental_near_dedup_history_filter."""
+    import os
+
+    from scikit_learn_imputer_spark.dedup.incremental import (
+        build_signature_store,
+        incremental_near_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    path = f"/tmp/sli_sig_store_{os.path.basename(sf_dir.rstrip('/'))}"
+    cfg = dict(
+        num_hashes=_MINHASH_K, bands=_MINHASH_K // 4, shingle=5, hasher="md5"
+    )
+    build_signature_store(corpus, path, **cfg)
+    out = incremental_near_dedup(batch, path, **cfg)
+    return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
 @register("cosine_topk_int8_packed", oracle=ORACLE["cosine_topk_int8"])
 def q_cosine_topk_int8_packed(spark, sf_dir):
     """The packed-binary twin of cosine_topk_int8 (same oracle — integer

@@ -776,3 +776,58 @@ def test_scrub_benchmark_spans_surgical(spark):
     assert out[0]["n_tokens_before"] == 8 and out[0]["n_tokens_after"] == 2
     assert out[1]["scrubbed_text"] == "totally clean document body here"
     assert out[2]["scrubbed_text"] == "e1 e2 e3 e4 tail"
+
+
+def test_incremental_near_dedup_history_filter(spark, tmp_path):
+    """Incremental NEAR-dedup: a new doc is dropped iff banded LSH would
+    pair it with an already-accepted doc — asserted by deriving the
+    expected drop set from band_buckets directly; commit + re-probe
+    drops the whole batch; config mismatch fails fast."""
+    import pytest as _pytest
+
+    from scikit_learn_imputer_spark.dedup.incremental import (
+        append_signatures,
+        build_signature_store,
+        incremental_near_dedup,
+    )
+    from scikit_learn_imputer_spark.dedup.minhash import (
+        band_buckets,
+        minhash_signatures,
+    )
+
+    t_a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    t_b = "completely different content about spark shuffles and parquet footers"
+    t_c = "unrelated fresh words describing mixture sampling and token budgets"
+    store = str(tmp_path / "sigstore")
+    schema = "doc_id bigint, text string"
+    b1 = spark.createDataFrame([(1, t_a), (2, t_b)], schema)
+    build_signature_store(b1, store)
+
+    b2 = spark.createDataFrame(
+        [(10, t_a), (11, t_a + " with a small appended tail"), (12, t_c)],
+        schema,
+    )
+    surv = incremental_near_dedup(b2, store)
+    got = sorted(r["doc_id"] for r in surv.collect())
+
+    bb1 = band_buckets(minhash_signatures(b1)).select("band", "bucket")
+    bb2 = band_buckets(minhash_signatures(b2))
+    dropped = {
+        r["doc_id"]
+        for r in bb2.join(bb1, on=["band", "bucket"], how="left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert got == sorted({10, 11, 12} - dropped)
+    assert 10 in dropped  # identical text shares every band
+    assert 12 not in dropped  # fresh content survives
+
+    # commit survivors, then re-probe the same batch: everything collides
+    # (with history or with its own committed signatures)
+    append_signatures(surv, store)
+    again = incremental_near_dedup(b2, store)
+    assert again.count() == 0
+
+    with _pytest.raises(ValueError, match="signature store"):
+        incremental_near_dedup(b2, store, bands=8)
