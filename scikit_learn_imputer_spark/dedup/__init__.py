@@ -31,6 +31,7 @@ from scikit_learn_imputer_spark.dedup.incremental import (
     incremental_dedup_and_commit,
     incremental_near_dedup,
     incremental_near_dedup_and_commit,
+    stream_near_dedup_ingest,
 )
 
 __all__ = [
@@ -46,6 +47,7 @@ __all__ = [
     "incremental_dedup_and_commit",
     "incremental_near_dedup",
     "incremental_near_dedup_and_commit",
+    "stream_near_dedup_ingest",
     "benchmark_gram_digests",
     "decontaminate",
     "decontaminate_ngram",

@@ -304,3 +304,48 @@ def incremental_near_dedup_and_commit(
         },
     )
     return survivors
+
+
+def stream_near_dedup_ingest(
+    docs_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 5,
+    hasher: str = "fast",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous ingest-with-NEAR-dedup: each micro-batch drops docs
+    banded LSH pairs with the persisted signature store, survivors land
+    in ``out_path``, and their band buckets commit to the store — the
+    near-dup twin of ``stream_dedup_ingest``, with the same foreachBatch
+    rationale (the state is the unbounded all-history signature set, a
+    persisted join-able store, not watermark-boundable operator state)
+    and the same exactly-once caveat (store append AFTER the output
+    write; a replayed batch re-drops as near-dup — re-entrant)."""
+    cfg = dict(
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle=shingle,
+        hasher=hasher,
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        survivors = incremental_near_dedup(batch, store_path, **cfg)
+        survivors.persist()
+        try:
+            survivors.write.mode("append").parquet(out_path)
+            append_signatures(survivors, store_path, **cfg)
+        finally:
+            survivors.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -831,3 +831,59 @@ def test_incremental_near_dedup_history_filter(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="signature store"):
         incremental_near_dedup(b2, store, bands=8)
+
+
+def test_stream_near_dedup_ingest_across_batches(spark, tmp_path):
+    """Streaming near-dedup ingest: later files' near-dups of earlier
+    survivors are dropped across micro-batch boundaries; survivors and
+    committed store state match the sequential incremental run."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scikit_learn_imputer_spark.dedup.incremental import (
+        build_signature_store,
+        stream_near_dedup_ingest,
+    )
+
+    t_a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    t_b = "completely different content about spark shuffles and parquet footers"
+    t_c = "unrelated fresh words describing mixture sampling and token budgets"
+    batches = [
+        [(1, t_a), (2, t_b)],
+        [(3, t_a), (4, t_c)],     # 3 is a near-dup (identical) of 1
+        [(5, t_c), (6, t_b)],     # both collide with history
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        path = str(src / f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "text": pa.array([r[1] for r in rows]),
+                }
+            ),
+            path,
+        )
+        # distinct mtimes: the file source orders batches by timestamp,
+        # and sub-second writes can tie
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    store, out, cp = (str(tmp_path / p) for p in ("store", "out", "cp"))
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    build_signature_store(empty, store)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    q = stream_near_dedup_ingest(stream, store, out, cp).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 4]
