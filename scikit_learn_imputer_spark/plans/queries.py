@@ -6874,6 +6874,73 @@ def q_schema_evolution_scan(spark, sf_dir):
 
 
 @register(
+    "packing_curve",
+    oracle=r"""
+WITH s AS (
+  SELECT source,
+         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\s+')) END) AS BIGINT)
+           AS toks
+  FROM documents GROUP BY source
+), e AS (
+  SELECT source, toks, unnest([128, 512, 2048]) AS seq_len FROM s
+)
+SELECT CAST(seq_len AS INTEGER) AS seq_len,
+       CAST(sum((toks + seq_len - 1) // seq_len) AS BIGINT) AS n_sequences,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       CAST(sum((toks + seq_len - 1) // seq_len * seq_len - toks) AS BIGINT)
+         AS pad_tokens,
+       round(CAST(sum((toks + seq_len - 1) // seq_len * seq_len - toks)
+                  AS DOUBLE)
+             / sum((toks + seq_len - 1) // seq_len * seq_len), 9) AS pad_frac
+FROM e GROUP BY seq_len
+""",
+)
+def q_packing_curve(spark, sf_dir):
+    """Padding-waste curve across candidate sequence lengths (128 / 512
+    / 2048): concat-and-cut packing wastes ONLY each shard's tail, so
+    per length the whole curve is algebra over per-shard token totals —
+    sequences produced, padded slots, pad fraction. The number a
+    training-config reviewer reads before fixing seq_len. One shard
+    aggregate + a map-side explode over the length list; no window, no
+    join, nothing corpus-sized after the first aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    ntok = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, "\\s+")))
+        .cast("bigint")
+    )
+    per_shard = (
+        d.select("source", ntok.alias("__n"))
+        .groupBy("source")
+        .agg(F.sum("__n").alias("toks"))
+    )
+    lengths = F.array(*[F.lit(x) for x in (128, 512, 2048)])
+    e = per_shard.select("toks", F.explode(lengths).alias("__l")).select(
+        "toks", F.col("__l").cast("bigint").alias("seq_len")
+    )
+    nseq = F.floor((F.col("toks") + F.col("seq_len") - 1) / F.col("seq_len"))
+    return (
+        e.select("toks", "seq_len", nseq.alias("__nseq"))
+        .groupBy(F.col("seq_len").cast("int").alias("seq_len"))
+        .agg(
+            F.sum("__nseq").cast("bigint").alias("n_sequences"),
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("__nseq") * F.col("seq_len") - F.col("toks"))
+            .cast("bigint")
+            .alias("pad_tokens"),
+            F.round(
+                F.sum(F.col("__nseq") * F.col("seq_len") - F.col("toks"))
+                .cast("double")
+                / F.sum(F.col("__nseq") * F.col("seq_len")),
+                9,
+            ).alias("pad_frac"),
+        )
+    )
+
+
+@register(
     "packing_stats",
     oracle=r"""
 WITH t AS (
