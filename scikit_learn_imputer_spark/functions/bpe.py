@@ -143,6 +143,13 @@ def learn_bpe_merges(
     deterministic rewrite agrees with the reference zero-width-regex
     sub on ordinary text and is exactly reproducible in engines without
     lookaround regex (the DuckDB oracle unrolls the identical loop).
+    Known divergence: inside a RUN of >= 5 identical symbols (e.g. the
+    word 'aaaaaa' merging (a, a)), the two-pass replace can align merges
+    differently than the reference's single zero-width pass — both
+    produce maximal non-overlapping merge sets, but offset differently,
+    which can shift later pair counts. Natural-language words rarely
+    carry such runs; the golden test corpus and this engine's testdata
+    have none.
     Pair counts weight overlapping adjacencies per word occurrence;
     ties break lexicographically on the pair string. Stops early if no
     pair remains."""

@@ -1186,6 +1186,38 @@ ORACLE["gopher_quality_gate"] = ORACLE["gopher_quality_gate"].replace(
 
 
 @register(
+    "ann_ivf_balance",
+    anchor="tests/test_pipeline_reports.py::test_ann_ivf_balance_anchor",
+)
+def q_ann_ivf_balance(spark, sf_dir):
+    """IVF index balance audit: per-cell population statistics (cells
+    used, min/mean/max cell size, imbalance = max/mean, largest-cell
+    share) — the operational check before trusting IVF probe latency
+    and recall: a fat cell means some probes scan far more than
+    corpus/nlist vectors, and empty cells waste nprobe budget. One
+    O(#cells) aggregate over the assignment the other IVF queries
+    already build; KMeans cells are not SQL-expressible → rows-only,
+    anchored (mass conservation, bounds, determinism)."""
+    from scikit_learn_imputer_spark.similarity.ivf import build_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = build_ivf_index(
+        emb, nlist=8, max_iter=3, init_mode="random", build_partitions=4
+    )
+    cells = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    return cells.agg(
+        F.lit(8).alias("nlist"),
+        F.count(F.lit(1)).cast("bigint").alias("cells_used"),
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.min("n").cast("bigint").alias("min_cell"),
+        F.max("n").cast("bigint").alias("max_cell"),
+        F.round(F.avg("n"), 6).alias("mean_cell"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("imbalance"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("max_cell_share"),
+    )
+
+
+@register(
     "quality_model_scores",
     anchor="tests/test_pipeline_reports.py::test_quality_model_scores_anchor",
 )

@@ -202,3 +202,19 @@ def test_quality_model_scores_anchor(spark, sf_smoke):
         assert r["doc_id"] % 10 >= 8  # holdout only
     again = QUERIES["quality_model_scores"](spark, sf_smoke).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_ann_ivf_balance_anchor(spark, sf_smoke):
+    """ANCHOR for ann_ivf_balance (rows-only): cell mass conserves the
+    corpus, bounds hold, and the seeded build reproduces."""
+    rows = QUERIES["ann_ivf_balance"](spark, sf_smoke).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    n_vecs = load_table(spark, sf_smoke, "embeddings").count()
+    assert r["n_vectors"] == n_vecs
+    assert 1 <= r["cells_used"] <= r["nlist"]
+    assert r["min_cell"] <= r["mean_cell"] <= r["max_cell"]
+    assert r["imbalance"] >= 1.0
+    assert 0.0 < r["max_cell_share"] <= 1.0
+    again = QUERIES["ann_ivf_balance"](spark, sf_smoke).collect()
+    assert [tuple(x) for x in again] == [tuple(x) for x in rows]
