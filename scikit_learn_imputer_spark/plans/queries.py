@@ -5864,6 +5864,84 @@ def q_cosine_topk_int8_packed(spark, sf_dir):
 
 
 @register(
+    "pii_audit",
+    oracle="""
+WITH injected AS (
+  SELECT source,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com from 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+                   || ' card 4111 1111 1111 1111'
+              ELSE text END AS text
+  FROM documents
+),
+counted AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(text, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ip,
+         len(regexp_extract_all(text, '\\b[0-9][0-9 -]{7,}[0-9]\\b')) AS n_longnum
+  FROM injected
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_email + n_ip + n_longnum > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_pii,
+       CAST(sum(n_email) AS BIGINT) AS n_email,
+       CAST(sum(n_ip) AS BIGINT) AS n_ip,
+       CAST(sum(n_longnum) AS BIGINT) AS n_longnum,
+       round(CAST(sum(CASE WHEN n_email + n_ip + n_longnum > 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 9) AS pii_rate
+FROM counted GROUP BY source
+""",
+)
+def q_pii_audit(spark, sf_dir):
+    """Per-source PII exposure report (the compliance number beside the
+    scrub): documents carrying any PII hit, per-pattern match totals,
+    and the per-source hit rate — what a data-governance review reads
+    to decide which sources need scrubbing versus dropping. Same
+    deterministic injection as pii_scrub (the corpus carries no organic
+    PII); counts on ORIGINAL text; one map-side regexp_count projection
+    + an O(#sources) aggregate."""
+    from scikit_learn_imputer_spark.functions.pii import pii_counts
+
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0.0."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(" card 4111 1111 1111 1111"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    c = pii_counts(F.col("text"))
+    counted = injected.select(
+        "source",
+        c["email"].alias("__e"),
+        c["ip"].alias("__i"),
+        c["longnum"].alias("__l"),
+    )
+    any_pii = (F.col("__e") + F.col("__i") + F.col("__l") > 0).cast("int")
+    return counted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(any_pii).cast("bigint").alias("docs_with_pii"),
+        F.sum("__e").cast("bigint").alias("n_email"),
+        F.sum("__i").cast("bigint").alias("n_ip"),
+        F.sum("__l").cast("bigint").alias("n_longnum"),
+        F.round(
+            F.sum(any_pii).cast("double") / F.count(F.lit(1)), 9
+        ).alias("pii_rate"),
+    )
+
+
+@register(
     "pii_scrub",
     oracle="""
 WITH injected AS (
