@@ -2096,6 +2096,50 @@ def q_semdedup_exact(spark, sf_dir):
 
 
 @register(
+    "semdedup_threshold_curve",
+    oracle="""
+WITH nv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT b.vec_id AS victim,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+),
+e AS (SELECT victim, cos, CAST(unnest([0.35, 0.42, 0.5, 0.6]) AS DOUBLE) AS thr
+      FROM pairs)
+SELECT round(thr, 2) AS threshold,
+       CAST(count(DISTINCT CASE WHEN cos >= thr THEN victim END) AS BIGINT)
+         AS n_removed
+FROM e GROUP BY thr
+""",
+)
+def q_semdedup_threshold_curve(spark, sf_dir):
+    """SemDeDup eps calibration: removed-vector counts at several cosine
+    thresholds under the min-id keep rule (a vector is removed iff some
+    smaller-id vector is >= eps close) — the curve a dedup designer
+    reads before fixing eps, because removal mass is highly nonlinear in
+    the threshold. Built on the exact pair join (the documented
+    quadratic baseline; the clustered path scales it); one explode over
+    the threshold list, then an O(#thresholds) distinct-count."""
+    from scikit_learn_imputer_spark.dedup.embedding import embedding_near_pairs
+
+    pairs = embedding_near_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
+    ).select(F.col("id_b").alias("victim"), F.col("cosine").alias("cos"))
+    thrs = F.array(*[F.lit(x) for x in (0.35, 0.42, 0.5, 0.6)])
+    e = pairs.select("victim", "cos", F.explode(thrs).alias("thr"))
+    return (
+        e.groupBy(F.round("thr", 2).alias("threshold"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("cos") >= F.col("thr"), F.col("victim"))
+            ).alias("n_removed")
+        )
+    )
+
+
+@register(
     "semdedup_clustered",
     anchor="tests/test_dedup_similarity.py::test_semdedup_clustered_consistency",
 )

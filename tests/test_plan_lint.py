@@ -40,6 +40,8 @@ INTENDED_NON_EQUI = {
     "vocab_coverage",              # broadcast 1-row corpus-total frame
     "mixture_epoch_plan",          # broadcast 1-row budget/normalizer frame
     "lm_score_deciles",            # broadcast 1-row decile-threshold frame
+    "semdedup_threshold_curve",    # exact pair-join baseline (same as
+                                   # embedding_near_pairs/semdedup_exact)
 }
 
 HEAVY_BUILD = {
