@@ -1218,6 +1218,87 @@ def q_ann_ivf_balance(spark, sf_dir):
 
 
 @register(
+    "source_quality_matrix",
+    oracle=r"""
+WITH tq0 AS ({tq}), rep0 AS ({rep}), lm0 AS ({lm})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(round(t.q_score * 1e6) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1e6, 6) AS mean_q_score,
+       round(CAST(sum(CASE WHEN r.n_tokens BETWEEN 30 AND 95
+                       AND r.top2_frac <= 0.12 AND r.top3_frac <= 0.10
+                       AND r.dup5_frac <= 0.15 AND r.dup8_frac <= 0.10
+                 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS gopher_pass_rate,
+       round(CAST(sum(CAST(round(l.lm_score * 1e6) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1e6, 6) AS mean_lm_score
+FROM documents d
+JOIN tq0 t USING (doc_id)
+JOIN rep0 r USING (doc_id)
+JOIN lm0 l USING (doc_id)
+GROUP BY d.source
+""",
+)
+def q_source_quality_matrix(spark, sf_dir):
+    """Per-source quality dashboard: mean heuristic quality score,
+    Gopher gate pass rate, and mean bigram-LM score per source — the
+    table a mixture designer reads NEXT TO mixture_epoch_plan's
+    weights, because upweighting a source is only sane against its
+    quality profile. Composes three oracled per-doc signal frames with
+    equi-joins on doc_id and one O(#sources) aggregate; every signal is
+    map-side or an already-bounded aggregate. Means are computed as
+    integer micro-unit sums (snap each per-doc score to 1e-6, sum as
+    BIGINT, divide once) so the aggregate is summation-order-invariant
+    — a plain avg() over doubles differs between engines in the last
+    ulp and can flip the 6th rounded decimal."""
+    from scikit_learn_imputer_spark.functions.lm import bigram_lm_scores
+    from scikit_learn_imputer_spark.functions.repetition import repetition_signals
+
+    d = _t(spark, sf_dir, "documents")
+    tq = quality_features(d.select("doc_id", "text")).select(
+        "doc_id", F.round("q_score", 6).alias("q_score")
+    )
+    rep = repetition_signals(d)
+    gopher_pass = (
+        F.col("n_tokens").between(30, 95)
+        & (F.col("top2_frac") <= 0.12)
+        & (F.col("top3_frac") <= 0.10)
+        & (F.col("dup5_frac") <= 0.15)
+        & (F.col("dup8_frac") <= 0.10)
+    )
+    rep_flag = rep.select(
+        "doc_id", F.when(gopher_pass, 1).otherwise(0).alias("__gp")
+    )
+    lm = bigram_lm_scores(d).select("doc_id", "lm_score")
+    n = F.count(F.lit(1))
+    return (
+        d.select("doc_id", "source")
+        .join(tq, "doc_id")
+        .join(rep_flag, "doc_id")
+        .join(lm, "doc_id")
+        .select(
+            "source",
+            F.round(F.col("q_score") * 1e6).cast("bigint").alias("__q6"),
+            "__gp",
+            F.round(F.col("lm_score") * 1e6).cast("bigint").alias("__l6"),
+        )
+        .groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.round(F.sum("__q6").cast("double") / n / 1e6, 6).alias(
+                "mean_q_score"
+            ),
+            F.round(F.sum("__gp").cast("double") / n, 6).alias(
+                "gopher_pass_rate"
+            ),
+            F.round(F.sum("__l6").cast("double") / n / 1e6, 6).alias(
+                "mean_lm_score"
+            ),
+        )
+    )
+
+
+@register(
     "quality_model_scores",
     anchor="tests/test_pipeline_reports.py::test_quality_model_scores_anchor",
 )
@@ -7144,3 +7225,13 @@ def q_packing_stats(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# source_quality_matrix composes three oracles registered at different
+# points in this module; resolve the placeholders after all of them exist.
+ORACLE["source_quality_matrix"] = (
+    ORACLE["source_quality_matrix"]
+    .replace("{tq}", ORACLE["text_quality"])
+    .replace("{rep}", ORACLE["repetition_signals"])
+    .replace("{lm}", ORACLE["bigram_lm_quality"])
+)
