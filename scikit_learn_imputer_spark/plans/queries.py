@@ -4721,6 +4721,41 @@ def q_q12_late_shipment_priority(spark, sf_dir):
 # =====================================================================
 
 @register(
+    "jsonl_roundtrip",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts
+FROM documents GROUP BY source
+""",
+)
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL round-trip for the documents corpus — JSON-lines is the
+    dominant LLM-corpus interchange format, so the sink→scan loop must
+    preserve content exactly: write with write_jsonl, read back with an
+    EXPLICIT schema (inference reads the data twice and infers a key
+    union — both wrong at scale), and aggregate per source; the oracle
+    is the same aggregate over the parquet original, so any text
+    mangling (escaping, unicode, null handling) breaks the digest
+    column. Splittable output — unlike the CSV report sink, no
+    coalesce: corpus-sized JSONL stays parallel."""
+    import os
+
+    from scikit_learn_imputer_spark.sources.tables import read_jsonl, write_jsonl
+
+    docs = _t(spark, sf_dir, "documents")
+    path = f"/tmp/sli_jsonl_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, schema=docs.schema)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct(F.md5("text")).alias("distinct_texts"),
+    )
+
+
+@register(
     "csv_roundtrip",
     oracle="""
 SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations
