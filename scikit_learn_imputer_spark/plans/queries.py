@@ -4721,6 +4721,173 @@ def q_q12_late_shipment_priority(spark, sf_dir):
 # =====================================================================
 
 @register(
+    "source_doc_sample",
+    oracle="""
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('inspect:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS pick
+  FROM documents
+)
+SELECT source, pick, doc_id, n_chars FROM r WHERE pick <= 3
+""",
+)
+def q_source_doc_sample(spark, sf_dir):
+    """Deterministic inspection sample: 3 docs per source, picked by a
+    salted md5 order so the 'random' eyeball set is stable across runs
+    and engines — the manual-review staple (every dataset audit starts
+    with 'show me a few docs from each source', and a rand()-based
+    sample can never be reproduced in a ticket). Partitioned window
+    (per-source, never global), O(#sources × 3) output."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("inspect:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        d.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).cast("bigint").alias("pick"),
+        )
+        .filter(F.col("pick") <= 3)
+        .select("source", "pick", "doc_id", "n_chars")
+    )
+
+
+@register(
+    "corpus_dataset_card",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\s+')) END AS BIGINT)
+           AS n_tokens,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+contam AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4])) AS g
+    FROM (SELECT doc_id, str_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE doc_id % 100 >= 2)
+  ) WHERE g IN (
+    SELECT DISTINCT unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4]))
+    FROM (SELECT str_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE doc_id % 100 < 2)
+  )
+)
+SELECT metric, round(value, 6) AS value FROM (
+  SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM t
+  UNION ALL
+  SELECT 'total_tokens', CAST(sum(n_tokens) AS DOUBLE) FROM t
+  UNION ALL
+  SELECT 'mean_doc_tokens', CAST(sum(n_tokens) AS DOUBLE) / count(*) FROM t
+  UNION ALL
+  SELECT 'n_sources', CAST(count(DISTINCT source) AS DOUBLE) FROM documents
+  UNION ALL
+  SELECT 'pct_en', CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) FROM t
+  UNION ALL
+  SELECT 'exact_dup_rate',
+         1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*) FROM t
+  UNION ALL
+  SELECT 'contamination_rate',
+         CAST((SELECT count(*) FROM contam) AS DOUBLE)
+           / (SELECT count(*) FROM t WHERE doc_id % 100 >= 2)
+)
+""",
+)
+def q_corpus_dataset_card(spark, sf_dir):
+    """The dataset card in one query: corpus headline numbers (docs,
+    token mass, mean length, sources, %en, exact-dup rate, benchmark
+    contamination rate) as a (metric, value) table — what goes at the
+    top of a dataset release note, assembled from the same oracled
+    computations the dedicated queries report in detail. Every metric
+    is a scalar aggregate (digests/gram digests only — text never
+    shuffles); the union is O(#metrics) rows."""
+    from scikit_learn_imputer_spark.functions.text import word_ngrams_col
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    ntok = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, "\\s+")))
+        .cast("bigint")
+    )
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        ntok.alias("__n"),
+        fingerprint_col(F.col("text")).alias("__fp"),
+    )
+    bench_g = (
+        d.filter(F.col("doc_id") % 100 < 2)
+        .select(F.explode(word_ngrams_col(F.col("text"), 5)).alias("g"))
+        .select(F.md5("g").alias("gd"))
+        .distinct()
+    )
+    corpus = d.filter(F.col("doc_id") % 100 >= 2)
+    n_contam = (
+        corpus.select(
+            "doc_id", F.explode(word_ngrams_col(F.col("text"), 5)).alias("g")
+        )
+        .select("doc_id", F.md5("g").alias("gd"))
+        .join(bench_g, "gd", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+        .select(F.lit("__contam").alias("k"), "v")
+    )
+    n_corpus = corpus.agg(F.count(F.lit(1)).cast("double").alias("v")).select(
+        F.lit("__ncorpus").alias("k"), "v"
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("__n").cast("double").alias("total_tokens"),
+        (F.sum("__n").cast("double") / F.count(F.lit(1))).alias(
+            "mean_doc_tokens"
+        ),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        (
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("pct_en"),
+        (
+            1.0
+            - F.countDistinct("__fp").cast("double") / F.count(F.lit(1))
+        ).alias("exact_dup_rate"),
+    )
+    melted = stats.selectExpr(
+        "stack(6, 'n_docs', n_docs, 'total_tokens', total_tokens, "
+        "'mean_doc_tokens', mean_doc_tokens, 'n_sources', n_sources, "
+        "'pct_en', pct_en, 'exact_dup_rate', exact_dup_rate) "
+        "AS (metric, value)"
+    )
+    contam_rate = (
+        n_contam.unionByName(n_corpus)
+        .groupBy()
+        .pivot("k", ["__contam", "__ncorpus"])
+        .sum("v")
+        .select(
+            F.lit("contamination_rate").alias("metric"),
+            (F.col("__contam") / F.col("__ncorpus")).alias("value"),
+        )
+    )
+    return melted.unionByName(contam_rate).select(
+        "metric", F.round("value", 6).alias("value")
+    )
+
+
+@register(
     "jsonl_roundtrip",
     oracle="""
 SELECT source,
