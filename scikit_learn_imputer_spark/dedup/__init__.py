@@ -27,6 +27,8 @@ from scikit_learn_imputer_spark.dedup.incremental import (
     append_to_store,
     build_fingerprint_store,
     build_signature_store,
+    compact_fingerprint_store,
+    compact_signature_store,
     incremental_dedup,
     incremental_dedup_and_commit,
     incremental_near_dedup,
@@ -43,6 +45,8 @@ __all__ = [
     "append_to_store",
     "build_fingerprint_store",
     "build_signature_store",
+    "compact_fingerprint_store",
+    "compact_signature_store",
     "incremental_dedup",
     "incremental_dedup_and_commit",
     "incremental_near_dedup",

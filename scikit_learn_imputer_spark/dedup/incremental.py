@@ -349,3 +349,30 @@ def stream_near_dedup_ingest(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def compact_fingerprint_store(spark: SparkSession, store_path: str) -> None:
+    """Rewrite the append-only fingerprint store as distinct digests in
+    fresh parquet. Appends accumulate small files and (harmless but
+    wasteful) duplicate digests; periodic compaction keeps the per-batch
+    probe scan proportional to DISTINCT history. Not atomic with
+    concurrent probes — run between ingest windows (an ACID table format
+    would lift that); correctness of later probes is unaffected either
+    way because the probe has set semantics."""
+    store = spark.read.parquet(store_path).select("fingerprint").distinct()
+    tmp = store_path.rstrip("/") + "__compacting"
+    store.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
+
+
+def compact_signature_store(spark: SparkSession, store_path: str) -> None:
+    """Same lifecycle op for the near-dup (band, bucket) store: distinct
+    (doc_id, band, bucket) rows, config columns preserved (validated
+    meta rides along via first_value — all rows agree by construction
+    of build/append)."""
+    store = spark.read.parquet(store_path).dropDuplicates(
+        ["doc_id", "band", "bucket"]
+    )
+    tmp = store_path.rstrip("/") + "__compacting"
+    store.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)

@@ -887,3 +887,58 @@ def test_stream_near_dedup_ingest_across_batches(spark, tmp_path):
         q.stop()
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept == [1, 2, 4]
+
+
+def test_store_compaction_preserves_probe_results(spark, tmp_path):
+    """Compacting either store must not change any later probe decision,
+    and must actually deduplicate the store's rows."""
+    from scikit_learn_imputer_spark.dedup.incremental import (
+        append_signatures,
+        append_to_store,
+        build_fingerprint_store,
+        build_signature_store,
+        compact_fingerprint_store,
+        compact_signature_store,
+        incremental_dedup,
+        incremental_near_dedup,
+    )
+
+    schema = "doc_id bigint, text string"
+    t_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t_b = "one two three four five six seven eight nine ten eleven"
+    docs = spark.createDataFrame([(1, t_a), (2, t_b)], schema)
+    probe = spark.createDataFrame(
+        [(10, t_a), (11, "fresh words entirely unrelated to anything stored")],
+        schema,
+    )
+
+    fstore = str(tmp_path / "fstore")
+    build_fingerprint_store(docs, fstore)
+    # duplicate appends bloat the store
+    for _ in range(3):
+        append_to_store(
+            incremental_dedup(docs, fstore).limit(0).unionByName(
+                spark.createDataFrame([], incremental_dedup(docs, fstore).schema)
+            ),
+            fstore,
+        )
+        append_to_store(incremental_dedup(probe, fstore), fstore)
+    before = {r["doc_id"] for r in incremental_dedup(probe, fstore).collect()}
+    rows_before = spark.read.parquet(fstore).count()
+    compact_fingerprint_store(spark, fstore)
+    rows_after = spark.read.parquet(fstore).count()
+    after = {r["doc_id"] for r in incremental_dedup(probe, fstore).collect()}
+    assert after == before
+    assert rows_after <= rows_before
+    assert rows_after == spark.read.parquet(fstore).distinct().count()
+
+    sstore = str(tmp_path / "sstore")
+    build_signature_store(docs, sstore)
+    append_signatures(docs, sstore)  # duplicate rows on purpose
+    b4 = {r["doc_id"] for r in incremental_near_dedup(probe, sstore).collect()}
+    n_b4 = spark.read.parquet(sstore).count()
+    compact_signature_store(spark, sstore)
+    n_af = spark.read.parquet(sstore).count()
+    af = {r["doc_id"] for r in incremental_near_dedup(probe, sstore).collect()}
+    assert af == b4
+    assert n_af < n_b4
