@@ -3,9 +3,15 @@ from scikit_learn_imputer_spark.streaming.events import (
     windowed_event_counts_batch,
     stream_events_from_parquet,
 )
+from scikit_learn_imputer_spark.streaming.ingest import (
+    ingest_batch,
+    stream_corpus_ingest,
+)
 
 __all__ = [
     "windowed_event_counts",
     "windowed_event_counts_batch",
     "stream_events_from_parquet",
+    "ingest_batch",
+    "stream_corpus_ingest",
 ]

@@ -1,0 +1,114 @@
+"""The full corpus-ingest pipeline as ONE streaming operator.
+
+``corpus_preprocess_pipeline`` (plans/queries.py) is the batch form a
+data run executes per crawl snapshot; this module is the continuous
+form: every arriving micro-batch is PII-scrubbed, quality-gated,
+deduplicated against the persisted all-history fingerprint store, and
+decontaminated against a static benchmark — survivors land in the
+output sink and their fingerprints commit to the store.
+
+Stage order follows the batch pipeline (scrub before anything reads the
+text; the cheap map-only gate before the store probe; decontamination
+last so a contaminated doc's fingerprint is NOT committed — its future
+exact duplicates re-probe clean and are re-dropped by decontamination,
+never falsely accepted).
+
+foreachBatch, not stateful operators: the only cross-batch state is the
+unbounded fingerprint store (persisted, join-able) and the static
+benchmark digest set (computed once, persisted, reused per batch).
+Exactly-once caveat is stream_dedup_ingest's: output write precedes the
+store append, so a replayed batch re-drops as dup — re-entrant, never
+lossy."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scikit_learn_imputer_spark.dedup.exact import benchmark_gram_digests
+from scikit_learn_imputer_spark.dedup.incremental import (
+    append_to_store,
+    incremental_dedup,
+)
+from scikit_learn_imputer_spark.functions.pii import scrub_pii_col
+from scikit_learn_imputer_spark.functions.text import quality_features, word_ngrams_col
+
+
+def ingest_batch(
+    batch: DataFrame,
+    store_path: str,
+    bench_grams: DataFrame,
+    min_q_score: float = 0.5,
+    min_tokens: int = 20,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One batch through scrub → gate → store-dedup → decontaminate.
+    Factored out of the stream so the batch==stream test (and any batch
+    backfill job) runs EXACTLY the code the stream runs."""
+    clean = batch.withColumn(text_col, scrub_pii_col(F.col(text_col)))
+    scored = quality_features(clean, text_col)
+    gated = clean.join(
+        scored.filter(
+            (F.round("q_score", 6) >= min_q_score)
+            & (F.col("q_tokens") >= min_tokens)
+        ).select(id_col),
+        on=id_col,
+        how="left_semi",
+    )
+    survivors = incremental_dedup(gated, store_path, id_col, text_col)
+    contaminated = (
+        survivors.select(
+            F.col(id_col),
+            F.explode(word_ngrams_col(F.col(text_col), n)).alias("__g"),
+        )
+        .select(id_col, F.md5("__g").alias("__cg"))
+        .join(bench_grams, F.col("__cg") == F.col("__bg"), "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return survivors.join(contaminated, on=id_col, how="left_anti")
+
+
+def stream_corpus_ingest(
+    docs_stream: DataFrame,
+    benchmark: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    min_q_score: float = 0.5,
+    min_tokens: int = 20,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous corpus ingest: the batch pipeline per micro-batch.
+    Benchmark digests build once (persisted, eagerly materialized);
+    accepted docs' fingerprints commit AFTER the output write."""
+    bench_grams = benchmark_gram_digests(benchmark, n, text_col).persist()
+    bench_grams.count()
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        accepted = ingest_batch(
+            batch,
+            store_path,
+            bench_grams,
+            min_q_score,
+            min_tokens,
+            n,
+            id_col,
+            text_col,
+        )
+        accepted.persist()
+        try:
+            accepted.drop("fingerprint").write.mode("append").parquet(out_path)
+            append_to_store(accepted, store_path)
+        finally:
+            accepted.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

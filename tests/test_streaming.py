@@ -538,3 +538,97 @@ def test_stream_decontaminate_ingest_matches_batch(spark, sf_smoke, tmp_path):
         q.stop()
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got == want
+
+
+def test_stream_corpus_ingest_full_pipeline(spark, tmp_path):
+    """The streaming corpus-ingest capstone: scrub -> quality gate ->
+    store-dedup -> decontaminate per micro-batch, across batch
+    boundaries; drained output equals the sequential per-batch run of
+    the SAME ingest_batch code, and each planted failure mode is dropped
+    by its intended stage."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scikit_learn_imputer_spark.dedup.exact import benchmark_gram_digests
+    from scikit_learn_imputer_spark.dedup.incremental import (
+        append_to_store,
+        build_fingerprint_store,
+    )
+    from scikit_learn_imputer_spark.streaming.ingest import (
+        ingest_batch,
+        stream_corpus_ingest,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog while many other words "
+        "keep this document comfortably above the twenty token minimum today "
+        "with plenty of plain english filler text"
+    )
+    good2 = good.replace("quick", "rapid").replace("lazy", "idle")
+    bench_text = "secret benchmark phrase alpha beta gamma delta epsilon"
+    contaminated = good2 + " secret benchmark phrase alpha beta gamma delta epsilon"
+    low_quality = "x" * 400  # no tokens/stopwords: fails the gate
+    batches = [
+        [(1, good), (2, low_quality)],
+        [(3, good), (4, contaminated), (5, good2)],  # 3 dups 1 cross-batch
+    ]
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id bigint, text string"
+    )
+    schema = "doc_id bigint, text string"
+
+    def write_src(root):
+        src = root / "src"
+        src.mkdir()
+        for i, rows in enumerate(batches):
+            p = str(src / f"b{i}.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                        "text": pa.array([r[1] for r in rows]),
+                    }
+                ),
+                p,
+            )
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        return src
+
+    empty = spark.createDataFrame([], schema)
+
+    # streaming run
+    s_root = tmp_path / "stream"
+    s_root.mkdir()
+    src = write_src(s_root)
+    store, out, cp = (str(s_root / p) for p in ("store", "out", "cp"))
+    build_fingerprint_store(empty, store)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    q = stream_corpus_ingest(stream, bench, store, out, cp).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    # 1 kept; 2 quality-dropped; 3 dup of 1; 4 contaminated; 5 kept
+    assert got == [1, 5]
+
+    # sequential twin through the SAME ingest_batch code
+    b_root = tmp_path / "batchwise"
+    b_root.mkdir()
+    store2 = str(b_root / "store")
+    build_fingerprint_store(empty, store2)
+    bg = benchmark_gram_digests(bench)
+    kept = []
+    for rows in batches:
+        batch = spark.createDataFrame(rows, schema)
+        acc = ingest_batch(batch, store2, bg)
+        kept += [r["doc_id"] for r in acc.select("doc_id").collect()]
+        append_to_store(acc, store2)
+    assert sorted(kept) == got
