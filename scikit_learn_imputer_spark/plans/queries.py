@@ -1992,6 +1992,59 @@ def q_contamination_report(spark, sf_dir):
 
 
 @register(
+    "contamination_severity",
+    oracle=r"""
+WITH bg AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4])) AS g
+    FROM (SELECT str_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE doc_id % 100 < 2)
+  )
+), hits AS (
+  SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_grams
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4])) AS g
+    FROM (SELECT doc_id, str_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE doc_id % 100 >= 2)
+  ) WHERE g IN (SELECT g FROM bg)
+  GROUP BY doc_id
+)
+SELECT n_grams AS severity, CAST(count(*) AS BIGINT) AS n_docs
+FROM hits GROUP BY n_grams
+""",
+)
+def q_contamination_severity(spark, sf_dir):
+    """Contamination severity histogram: for each contaminated corpus
+    doc, how many DISTINCT benchmark 5-grams it shares — the number
+    that decides scrub-vs-drop (1-2 incidental grams → span-scrub and
+    keep; dozens → wholesale leakage, drop the doc). Same digest
+    semi-join as decontamination, plus one per-doc distinct-count;
+    output is O(max severity) rows."""
+    from scikit_learn_imputer_spark.functions.text import word_ngrams_col
+
+    d = _t(spark, sf_dir, "documents")
+    bench_g = (
+        d.filter(F.col("doc_id") % 100 < 2)
+        .select(F.explode(word_ngrams_col(F.col("text"), 5)).alias("g"))
+        .select(F.md5("g").alias("gd"))
+        .distinct()
+    )
+    hits = (
+        d.filter(F.col("doc_id") % 100 >= 2)
+        .select("doc_id", F.explode(word_ngrams_col(F.col("text"), 5)).alias("g"))
+        .select("doc_id", F.md5("g").alias("gd"))
+        .join(bench_g, "gd", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gd").alias("severity"))
+    )
+    return hits.groupBy("severity").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
     "scrub_benchmark_spans",
     oracle=r"""
 WITH btoks AS (
