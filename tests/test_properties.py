@@ -454,3 +454,43 @@ def test_bpe_count_word_additivity_and_floor(spark, words):
     want = sum(count_word_tokens(w, vs, lens) for w in text.split())
     assert got == want
     assert got >= len(text.split())
+
+
+import re as _re
+
+_word = (
+    st.text(alphabet="abcd", min_size=1, max_size=5)
+    # runs of >=4 identical symbols can legitimately align merges
+    # differently than the reference merger (documented divergence in
+    # functions/bpe.py) — exclude them, property covers ordinary words
+    .filter(lambda w: not _re.search(r"(.)\1\1\1", w))
+)
+
+
+@given(words=st.lists(_word, min_size=1, max_size=12))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_learn_bpe_merges_property_matches_reference(spark, words):
+    """The distributed BPE learner equals the sequential reference
+    learner (merge table, ranks, counts) on arbitrary small corpora of
+    ordinary words — not just the golden low/lower/newest fixture."""
+    from scikit_learn_imputer_spark.functions.bpe import learn_bpe_merges
+    from tests.test_pipeline_reports import _reference_bpe
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id bigint, text string"
+    )
+    freqs: dict[str, int] = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    want = _reference_bpe(freqs, 4)
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_freq"])
+        for r in learn_bpe_merges(docs, num_merges=4)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == want
