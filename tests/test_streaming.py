@@ -632,3 +632,87 @@ def test_stream_corpus_ingest_full_pipeline(spark, tmp_path):
         kept += [r["doc_id"] for r in acc.select("doc_id").collect()]
         append_to_store(acc, store2)
     assert sorted(kept) == got
+
+
+def test_stream_corpus_ingest_restart_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart the corpus ingest from its checkpoint: the
+    restarted query skips processed files, and accepted docs equal the
+    uninterrupted run's."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scikit_learn_imputer_spark.dedup.incremental import (
+        build_fingerprint_store,
+    )
+    from scikit_learn_imputer_spark.streaming.ingest import stream_corpus_ingest
+
+    good = (
+        "the quick brown fox jumps over the lazy dog while many other words "
+        "keep this document comfortably above the twenty token minimum today "
+        "with plenty of plain english filler text"
+    )
+    alt = good.replace("fox", "owl").replace("dog", "cat")
+    batches = [
+        [(1, good)],
+        [(2, good), (3, alt)],   # 2 dups 1 across the restart boundary
+        [(4, alt)],              # dups 3
+    ]
+    bench = spark.createDataFrame(
+        [(100, "secret benchmark phrase alpha beta gamma delta epsilon")],
+        "doc_id bigint, text string",
+    )
+    schema = "doc_id bigint, text string"
+    empty = spark.createDataFrame([], schema)
+
+    def write_file(src, i):
+        rows = batches[i]
+        p = str(src / f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "text": pa.array([r[1] for r in rows]),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def drain(src, store, out, cp):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(str(src))
+        )
+        q = stream_corpus_ingest(stream, bench, store, out, cp).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # interrupted: file 0, stop, files 1+2 arrive, restart from same cp
+    src = tmp_path / "src"
+    src.mkdir()
+    store, out, cp = (str(tmp_path / p) for p in ("store", "out", "cp"))
+    build_fingerprint_store(empty, store)
+    write_file(src, 0)
+    drain(src, store, out, cp)
+    write_file(src, 1)
+    write_file(src, 2)
+    drain(src, store, out, cp)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+
+    # uninterrupted twin
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    store2, out2, cp2 = (str(tmp_path / p) for p in ("store2", "out2", "cp2"))
+    build_fingerprint_store(empty, store2)
+    for i in range(3):
+        write_file(src2, i)
+    drain(src2, store2, out2, cp2)
+    want = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
+
+    assert got == want == [1, 3]
