@@ -12,6 +12,18 @@ from scikit_learn_imputer_spark.functions.text import (
 from scikit_learn_imputer_spark.functions.pii import scrub_pii, scrub_pii_col
 from scikit_learn_imputer_spark.functions.lm import bigram_lm_scores, char_bigram_counts
 from scikit_learn_imputer_spark.functions.skew import fan_out, salted_agg
+from scikit_learn_imputer_spark.functions.bpe import (
+    bpe_token_counts,
+    learn_bpe_merges,
+    with_bpe_token_counts,
+)
+from scikit_learn_imputer_spark.functions.quality_model import (
+    quality_model_scores,
+    train_quality_model,
+)
+from scikit_learn_imputer_spark.functions.repetition import (
+    repetition_signals,
+)
 
 __all__ = [
     "entropy_by_column",
@@ -27,4 +39,10 @@ __all__ = [
     "char_bigram_counts",
     "fan_out",
     "salted_agg",
+    "bpe_token_counts",
+    "learn_bpe_merges",
+    "with_bpe_token_counts",
+    "quality_model_scores",
+    "train_quality_model",
+    "repetition_signals",
 ]
