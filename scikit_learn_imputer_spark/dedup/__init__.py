@@ -29,6 +29,7 @@ from scikit_learn_imputer_spark.dedup.incremental import (
     build_signature_store,
     compact_fingerprint_store,
     compact_signature_store,
+    recover_compaction,
     incremental_dedup,
     incremental_dedup_and_commit,
     incremental_near_dedup,
@@ -47,6 +48,7 @@ __all__ = [
     "build_signature_store",
     "compact_fingerprint_store",
     "compact_signature_store",
+    "recover_compaction",
     "incremental_dedup",
     "incremental_dedup_and_commit",
     "incremental_near_dedup",

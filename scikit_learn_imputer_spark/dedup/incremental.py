@@ -117,18 +117,22 @@ def stream_dedup_ingest(
     the dedup state is the UNBOUNDED all-history fingerprint set, which
     belongs in a persisted, join-able store — not in per-executor
     streaming state that a watermark would have to bound. Exactly-once
-    note: foreachBatch can re-run a batch on failure; the survivor WRITE
-    is idempotent per batch only if re-run against the same store state,
-    so the store append happens AFTER the output write (worst case a
-    replayed batch's docs are dropped as dups — dedup is naturally
-    re-entrant: false-drop-free requires the store append to be atomic
-    with the output, which an ACID table format would provide)."""
+    note: the output write is batch_id-keyed and idempotent
+    (streaming/sinks.py — a replayed batch overwrites its own subdir, so
+    the sink never duplicates regardless of whether the store append had
+    committed); the store append happens AFTER the output write and
+    stays at-least-once, which is safe because duplicate digests are
+    harmless under the probe's set semantics."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        from scikit_learn_imputer_spark.streaming.sinks import (
+            idempotent_batch_sink,
+        )
+
         survivors = incremental_dedup(batch, store_path, id_col, text_col)
         survivors.persist()
         try:
-            survivors.write.mode("append").parquet(out_path)
+            idempotent_batch_sink(survivors, out_path, batch_id)
             append_to_store(survivors, store_path)
         finally:
             survivors.unpersist()
@@ -324,8 +328,8 @@ def stream_near_dedup_ingest(
     near-dup twin of ``stream_dedup_ingest``, with the same foreachBatch
     rationale (the state is the unbounded all-history signature set, a
     persisted join-able store, not watermark-boundable operator state)
-    and the same exactly-once caveat (store append AFTER the output
-    write; a replayed batch re-drops as near-dup — re-entrant)."""
+    and the same exactly-once contract: batch_id-keyed idempotent output
+    (streaming/sinks.py), at-least-once store append (set semantics)."""
     cfg = dict(
         num_hashes=num_hashes,
         bands=bands,
@@ -336,10 +340,14 @@ def stream_near_dedup_ingest(
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        from scikit_learn_imputer_spark.streaming.sinks import (
+            idempotent_batch_sink,
+        )
+
         survivors = incremental_near_dedup(batch, store_path, **cfg)
         survivors.persist()
         try:
-            survivors.write.mode("append").parquet(out_path)
+            idempotent_batch_sink(survivors, out_path, batch_id)
             append_signatures(survivors, store_path, **cfg)
         finally:
             survivors.unpersist()
@@ -351,6 +359,41 @@ def stream_near_dedup_ingest(
     )
 
 
+def _compact_swap(spark: SparkSession, compacted: DataFrame, store_path: str) -> None:
+    """Write ``compacted`` to a ``__compacting`` sibling, overwrite the
+    store from it, then DELETE the sibling only after the final write
+    succeeds (ADVICE r6: the tmp dir used to be left behind, and a crash
+    mid-overwrite stranded the only good copy in tmp with no recovery
+    path). If the process dies between the two writes, the sibling is the
+    durable good copy — ``recover_compaction`` restores it. Local-FS
+    cleanup (shutil) matches this repo's test substrate; on an object
+    store the same protocol uses the store's delete API, or an ACID table
+    format replaces the whole dance."""
+    tmp = store_path.rstrip("/") + "__compacting"
+    compacted.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def recover_compaction(spark: SparkSession, store_path: str) -> bool:
+    """Crash recovery for ``compact_*_store``: if a ``__compacting``
+    sibling survives (the process died after writing it but before or
+    during the store overwrite), restore the store from it and clean up.
+    Returns True when a recovery was performed. Safe to call
+    unconditionally before opening a store."""
+    import os
+    import shutil
+
+    tmp = store_path.rstrip("/") + "__compacting"
+    if not os.path.isdir(tmp):
+        return False
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return True
+
+
 def compact_fingerprint_store(spark: SparkSession, store_path: str) -> None:
     """Rewrite the append-only fingerprint store as distinct digests in
     fresh parquet. Appends accumulate small files and (harmless but
@@ -358,11 +401,11 @@ def compact_fingerprint_store(spark: SparkSession, store_path: str) -> None:
     probe scan proportional to DISTINCT history. Not atomic with
     concurrent probes — run between ingest windows (an ACID table format
     would lift that); correctness of later probes is unaffected either
-    way because the probe has set semantics."""
+    way because the probe has set semantics. Crash-safe via the
+    ``__compacting`` sibling protocol (see ``_compact_swap`` /
+    ``recover_compaction``)."""
     store = spark.read.parquet(store_path).select("fingerprint").distinct()
-    tmp = store_path.rstrip("/") + "__compacting"
-    store.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
+    _compact_swap(spark, store, store_path)
 
 
 def compact_signature_store(spark: SparkSession, store_path: str) -> None:
@@ -373,6 +416,4 @@ def compact_signature_store(spark: SparkSession, store_path: str) -> None:
     store = spark.read.parquet(store_path).dropDuplicates(
         ["doc_id", "band", "bucket"]
     )
-    tmp = store_path.rstrip("/") + "__compacting"
-    store.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
+    _compact_swap(spark, store, store_path)

@@ -97,21 +97,30 @@ def quality_model_scores(
     20%: (id, label, p_good, pred). The returned frame is the HOLDOUT
     evaluation a filter designer reads before trusting the distilled
     gate on the full corpus."""
-    # The training frame is the pipeline's natural materialization point:
-    # fit() consumes it eagerly and the returned lazy holdout plan reads
-    # it again at evaluation — unpersisting before that evaluation would
-    # silently recompute the expensive teacher pass (ADVICE r5 on the
-    # ivfpq query). Scoped to the plan's lifetime, like the preprocess
-    # composite's survivor persist; at 100 TB it is a parquet checkpoint.
+    # fit() consumes the training frame eagerly and the lazy holdout plan
+    # reads it again at evaluation, so it is persisted across both — then
+    # the scored holdout is eagerly materialized (localCheckpoint, the
+    # spans/semdedup pattern) so the cache can be released before
+    # returning instead of leaking until ContextCleaner GC (ADVICE r6).
+    # At 100 TB the persist is a parquet checkpoint.
     frame = quality_training_frame(docs, id_col, text_col).persist()
     train = frame.filter(F.col(id_col) % 10 < 8)
     hold = frame.filter(F.col(id_col) % 10 >= 8)
     model = train_quality_model(train, seed=seed)
     scored = model.transform(hold)
-    p_good = F.element_at(vector_to_array("probability"), 2)
-    return scored.select(
+    prob = vector_to_array("probability")
+    # A degenerate train split (single label class) yields a length-1
+    # probability vector; element_at(.., 2) would throw under ANSI mode.
+    # numClasses = max(label)+1, so the only length-1 shape is all-0
+    # labels, where P(good) == prediction == 0 (ADVICE r6).
+    p_good = F.when(F.size(prob) >= 2, F.element_at(prob, 2)).otherwise(
+        F.col("prediction").cast("double")
+    )
+    out = scored.select(
         F.col(id_col),
         F.col("label").cast("bigint").alias("label"),
         F.round(p_good, 6).alias("p_good"),
         F.col("prediction").cast("bigint").alias("pred"),
-    )
+    ).localCheckpoint(eager=True)
+    frame.unpersist()
+    return out

@@ -36,9 +36,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _positioned_gram_counts(df: DataFrame, n: int, id_col: str, text_col: str):
-    """(id, __cnt, __starts) per (doc, n-gram): occurrence count and the
-    0-based token starts, one explode + one aggregate."""
+def _positioned_gram_counts(
+    df: DataFrame, n: int, id_col: str, text_col: str, with_starts: bool = True
+):
+    """(id, __cnt[, __starts]) per (doc, n-gram): occurrence count and —
+    only when ``with_starts`` — the 0-based token starts, one explode +
+    one aggregate. The top-fraction branches consume only ``__cnt``, so
+    they pass ``with_starts=False`` and the aggregate is a pure map-side
+    combinable count with no list state (ADVICE r6)."""
     t = F.trim(F.col(text_col))
     toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, "\\s+")
@@ -64,7 +69,11 @@ def _positioned_gram_counts(df: DataFrame, n: int, id_col: str, text_col: str):
         .groupBy(id_col, F.col("__sg.fp").alias("__fp"))
         .agg(
             F.count(F.lit(1)).alias("__cnt"),
-            F.collect_list("__sg.start").alias("__starts"),
+            *(
+                [F.collect_list("__sg.start").alias("__starts")]
+                if with_starts
+                else []
+            ),
         )
     )
 
@@ -96,7 +105,7 @@ def repetition_signals(
 
     parts = [base]
     for n in top_ns:
-        gc = _positioned_gram_counts(df, n, id_col, text_col)
+        gc = _positioned_gram_counts(df, n, id_col, text_col, with_starts=False)
         parts.append(
             gc.groupBy(id_col).agg(
                 (F.max("__cnt") * n).cast("bigint").alias(f"__toptok_{n}")
@@ -149,11 +158,17 @@ def stream_quality_gate(
     signals (``repetition_signals``-style) — per-doc statistics are
     batch-invariant, so the drained stream output equals one batch run
     exactly (pinned by the batch==stream test). foreachBatch because the
-    signals are multi-aggregate per doc, not an incremental stateful
-    op; each micro-batch gates independently and appends survivors."""
+    signals are multi-aggregate per doc, not an incremental stateful op;
+    each micro-batch gates independently. Output is exactly-once via the
+    batch_id-keyed idempotent sink (streaming/sinks.py) — this sink has
+    no store whose state would mask a replay (ADVICE r6)."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        gate(batch).write.mode("append").parquet(out_path)
+        from scikit_learn_imputer_spark.streaming.sinks import (
+            idempotent_batch_sink,
+        )
+
+        idempotent_batch_sink(gate(batch), out_path, batch_id)
 
     return (
         docs_stream.writeStream.foreachBatch(process)

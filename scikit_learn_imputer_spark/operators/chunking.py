@@ -115,7 +115,24 @@ def _read_store(spark, store_path: str, seq_len: int) -> DataFrame:
                 f"seq_len={stored}, caller passed seq_len={seq_len}"
             )
         store = store.drop("seq_len")
+    if "last_batch_id" in store.columns:
+        store = store.drop("last_batch_id")
     return store
+
+
+def last_committed_batch_id(spark, store_path: str) -> int:
+    """The batch_id of the last ``commit_offsets`` that recorded one, or
+    -1 (pre-streaming store, or a batch build). O(1) rows read — the
+    store is O(#shards)."""
+    store = spark.read.parquet(store_path)
+    if "last_batch_id" not in store.columns:
+        return -1
+    vals = [
+        r[0]
+        for r in store.select("last_batch_id").distinct().collect()
+        if r[0] is not None
+    ]
+    return max(vals) if vals else -1
 
 
 def incremental_pack(
@@ -160,12 +177,19 @@ def incremental_pack(
 
 
 def commit_offsets(
-    packed: DataFrame, store_path: str, seq_len: int, shard_col: str = "source"
+    packed: DataFrame,
+    store_path: str,
+    seq_len: int,
+    shard_col: str = "source",
+    batch_id: int | None = None,
 ) -> None:
     """Advance the store by the packed batch: new cumulative offset per
     shard = max(seq_id*seq_len + seq_offset + n_tokens). Shards untouched
     by the batch keep their stored offsets. The store is O(#shards), so
-    the full overwrite is a tiny write."""
+    the full overwrite is a tiny write. When ``batch_id`` is given (the
+    streaming path) it is persisted as ``last_batch_id`` so a replayed
+    foreachBatch can detect a commit that already happened and skip the
+    whole batch instead of double-advancing the offsets (ADVICE r6)."""
     spark = packed.sparkSession
     store = _read_store(spark, store_path, seq_len)
     advanced = packed.groupBy(shard_col).agg(
@@ -189,12 +213,13 @@ def commit_offsets(
     # defaultParallelism Python slices serially through one task
     # (seconds of worker roundtrips for a handful of rows).
     rows = merged.collect()  # O(#shards)
-    (
+    out = (
         spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), merged.schema)
         .withColumn("seq_len", F.lit(seq_len).cast("bigint"))
-        .write.mode("overwrite")
-        .parquet(store_path)
     )
+    if batch_id is not None:
+        out = out.withColumn("last_batch_id", F.lit(batch_id).cast("bigint"))
+    out.write.mode("overwrite").parquet(store_path)
 
 
 def stream_pack_ingest(
@@ -209,22 +234,34 @@ def stream_pack_ingest(
 ):
     """Continuous pack-as-you-ingest: each micro-batch continues its
     shards' token streams from the offset store, packed rows land in
-    ``out_path``, offsets commit after the write (same
-    re-run-idempotence trade documented on ``stream_dedup_ingest``).
-    foreachBatch rather than a stateful operator for the same reason as
-    the dedup ingest: the state must be join-able and persistent across
-    restarts, not watermark-bounded executor state. Within-batch doc
-    order is doc_id per shard — the deterministic order the batch
-    equivalence tests pin."""
+    ``out_path``, offsets commit after the write. foreachBatch rather
+    than a stateful operator for the same reason as the dedup ingest:
+    the state must be join-able and persistent across restarts, not
+    watermark-bounded executor state. Within-batch doc order is doc_id
+    per shard — the deterministic order the batch equivalence tests pin.
+
+    Exactly-once (ADVICE r6): the output write is batch_id-keyed and
+    idempotent (streaming/sinks.py), and the offset commit records
+    ``last_batch_id`` — a replay that arrives AFTER the commit (crash
+    before checkpoint write) is detected up front and skipped entirely,
+    because re-packing against the already-advanced offsets would emit
+    wrong positions; a replay BEFORE the commit recomputes identical
+    rows from identical store state and overwrites its own subdir."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        from scikit_learn_imputer_spark.streaming.sinks import (
+            idempotent_batch_sink,
+        )
+
+        if last_committed_batch_id(batch.sparkSession, store_path) >= batch_id:
+            return  # replayed after its own commit — fully processed
         packed = incremental_pack(
             batch, store_path, seq_len, id_col, text_col, shard_col
         )
         packed.persist()
         try:
-            packed.write.mode("append").parquet(out_path)
-            commit_offsets(packed, store_path, seq_len, shard_col)
+            idempotent_batch_sink(packed, out_path, batch_id)
+            commit_offsets(packed, store_path, seq_len, shard_col, batch_id)
         finally:
             packed.unpersist()
 

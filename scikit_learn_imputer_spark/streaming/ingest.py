@@ -16,9 +16,10 @@ never falsely accepted).
 foreachBatch, not stateful operators: the only cross-batch state is the
 unbounded fingerprint store (persisted, join-able) and the static
 benchmark digest set (computed once, persisted, reused per batch).
-Exactly-once caveat is stream_dedup_ingest's: output write precedes the
-store append, so a replayed batch re-drops as dup — re-entrant, never
-lossy."""
+Output is exactly-once via the batch_id-keyed idempotent sink
+(streaming/sinks.py): a replayed batch overwrites its own subdir; the
+store append stays at-least-once by design (duplicate digests are
+harmless under the probe's set semantics)."""
 
 from __future__ import annotations
 
@@ -32,6 +33,7 @@ from scikit_learn_imputer_spark.dedup.incremental import (
 )
 from scikit_learn_imputer_spark.functions.pii import scrub_pii_col
 from scikit_learn_imputer_spark.functions.text import quality_features, word_ngrams_col
+from scikit_learn_imputer_spark.streaming.sinks import idempotent_batch_sink
 
 
 def ingest_batch(
@@ -102,7 +104,7 @@ def stream_corpus_ingest(
         )
         accepted.persist()
         try:
-            accepted.drop("fingerprint").write.mode("append").parquet(out_path)
+            idempotent_batch_sink(accepted.drop("fingerprint"), out_path, batch_id)
             append_to_store(accepted, store_path)
         finally:
             accepted.unpersist()

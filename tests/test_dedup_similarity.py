@@ -942,3 +942,46 @@ def test_store_compaction_preserves_probe_results(spark, tmp_path):
     af = {r["doc_id"] for r in incremental_near_dedup(probe, sstore).collect()}
     assert af == b4
     assert n_af < n_b4
+
+
+def test_compaction_cleans_tmp_and_recovers_from_crash(spark, tmp_path):
+    """Compaction's __compacting sibling is deleted after a successful
+    swap (ADVICE r6: it used to be left behind), and a crash that died
+    after writing the sibling but before/while overwriting the store is
+    recoverable: recover_compaction restores the store from the sibling
+    and cleans up."""
+    import os
+    import shutil
+
+    from scikit_learn_imputer_spark.dedup.incremental import (
+        build_fingerprint_store,
+        compact_fingerprint_store,
+        incremental_dedup,
+        recover_compaction,
+    )
+
+    schema = "doc_id bigint, text string"
+    t_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame([(1, t_a)], schema)
+    probe = spark.createDataFrame(
+        [(10, t_a), (11, "fresh words unrelated to anything stored here")],
+        schema,
+    )
+    fstore = str(tmp_path / "fstore")
+    build_fingerprint_store(docs, fstore)
+    want = {r["doc_id"] for r in incremental_dedup(probe, fstore).collect()}
+
+    compact_fingerprint_store(spark, fstore)
+    tmp = fstore + "__compacting"
+    assert not os.path.exists(tmp)  # sibling removed after the swap
+    # no sibling -> recovery is a no-op
+    assert recover_compaction(spark, fstore) is False
+
+    # Simulate the crash window: the good copy sits in the sibling and
+    # the store itself was lost mid-overwrite.
+    shutil.copytree(fstore, tmp)
+    shutil.rmtree(fstore)
+    assert recover_compaction(spark, fstore) is True
+    assert not os.path.exists(tmp)
+    got = {r["doc_id"] for r in incremental_dedup(probe, fstore).collect()}
+    assert got == want

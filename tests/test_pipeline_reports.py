@@ -218,3 +218,25 @@ def test_ann_ivf_balance_anchor(spark, sf_smoke):
     assert 0.0 < r["max_cell_share"] <= 1.0
     again = QUERIES["ann_ivf_balance"](spark, sf_smoke).collect()
     assert [tuple(x) for x in again] == [tuple(x) for x in rows]
+
+
+def test_quality_model_degenerate_single_class_split(spark):
+    """A train split whose teacher labels are all one class yields a
+    length-1 RF probability vector; element_at(.., 2) would throw under
+    ANSI mode without the size guard (ADVICE r6). All-short docs fail
+    the Gopher n_tokens band, so every label is 0 and P(good) must
+    equal the (all-zero) prediction."""
+    from scikit_learn_imputer_spark.functions.quality_model import (
+        quality_model_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tiny doc only five words") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    rows = quality_model_scores(docs).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["label"] == 0
+        assert r["pred"] == 0
+        assert r["p_good"] == 0.0
