@@ -9,6 +9,7 @@ from scikit_learn_imputer_spark.dedup.exact import (
     decontaminate,
     decontaminate_ngram,
     exact_dedup,
+    exact_dup_groups_quality,
     exact_dup_groups,
     stream_decontaminate_ingest,
 )
@@ -20,6 +21,10 @@ from scikit_learn_imputer_spark.dedup.spans import (
     remove_boilerplate_spans,
     remove_exact_substrings,
     repeated_substring_spans,
+)
+from scikit_learn_imputer_spark.dedup.cluster import (
+    cluster_survivors,
+    connected_components,
 )
 from scikit_learn_imputer_spark.dedup.embedding import embedding_near_pairs
 from scikit_learn_imputer_spark.dedup.incremental import (
@@ -58,9 +63,12 @@ __all__ = [
     "decontaminate",
     "decontaminate_ngram",
     "exact_dedup",
+    "exact_dup_groups_quality",
     "exact_dup_groups",
     "stream_decontaminate_ingest",
     "char_ngrams",
+    "cluster_survivors",
+    "connected_components",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_candidate_pairs",

@@ -73,3 +73,51 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def cluster_survivors(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    keep: str = "min",
+    quality=None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep-one-per-cluster survivor selection over a ``(id, label)``
+    clusters frame (``connected_components`` output): every singleton
+    (doc absent from ``clusters``) survives, plus one member per
+    cluster — the min-id member (``keep='min'``) or the highest-quality
+    member with ties to min id (``keep='quality'``; ``quality`` is any
+    per-row Column, defaulting to the composite q_score rounded to 6 dp
+    for deterministic cross-engine ties).
+
+    Scale design: ``clusters`` is O(duplicates) and broadcastable; for
+    the quality policy the score is computed ONLY for clustered docs
+    (broadcast join restricts first), and the per-cluster argmax is a
+    map-side-combinable ``min(struct(-q, id))`` — no window, and the
+    full document text never shuffles."""
+    cl = clusters.withColumnRenamed("id", id_col)
+    if keep == "min":
+        losers = cl.filter(F.col("label") != F.col(id_col)).select(id_col)
+    elif keep == "quality":
+        from scikit_learn_imputer_spark.functions.text import quality_score_col
+
+        q = quality if quality is not None else F.round(
+            quality_score_col(F.col(text_col)), 6
+        )
+        clustered_q = docs.join(F.broadcast(cl), on=id_col).select(
+            "label", F.col(id_col), (-q).alias("__negq")
+        )
+        winners = (
+            clustered_q.groupBy("label")
+            .agg(
+                F.min(
+                    F.struct(F.col("__negq"), F.col(id_col).alias("__kid"))
+                ).alias("__m")
+            )
+            .select(F.col("__m.__kid").alias(id_col))
+        )
+        losers = cl.select(id_col).join(winners, on=id_col, how="left_anti")
+    else:
+        raise ValueError(f"keep must be 'min' or 'quality', got {keep!r}")
+    return docs.join(F.broadcast(losers), on=id_col, how="left_anti")

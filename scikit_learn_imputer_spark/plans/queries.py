@@ -5593,6 +5593,98 @@ def q_near_dup_survivors(spark, sf_dir):
 
 
 @register(
+    "exact_dup_groups_quality",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+         round({_QSCORE_SQL}, 6) AS q
+  FROM documents
+),
+r AS (
+  SELECT fingerprint, doc_id, q,
+         row_number() OVER (PARTITION BY fingerprint
+                            ORDER BY q DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY fingerprint) AS dup_count
+  FROM q
+)
+SELECT fingerprint, doc_id AS keep_id, q AS keep_q,
+       CAST(dup_count AS BIGINT) AS dup_count
+FROM r WHERE rn = 1
+""",
+)
+def q_exact_dup_groups_quality(spark, sf_dir):
+    """Quality-aware exact dedup (VERDICT r6 #1): the keeper per
+    duplicate group is the argmax-q_score member (ties to min doc_id)
+    instead of blind min-id — keeper choice decides what the model
+    trains on. Same one-shuffle shape as exact_dup_groups: the argmax
+    is min(struct(-q, id)), map-side combinable, no window (the oracle
+    uses row_number because arg-max-per-group is plain SQL there; the
+    engine plan stays a partial-aggregate)."""
+    from scikit_learn_imputer_spark.dedup.exact import exact_dup_groups_quality
+
+    return exact_dup_groups_quality(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "near_dup_best_survivors",
+    oracle=f"""
+WITH RECURSIVE
+pairs AS ({_NGRAM_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+clusters AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+),
+q AS (
+  SELECT doc_id, round({_QSCORE_SQL}, 6) AS q FROM documents
+),
+ranked AS (
+  SELECT c.doc_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.q DESC, c.doc_id) AS rn
+  FROM clusters c JOIN q ON c.doc_id = q.doc_id
+)
+SELECT d.doc_id
+FROM documents d
+LEFT JOIN ranked r ON d.doc_id = r.doc_id
+WHERE r.doc_id IS NULL OR r.rn = 1
+ORDER BY d.doc_id
+""",
+)
+def q_near_dup_best_survivors(spark, sf_dir):
+    """Quality-aware survivor selection after near-dup clustering
+    (VERDICT r6 #1): keep every singleton plus the HIGHEST-quality
+    member of each near-dup cluster (ties to min doc_id) — unlike exact
+    dups, near-dup cluster members genuinely differ, so keeper choice
+    changes the kept token mass (pinned by the policy-comparison test).
+    The clusters frame is O(duplicates) — q_score is computed only for
+    clustered docs via a broadcast join, then one map-side-combinable
+    min(struct(-q, id)) per cluster; document text never shuffles."""
+    from scikit_learn_imputer_spark.dedup.cluster import (
+        cluster_survivors,
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = QUERIES["ngram_jaccard_pairs"](spark, sf_dir).select("id_a", "id_b")
+    clusters = connected_components(edges, src="id_a", dst="id_b")
+    return (
+        cluster_survivors(docs, clusters, keep="quality")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "corr_covar_by_flag",
     oracle="""
 SELECT l_returnflag,

@@ -985,3 +985,106 @@ def test_compaction_cleans_tmp_and_recovers_from_crash(spark, tmp_path):
     assert not os.path.exists(tmp)
     got = {r["doc_id"] for r in incremental_dedup(probe, fstore).collect()}
     assert got == want
+
+
+def test_exact_dedup_quality_keeper(spark):
+    """keep='quality' selects the argmax-q_score member per duplicate
+    group (ties to min doc_id); keep='min' is unchanged; bad modes fail
+    fast."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.dedup.exact import (
+        exact_dedup,
+        exact_dup_groups_quality,
+    )
+
+    # 1 and 2 normalize identically (whitespace collapse), but doc 1's
+    # doubled spaces dilute its alpha_ratio -> lower q_score, so the
+    # quality keeper picks 2; 3 ties 4 exactly (identical raw text), so
+    # the tie falls to min id.
+    docs = spark.createDataFrame(
+        [
+            (1, "the  cat  sat  on  the  mat"),
+            (2, "the cat sat on the mat"),
+            (3, "a plain sentence of words"),
+            (4, "a plain sentence of words"),
+            (5, "a unique singleton document"),
+        ],
+        "doc_id bigint, text string",
+    )
+    groups = {
+        r["keep_id"]: r["dup_count"]
+        for r in exact_dup_groups_quality(docs).collect()
+    }
+    # group {1,2}: doc 2 (no punctuation) outranks doc 1; group {3,4}:
+    # exact tie -> min id 3; singleton 5 kept.
+    assert groups == {2: 2, 3: 2, 5: 1}
+
+    kept_min = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    kept_q = sorted(
+        r["doc_id"] for r in exact_dedup(docs, keep="quality").collect()
+    )
+    assert kept_min == [1, 3, 5]
+    assert kept_q == [2, 3, 5]
+
+    with _pytest.raises(ValueError, match="keep"):
+        exact_dedup(docs, keep="longest")
+
+    # custom quality column: longest raw text wins
+    kept_len = sorted(
+        r["doc_id"]
+        for r in exact_dedup(
+            docs, keep="quality", quality=F.length("text").cast("double")
+        ).collect()
+    )
+    assert kept_len == [1, 3, 5]  # doc 1 is longer than doc 2
+
+
+def test_cluster_survivors_quality_raises_kept_token_mass(spark):
+    """The waterfall-variant policy comparison (VERDICT r6 #1): on
+    near-dup clusters whose members genuinely differ, keep='quality'
+    retains at least the token mass of keep='min' — and strictly more
+    when the min-id member is the short/noisy one."""
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.dedup.cluster import (
+        cluster_survivors,
+        connected_components,
+    )
+
+    long_clean = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through a long clean paragraph of plain english words"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "quick fox ,,,, ;;;; !!!!"),       # cluster A: short, noisy, min id
+            (2, long_clean),                        # cluster A: long, clean
+            (3, long_clean + " with a small tail"), # cluster A
+            (10, "beta doc one two three"),         # cluster B: tie-ish
+            (11, "beta doc one two three"),         # cluster B: identical
+            (20, "a singleton survives either way"),
+        ],
+        "doc_id bigint, text string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src bigint, dst bigint"
+    )
+    clusters = connected_components(edges)
+
+    ntok = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    mass = lambda df: df.agg(F.sum(ntok)).collect()[0][0]  # noqa: E731
+
+    kept_min = cluster_survivors(docs, clusters, keep="min")
+    kept_q = cluster_survivors(docs, clusters, keep="quality")
+
+    ids_min = sorted(r["doc_id"] for r in kept_min.select("doc_id").collect())
+    ids_q = sorted(r["doc_id"] for r in kept_q.select("doc_id").collect())
+    assert ids_min == [1, 10, 20]
+    # cluster A: quality keeps a long clean doc (2 outranks 3 on ties
+    # only if q equal — 3 has same text + tail, so argmax may pick
+    # either on merit; assert membership not identity)
+    assert 1 not in ids_q and 10 in ids_q and 20 in ids_q
+    assert len(ids_q) == 3
+    assert mass(kept_q) > mass(kept_min)
