@@ -27,6 +27,11 @@ from scikit_learn_imputer_spark.dedup.cluster import (
     connected_components,
 )
 from scikit_learn_imputer_spark.dedup.embedding import embedding_near_pairs
+from scikit_learn_imputer_spark.dedup.paragraphs import (
+    dedup_paragraphs,
+    duplicated_paragraphs,
+    paragraph_digests,
+)
 from scikit_learn_imputer_spark.dedup.incremental import (
     append_signatures,
     append_to_store,
@@ -68,6 +73,9 @@ __all__ = [
     "stream_decontaminate_ingest",
     "char_ngrams",
     "cluster_survivors",
+    "dedup_paragraphs",
+    "duplicated_paragraphs",
+    "paragraph_digests",
     "connected_components",
     "ngram_jaccard_pairs",
     "minhash_signatures",

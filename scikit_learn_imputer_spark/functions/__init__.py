@@ -15,6 +15,7 @@ from scikit_learn_imputer_spark.functions.skew import fan_out, salted_agg
 from scikit_learn_imputer_spark.functions.bpe import (
     bpe_token_counts,
     learn_bpe_merges,
+    vocab_from_merges,
     with_bpe_token_counts,
 )
 from scikit_learn_imputer_spark.functions.quality_model import (
@@ -41,6 +42,7 @@ __all__ = [
     "salted_agg",
     "bpe_token_counts",
     "learn_bpe_merges",
+    "vocab_from_merges",
     "with_bpe_token_counts",
     "quality_model_scores",
     "train_quality_model",

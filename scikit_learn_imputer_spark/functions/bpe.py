@@ -215,6 +215,20 @@ def learn_bpe_merges(
     )
 
 
+def vocab_from_merges(merges: DataFrame) -> tuple[str, ...]:
+    """Counting vocabulary derived from a LEARNED merge table
+    (``learn_bpe_merges`` output): the merged symbols in rank order,
+    de-duplicated. Single characters are implicit — the greedy counter
+    already scores any unmatched character as one token, so merged
+    subwords are the only entries that can change a count. Training and
+    counting thus share ONE artifact, like a real tokenizer (VERDICT r6
+    #4). O(num_merges) driver rows; an empty merge table yields an
+    empty tuple, which ``validate_vocab`` rejects downstream (no merges
+    means there is nothing subword-faithful to count with)."""
+    rows = merges.select("merge_rank", "merged").orderBy("merge_rank").collect()
+    return tuple(dict.fromkeys(r["merged"] for r in rows))
+
+
 def with_bpe_token_counts(
     df: DataFrame,
     vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB,

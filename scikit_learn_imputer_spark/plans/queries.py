@@ -1596,15 +1596,11 @@ def q_training_shards(spark, sf_dir):
     return training_shards(shuffle_sequences(packed, seed=42), shard_size=16)
 
 
-def _bpe_cte() -> str:
-    """Shared recursive-CTE segmentation over the pinned vocab — the SQL
-    twin of functions/bpe.py's greedy longest-prefix-match counter.
-    Yields CTEs: vocab(v), btoks(doc_id, source, tk), bwords, bstep,
-    bwcount(word, cnt), bcounts(doc_id, source, n_bpe_tokens)."""
-    from scikit_learn_imputer_spark.functions.bpe import vocab_values_sql
-
-    return rf"""vocab(v) AS (VALUES {vocab_values_sql()}),
-btoks AS (
+def _bpe_count_ctes() -> str:
+    """btoks..bcounts — the greedy longest-prefix count CTEs over
+    whatever ``vocab(v)`` CTE precedes them (pinned VALUES literal or a
+    learned-merge derivation)."""
+    return r"""btoks AS (
   SELECT doc_id, source,
          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
               ELSE str_split_regex(trim(text), '\s+') END AS tk
@@ -1633,12 +1629,19 @@ btoks AS (
 )"""
 
 
-def _bpe_learn_oracle(k: int) -> str:
-    """Unrolled DuckDB twin of functions/bpe.py:learn_bpe_merges — k
-    fixed merge iterations as chained CTE stages (pair count → argmax →
-    double literal replace), identical semantics step for step. An
-    exhausted stage (no pair left) yields an empty b{i}, emptying every
-    later stage — the unrolled form of the library's early stop."""
+def _bpe_cte() -> str:
+    """Shared recursive-CTE segmentation over the pinned vocab — the SQL
+    twin of functions/bpe.py's greedy longest-prefix-match counter.
+    Yields CTEs: vocab(v), btoks(doc_id, source, tk), bwords, bstep,
+    bwcount(word, cnt), bcounts(doc_id, source, n_bpe_tokens)."""
+    from scikit_learn_imputer_spark.functions.bpe import vocab_values_sql
+
+    return f"vocab(v) AS (VALUES {vocab_values_sql()}),\n" + _bpe_count_ctes()
+
+
+def _bpe_learn_parts(k: int) -> tuple[list, list]:
+    """The learn-loop CTE stages and per-rank SELECTs, shared by the
+    merge-table oracle and the learned-vocab count oracle."""
     ctes = [
         r"""w0 AS (
   SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -1671,7 +1674,39 @@ def _bpe_learn_oracle(k: int) -> str:
             " split_part(pr, ' ', 1) AS lhs, split_part(pr, ' ', 2) AS rhs,"
             f" replace(pr, ' ', '') AS merged, c AS pair_freq FROM b{i}"
         )
+    return ctes, sels
+
+
+def _bpe_learn_oracle(k: int) -> str:
+    """Unrolled DuckDB twin of functions/bpe.py:learn_bpe_merges — k
+    fixed merge iterations as chained CTE stages (pair count → argmax →
+    double literal replace), identical semantics step for step. An
+    exhausted stage (no pair left) yields an empty b{i}, emptying every
+    later stage — the unrolled form of the library's early stop."""
+    ctes, sels = _bpe_learn_parts(k)
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+def _bpe_learned_count_oracle(k: int) -> str:
+    """Fully self-contained twin of counting with a LEARNED vocabulary:
+    the unrolled learn loop derives the k merged symbols IN SQL, those
+    rows become the ``vocab(v)`` CTE (UNION de-duplicates, matching
+    vocab_from_merges), and the shared count CTEs segment against it —
+    so learn → derive-vocab → count is hash-checked as one artifact
+    chain with zero out-of-band literals."""
+    ctes, _ = _bpe_learn_parts(k)
+    vocab = (
+        "vocab(v) AS ("
+        + " UNION ".join(
+            f"SELECT replace(pr, ' ', '') FROM b{i}" for i in range(1, k + 1)
+        )
+        + ")"
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes + [vocab, _bpe_count_ctes()])
+        + "\nSELECT doc_id, n_bpe_tokens FROM bcounts"
+    )
 
 
 @register("bpe_learn_merges", oracle=_bpe_learn_oracle(8))
@@ -1706,6 +1741,27 @@ def q_bpe_token_counts(spark, sf_dir):
     from scikit_learn_imputer_spark.functions.bpe import bpe_token_counts
 
     return bpe_token_counts(_t(spark, sf_dir, "documents"))
+
+
+@register("bpe_token_counts_learned", oracle=_bpe_learned_count_oracle(8))
+def q_bpe_token_counts_learned(spark, sf_dir):
+    """Learned-tokenizer-faithful counting (VERDICT r6 #4): the counting
+    vocabulary is DERIVED from the merge table learn_bpe_merges trains
+    on this corpus (merged symbols in rank order; single chars are
+    implicit), so training and counting share one artifact like a real
+    tokenizer — no pinned out-of-band vocab. The oracle re-derives the
+    merges AND the segmentation entirely in SQL, hash-checking the full
+    learn → vocab → count chain. Cost: the O(num_merges) learn loop
+    (word-table-sized iterations) + one map-only Arrow-UDF count."""
+    from scikit_learn_imputer_spark.functions.bpe import (
+        bpe_token_counts,
+        learn_bpe_merges,
+        vocab_from_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = vocab_from_merges(learn_bpe_merges(docs, num_merges=8))
+    return bpe_token_counts(docs, vocab=vocab)
 
 
 @register(
@@ -1833,6 +1889,161 @@ def q_corpus_holdout_split(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__n").cast("bigint").alias("n_tokens"),
         )
+    )
+
+
+# Tokenizer-faithful budget twins (VERDICT r6 #3): the planning queries a
+# trainer actually consumes must budget in the tokens the tokenizer will
+# produce, not whitespace tokens — each twin is the original plan with
+# its count column fed by the BPE counter, and its oracle re-derives the
+# identical segmentation through the shared vocab VALUES literal
+# (_bpe_cte), so the whole composition stays hash-checked.
+
+
+@register(
+    "token_budget_sample_bpe",
+    oracle=f"""
+WITH RECURSIVE {_bpe_cte()},
+t AS (
+  SELECT doc_id, source, n_bpe_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM bcounts
+), c AS (
+  SELECT doc_id, source, n_bpe_tokens,
+         CAST(sum(n_bpe_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_bpe_tokens, cum_tokens
+FROM c WHERE cum_tokens <= 700
+""",
+)
+def q_token_budget_sample_bpe(spark, sf_dir):
+    """token_budget_sample with the per-source budget counted in BPE
+    tokens: same deterministic md5 order, same one-shuffle per-source
+    running window — but the 700-token budget now means what the
+    tokenizer will emit. The count is a map-only Arrow UDF projection,
+    so the cost shape is unchanged."""
+    from scikit_learn_imputer_spark.functions.bpe import with_bpe_token_counts
+
+    d = with_bpe_token_counts(_t(spark, sf_dir, "documents"))
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(h, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.select("doc_id", "source", "n_bpe_tokens")
+        .withColumn("cum_tokens", F.sum("n_bpe_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 700)
+    )
+
+
+@register(
+    "corpus_holdout_split_bpe",
+    oracle=f"""
+WITH RECURSIVE {_bpe_cte()},
+u AS (
+  SELECT source,
+         CAST(('0x' || substr(md5('holdout:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              AS DOUBLE) / 4294967296.0 AS u,
+         n_bpe_tokens AS n
+  FROM bcounts
+)
+SELECT CASE WHEN u < 0.98 THEN 'train' WHEN u < 0.99 THEN 'val' ELSE 'test' END AS split,
+       source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_bpe_tokens
+FROM u GROUP BY 1, 2
+""",
+)
+def q_corpus_holdout_split_bpe(spark, sf_dir):
+    """corpus_holdout_split with split masses reported in BPE tokens —
+    the doc-membership assignment is IDENTICAL (same salted md5
+    uniform), so this twin pins that switching the budget unit never
+    moves a document across splits; only the reported token masses
+    change to what the tokenizer will actually produce."""
+    from scikit_learn_imputer_spark.functions.bpe import with_bpe_token_counts
+    from scikit_learn_imputer_spark.functions.text import uniform_hash_col
+
+    d = with_bpe_token_counts(_t(spark, sf_dir, "documents"))
+    u = uniform_hash_col(
+        F.concat(F.lit("holdout:"), F.col("doc_id").cast("string"))
+    )
+    split = F.when(u < 0.98, "train").when(u < 0.99, "val").otherwise("test")
+    return (
+        d.select(split.alias("split"), "source", F.col("n_bpe_tokens").alias("__n"))
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+
+
+@register(
+    "mixture_epoch_plan_bpe",
+    oracle=f"""
+WITH RECURSIVE {_bpe_cte()},
+t AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_bpe_tokens) AS BIGINT) AS n_tokens,
+         CAST(substr(source, 4) AS INT) + 1 AS w_raw
+  FROM bcounts GROUP BY source
+),
+z AS (SELECT CAST(sum(w_raw) AS DOUBLE) AS zw,
+             CAST(sum(n_tokens) AS DOUBLE) AS budget FROM t)
+SELECT source, n_docs, n_tokens,
+       round(w_raw / zw, 9) AS weight,
+       CAST(round(budget * w_raw / zw) AS BIGINT) AS target_tokens,
+       round(budget * w_raw / zw / n_tokens, 6) AS epochs,
+       round(least(budget * w_raw / zw / n_tokens, 4.0), 6) AS capped_epochs,
+       CAST(round(least(budget * w_raw / zw / n_tokens, 4.0) * n_tokens)
+            AS BIGINT) AS achieved_tokens
+FROM t, z
+""",
+)
+def q_mixture_epoch_plan_bpe(spark, sf_dir):
+    """mixture_epoch_plan with every token mass (budget, targets,
+    achieved) in BPE tokens — the upsampling table a trainer consumes
+    must agree with the tokenizer or the epoch math is off by the
+    whitespace-vs-subword ratio. Cost shape unchanged: map-only count,
+    one O(#sources) aggregate, 1-row budget broadcast."""
+    from scikit_learn_imputer_spark.functions.bpe import with_bpe_token_counts
+
+    d = with_bpe_token_counts(_t(spark, sf_dir, "documents"))
+    per_src = (
+        d.select("source", F.col("n_bpe_tokens").alias("__n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "__w_raw", F.substring("source", 4, 10).cast("int") + F.lit(1)
+        )
+    )
+    z = per_src.agg(
+        F.sum("__w_raw").cast("double").alias("__zw"),
+        F.sum("n_tokens").cast("double").alias("__budget"),
+    )
+    target = F.col("__budget") * F.col("__w_raw") / F.col("__zw")
+    epochs = target / F.col("n_tokens")
+    capped = F.least(epochs, F.lit(4.0))
+    return per_src.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("__w_raw") / F.col("__zw"), 9).alias("weight"),
+        F.round(target).cast("bigint").alias("target_tokens"),
+        F.round(epochs, 6).alias("epochs"),
+        F.round(capped, 6).alias("capped_epochs"),
+        F.round(capped * F.col("n_tokens")).cast("bigint").alias(
+            "achieved_tokens"
+        ),
     )
 
 
@@ -5681,6 +5892,55 @@ def q_near_dup_best_survivors(spark, sf_dir):
         cluster_survivors(docs, clusters, keep="quality")
         .select("doc_id")
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_paragraphs",
+    oracle=r"""
+WITH p AS (
+  SELECT doc_id, i - 1 AS pos, ps[i] AS para
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM documents) t,
+       UNNEST(generate_series(1, len(ps))) AS u(i)
+),
+dg AS (
+  SELECT doc_id, pos, para,
+         md5(regexp_replace(lower(trim(para)), '\s+', ' ', 'g')) AS digest,
+         length(trim(para)) = 0 AS is_empty
+  FROM p
+),
+hot AS (
+  SELECT digest FROM dg WHERE NOT is_empty
+  GROUP BY digest HAVING count(*) >= 2
+),
+marked AS (
+  SELECT d.doc_id, d.pos, d.para,
+         (d.is_empty OR h.digest IS NULL) AS keep
+  FROM dg d LEFT JOIN hot h ON d.digest = h.digest
+)
+SELECT doc_id,
+       coalesce(string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE keep),
+                '') AS text,
+       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
+         AS n_paragraphs_removed
+FROM marked
+GROUP BY doc_id
+""",
+)
+def q_dedup_paragraphs(spark, sf_dir):
+    """Paragraph-level exact dedup (RefinedWeb/Falcon line dedup,
+    VERDICT r6 #2): every occurrence of every paragraph whose normalized
+    form appears in >= 2 paragraph slots corpus-wide is removed from
+    every document (this corpus has no newlines, so each doc is one
+    paragraph and the operator degenerates to scrubbing exact-dup
+    full texts — the multi-paragraph semantics are pinned by the unit
+    and hypothesis property tests). Text never shuffles: counting and
+    removal-position resolution carry 16-byte digests + ints; the
+    rebuild is an index-filtered array expression on the original row."""
+    from scikit_learn_imputer_spark.dedup.paragraphs import dedup_paragraphs
+
+    return dedup_paragraphs(_t(spark, sf_dir, "documents"), min_count=2).select(
+        "doc_id", "text", "n_paragraphs_removed"
     )
 
 

@@ -1088,3 +1088,46 @@ def test_cluster_survivors_quality_raises_kept_token_mass(spark):
     assert 1 not in ids_q and 10 in ids_q and 20 in ids_q
     assert len(ids_q) == 3
     assert mass(kept_q) > mass(kept_min)
+
+
+def test_dedup_paragraphs_removes_corpus_duplicated_lines(spark):
+    """RefinedWeb-style line dedup: every occurrence of a corpus-
+    duplicated paragraph is removed from every doc; unique and empty
+    paragraphs survive in order; within-doc repeats alone can cross the
+    threshold; normalization (case/whitespace) joins occurrences."""
+    from scikit_learn_imputer_spark.dedup.paragraphs import (
+        dedup_paragraphs,
+        duplicated_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner\nunique alpha text\n\nfooter line"),
+            (2, "Cookie   Banner\nunique beta text\nfooter line"),
+            (3, "only unique gamma content here"),
+            (4, "repeat me\nrepeat me\nsolo line"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_paragraphs_removed"])
+        for r in dedup_paragraphs(docs, min_count=2).collect()
+    }
+    # 'cookie banner' (normalized) x2, 'footer line' x2, 'repeat me' x2
+    assert out[1] == ("unique alpha text\n", 2)  # empty line preserved
+    assert out[2] == ("unique beta text", 2)
+    assert out[3] == ("only unique gamma content here", 0)
+    assert out[4] == ("solo line", 2)
+
+    hot = {
+        r["digest"]: r["n_occurrences"]
+        for r in duplicated_paragraphs(docs, min_count=2).collect()
+    }
+    assert sorted(hot.values()) == [2, 2, 2]
+
+    # idempotence: a second pass removes nothing
+    again = dedup_paragraphs(
+        dedup_paragraphs(docs, min_count=2).select("doc_id", "text"),
+        min_count=2,
+    )
+    assert all(r["n_paragraphs_removed"] == 0 for r in again.collect())

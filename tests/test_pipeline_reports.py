@@ -240,3 +240,83 @@ def test_quality_model_degenerate_single_class_split(spark):
         assert r["label"] == 0
         assert r["pred"] == 0
         assert r["p_good"] == 0.0
+
+
+def test_bpe_budget_twins_keep_doc_membership(spark, sf_smoke):
+    """The BPE budget twins must change token MASSES only: the holdout
+    twin assigns every doc to the same (split, source) cell, and the
+    mixture twin keeps weights identical (weights depend on sources,
+    not the count unit)."""
+    a = {
+        (r["split"], r["source"]): r["n_docs"]
+        for r in QUERIES["corpus_holdout_split"](spark, sf_smoke).collect()
+    }
+    b = {
+        (r["split"], r["source"]): r["n_docs"]
+        for r in QUERIES["corpus_holdout_split_bpe"](spark, sf_smoke).collect()
+    }
+    assert a == b
+
+    wa = {
+        r["source"]: r["weight"]
+        for r in QUERIES["mixture_epoch_plan"](spark, sf_smoke).collect()
+    }
+    wb = {
+        r["source"]: r["weight"]
+        for r in QUERIES["mixture_epoch_plan_bpe"](spark, sf_smoke).collect()
+    }
+    assert wa == wb
+    # and BPE masses are >= whitespace masses (1 token per word floor)
+    na = {
+        r["source"]: r["n_tokens"]
+        for r in QUERIES["mixture_epoch_plan"](spark, sf_smoke).collect()
+    }
+    nb = {
+        r["source"]: r["n_tokens"]
+        for r in QUERIES["mixture_epoch_plan_bpe"](spark, sf_smoke).collect()
+    }
+    assert all(nb[s] >= na[s] for s in na)
+
+
+def test_bpe_learned_vocab_roundtrip(spark):
+    """Learn → derive vocab → count shares one artifact: the counting
+    vocab equals the merge table's merged symbols, and the distributed
+    count with it equals a sequential greedy reference word for word."""
+    from scikit_learn_imputer_spark.functions.bpe import (
+        bpe_token_counts,
+        count_word_tokens,
+        learn_bpe_merges,
+        vocab_from_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "low lower lowest low low"),
+            (1, "newer newest new low"),
+            (2, "wider wide widest lower"),
+        ],
+        "doc_id bigint, text string",
+    )
+    merges = learn_bpe_merges(docs, num_merges=6)
+    vocab = vocab_from_merges(merges)
+    assert vocab == tuple(
+        dict.fromkeys(
+            r["merged"] for r in merges.orderBy("merge_rank").collect()
+        )
+    )
+    assert 1 <= len(vocab) <= 6 and all(len(v) >= 2 for v in vocab)
+
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(docs, vocab=vocab).collect()
+    }
+    vs = frozenset(vocab)
+    lens = tuple(sorted({len(v) for v in vocab}, reverse=True))
+    for i, text in [(0, "low lower lowest low low"),
+                    (1, "newer newest new low"),
+                    (2, "wider wide widest lower")]:
+        want = sum(count_word_tokens(w, vs, lens) for w in text.split())
+        assert got[i] == want
+        # learned subwords compress below pure char count, never below
+        # one token per word
+        assert len(text.split()) <= got[i] < len(text.replace(" ", ""))

@@ -39,6 +39,7 @@ INTENDED_NON_EQUI = {
     "temperature_mixture_sample",  # broadcast 1-row normalizer frame
     "vocab_coverage",              # broadcast 1-row corpus-total frame
     "mixture_epoch_plan",          # broadcast 1-row budget/normalizer frame
+    "mixture_epoch_plan_bpe",      # same 1-row budget broadcast, BPE-counted
     "lm_score_deciles",            # broadcast 1-row decile-threshold frame
     "semdedup_threshold_curve",    # exact pair-join baseline (same as
                                    # embedding_near_pairs/semdedup_exact)

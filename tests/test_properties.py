@@ -494,3 +494,58 @@ def test_learn_bpe_merges_property_matches_reference(spark, words):
         .collect()
     ]
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa bb", "cc", "dd ee ff", "", "  ", "AA  BB"]),
+            min_size=1,
+            max_size=5,
+        ).map("\n".join),
+        min_size=1,
+        max_size=6,
+    ),
+    min_count=st.integers(2, 3),
+)
+@SETTINGS
+def test_dedup_paragraphs_matches_sequential_reference(spark, docs, min_count):
+    """Scrub invariant vs a sequential reference: the operator removes
+    exactly the paragraphs whose normalized form occurs >= min_count
+    times corpus-wide (empties never counted, never removed), preserves
+    order, and is idempotent. The tiny paragraph pool (with case and
+    whitespace variants of one line) forces cross-doc collisions."""
+    import re
+
+    from scikit_learn_imputer_spark.dedup.paragraphs import dedup_paragraphs
+
+    norm = lambda p: re.sub(r"\s+", " ", p.strip().lower())  # noqa: E731
+    counts = {}
+    for d in docs:
+        for p in d.split("\n"):
+            if p.strip():
+                counts[norm(p)] = counts.get(norm(p), 0) + 1
+    expect = {}
+    for i, d in enumerate(docs):
+        kept = [
+            p
+            for p in d.split("\n")
+            if not p.strip() or counts[norm(p)] < min_count
+        ]
+        removed = sum(
+            1 for p in d.split("\n") if p.strip() and counts[norm(p)] >= min_count
+        )
+        expect[i] = ("\n".join(kept), removed)
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["text"], r["n_paragraphs_removed"])
+        for r in dedup_paragraphs(df, min_count=min_count).collect()
+    }
+    assert got == expect
+
+    again = dedup_paragraphs(
+        dedup_paragraphs(df, min_count=min_count).select("doc_id", "text"),
+        min_count=min_count,
+    )
+    assert all(r["n_paragraphs_removed"] == 0 for r in again.collect())
