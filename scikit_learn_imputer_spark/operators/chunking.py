@@ -321,3 +321,128 @@ def pack_sequences(
             ),
         )
     )
+
+
+def repack_after_delete(
+    packed: DataFrame,
+    deleted: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Deletion propagation for packed corpora (VERDICT r6 #6): given an
+    existing ``pack_sequences`` result and a (small) frame of deleted
+    doc ids, return the packing of the SURVIVING docs — exactly equal to
+    re-running ``pack_sequences`` on the filtered corpus (property-
+    tested), while recomputing only what a deletion can move:
+
+    - shards (sources) containing no deleted doc pass through UNTOUCHED
+      (an anti join against the broadcast affected-shard set — map-only
+      keep, no window, no text);
+    - within an affected shard, a surviving doc's stream position moves
+      back by exactly the token mass of deleted docs BEFORE it, so
+      new_cum_prev = old_cum_prev − cum_deleted_tokens(<doc_id). The
+      deleted running masses are an O(#deletions) broadcast frame; the
+      subtraction is a broadcast hash join on the shard key with a
+      del_id < doc_id residual — never a re-aggregate of the corpus.
+
+    A takedown therefore costs O(affected suffixes), not a corpus
+    re-pack; the original text is never needed (n_tokens rides in the
+    packed frame). Pair with ``adjust_offsets_after_delete`` so future
+    incremental packs continue from the corrected stream positions."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    cum_prev = (F.col("seq_id") * seq_len + F.col("seq_offset")).alias("__cum")
+    del_rows = packed.join(
+        deleted.select(id_col).distinct(), on=id_col, how="left_semi"
+    )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # O(#deletions) rows: per shard, the running deleted-token mass.
+    del_cum = del_rows.select(
+        F.col(shard_col).alias("__dsrc"),
+        F.col(id_col).alias("__did"),
+        F.sum("n_tokens").over(w).alias("__dcum"),
+    )
+    affected = del_rows.select(shard_col).distinct()
+    surviving = packed.join(
+        deleted.select(id_col).distinct(), on=id_col, how="left_anti"
+    )
+    untouched = surviving.join(
+        F.broadcast(affected), on=shard_col, how="left_anti"
+    )
+    touched = surviving.join(F.broadcast(affected), on=shard_col, how="left_semi")
+    subs = (
+        touched.select(shard_col, id_col)
+        .join(
+            F.broadcast(del_cum),
+            on=[
+                touched[shard_col] == F.col("__dsrc"),
+                F.col("__did") < touched[id_col],
+            ],
+            how="left",
+        )
+        .groupBy(id_col)
+        .agg(F.max("__dcum").alias("__sub"))
+    )
+    recomputed = (
+        touched.withColumn("__cum", cum_prev)
+        .join(subs, on=id_col, how="left")
+        .withColumn(
+            "__cum", F.col("__cum") - F.coalesce(F.col("__sub"), F.lit(0).cast("bigint"))
+        )
+        .select(
+            id_col,
+            shard_col,
+            "n_tokens",
+            F.floor(F.col("__cum") / seq_len).cast("bigint").alias("seq_id"),
+            (F.col("__cum") % seq_len).alias("seq_offset"),
+            ((F.col("__cum") % seq_len + F.col("n_tokens")) > seq_len).alias(
+                "straddles"
+            ),
+        )
+    )
+    return untouched.select(
+        id_col, shard_col, "n_tokens", "seq_id", "seq_offset", "straddles"
+    ).unionByName(recomputed)
+
+
+def adjust_offsets_after_delete(
+    packed_deleted: DataFrame,
+    store_path: str,
+    seq_len: int,
+    shard_col: str = "source",
+) -> None:
+    """The offset-store half of deletion propagation: subtract each
+    shard's deleted token mass from its stored cumulative offset, so
+    the NEXT ``incremental_pack`` continues exactly where a full re-pack
+    of the surviving corpus would (end-to-end pinned by the
+    delete-then-continue test). ``packed_deleted`` is the deleted docs'
+    rows from the packed frame (their n_tokens is all that is needed).
+    O(#shards) store rewrite, same tiny-write discipline as
+    ``commit_offsets``."""
+    spark = packed_deleted.sparkSession
+    store = _read_store(spark, store_path, seq_len)
+    removed = packed_deleted.groupBy(shard_col).agg(
+        F.sum("n_tokens").alias("__d")
+    )
+    merged = (
+        store.join(removed, on=shard_col, how="left")
+        .select(
+            shard_col,
+            F.greatest(
+                F.col("cum_tokens") - F.coalesce(F.col("__d"), F.lit(0).cast("bigint")),
+                F.lit(0).cast("bigint"),
+            ).alias("cum_tokens"),
+        )
+    )
+    rows = merged.collect()  # O(#shards)
+    (
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), merged.schema)
+        .withColumn("seq_len", F.lit(seq_len).cast("bigint"))
+        .write.mode("overwrite")
+        .parquet(store_path)
+    )

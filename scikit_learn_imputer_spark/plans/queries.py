@@ -1596,6 +1596,36 @@ def q_training_shards(spark, sf_dir):
     return training_shards(shuffle_sequences(packed, seed=42), shard_size=16)
 
 
+@register("write_training_shards", oracle=ORACLE["training_shards"])
+def q_write_training_shards(spark, sf_dir):
+    """PHYSICAL training-shard writer (VERDICT r6 #5): the shuffled
+    sequence permutation is written as partitionBy('shard_id') parquet
+    (operators/shuffle.py:write_training_shards — repartition on the
+    shard key first, so each shard directory holds exactly one
+    position-sorted file), then read BACK from disk and re-aggregated
+    into the manifest. The oracle is training_shards' own SQL, so the
+    round trip is hash-checked: what landed on disk must reproduce the
+    manifest's per-shard counts and position ranges exactly."""
+    import os
+
+    from scikit_learn_imputer_spark.operators.chunking import pack_sequences
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        shuffle_sequences,
+        write_training_shards,
+    )
+
+    packed = pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+    shuffled = shuffle_sequences(packed, seed=42)
+    path = f"/tmp/sli_training_shards_{os.path.basename(sf_dir.rstrip('/'))}"
+    write_training_shards(shuffled, path, shard_size=16)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("shard_id").cast("bigint").alias("shard_id")).agg(
+        F.count(F.lit(1)).alias("n_sequences"),
+        F.min("position").cast("bigint").alias("first_position"),
+        F.max("position").cast("bigint").alias("last_position"),
+    )
+
+
 def _bpe_count_ctes() -> str:
     """btoks..bcounts — the greedy longest-prefix count CTEs over
     whatever ``vocab(v)`` CTE precedes them (pinned VALUES literal or a

@@ -386,3 +386,144 @@ def test_training_shards_contiguous_ranges(spark):
 
     with pytest.raises(ValueError):
         training_shards(sh, 0)
+
+
+def test_write_training_shards_physical_layout(spark, tmp_path):
+    """The physical shard writer's layout contract: one parquet file per
+    shard directory (repartition-on-shard-key before partitionBy — the
+    round-6 file-explosion lesson), rows inside each file sorted by
+    position, and the read-back manifest equal to training_shards'."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        seeded_global_shuffle,
+        training_shards,
+        write_training_shards,
+    )
+
+    rows = [(i, f"src{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "seq bigint, source string")
+    shuffled = seeded_global_shuffle(df, ["seq"], seed=7)
+    out = str(tmp_path / "shards")
+    write_training_shards(shuffled, out, shard_size=8)
+
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard_id="))
+    assert len(shard_dirs) == 13  # ceil(100 / 8)
+    for d in shard_dirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+        pos = [
+            r["position"]
+            for r in spark.read.parquet(os.path.join(out, d, files[0]))
+            .select("position")
+            .collect()
+        ]
+        assert pos == sorted(pos)  # in-file training order
+
+    back = spark.read.parquet(out)
+    got = {
+        r["shard_id"]: (r["n"], r["lo"], r["hi"])
+        for r in back.groupBy(F.col("shard_id").cast("bigint").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("position").alias("lo"),
+            F.max("position").alias("hi"),
+        )
+        .collect()
+    }
+    want = {
+        r["shard_id"]: (r["n_sequences"], r["first_position"], r["last_position"])
+        for r in training_shards(shuffled, shard_size=8).collect()
+    }
+    assert got == want
+
+
+def test_repack_after_delete_equals_full_repack(spark):
+    """Deletion propagation == full re-pack of the survivors, with
+    untouched shards passing through and the offset store continuing
+    correctly after adjustment (delete-then-continue end-to-end)."""
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.operators.chunking import (
+        adjust_offsets_after_delete,
+        build_offset_store,
+        incremental_pack,
+        pack_sequences,
+        repack_after_delete,
+    )
+
+    rows = [
+        (i, f"s{i % 3}", " ".join(["w"] * (3 + (i * 7) % 11))) for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    packed = pack_sequences(docs, seq_len=16)
+    # delete docs from sources s0 and s1 only; s2 untouched
+    deleted = spark.createDataFrame(
+        [(0,), (9,), (12,), (22,)], "doc_id bigint"
+    )
+    got = repack_after_delete(packed, deleted, seq_len=16)
+    want = pack_sequences(
+        docs.join(deleted, "doc_id", "left_anti"), seq_len=16
+    )
+    key = lambda r: (r["doc_id"], r["source"], r["n_tokens"],  # noqa: E731
+                     r["seq_id"], r["seq_offset"], r["straddles"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+    # untouched shard s2: rows byte-identical to the original packing
+    orig_s2 = sorted(map(key, packed.filter(F.col("source") == "s2").collect()))
+    new_s2 = sorted(map(key, got.filter(F.col("source") == "s2").collect()))
+    assert orig_s2 == new_s2
+
+    # deleting nothing is the identity
+    none = spark.createDataFrame([], "doc_id bigint")
+    same = repack_after_delete(packed, none, seq_len=16)
+    assert sorted(map(key, same.collect())) == sorted(map(key, packed.collect()))
+
+
+def test_adjust_offsets_after_delete_continues_correctly(spark, tmp_path):
+    """Offset-store half: after deleting history docs, repacking, and
+    adjusting the store, the NEXT incremental batch packs exactly where
+    a full re-pack of (survivors + new batch) would place it."""
+    from scikit_learn_imputer_spark.operators.chunking import (
+        adjust_offsets_after_delete,
+        build_offset_store,
+        incremental_pack,
+        pack_sequences,
+        repack_after_delete,
+    )
+
+    schema = "doc_id bigint, source string, text string"
+    hist = spark.createDataFrame(
+        [
+            (1, "a", "one two three four five"),
+            (2, "a", "six seven eight nine"),
+            (3, "b", "ten eleven twelve"),
+            (4, "a", "thirteen fourteen"),
+        ],
+        schema,
+    )
+    store = str(tmp_path / "store")
+    build_offset_store(hist, store, seq_len=8)
+
+    deleted = spark.createDataFrame([(2,)], "doc_id bigint")
+    packed_hist = pack_sequences(hist, seq_len=8)
+    packed_deleted = packed_hist.join(deleted, "doc_id", "left_semi")
+    adjust_offsets_after_delete(packed_deleted, store, seq_len=8)
+
+    nxt = spark.createDataFrame(
+        [(10, "a", "alpha beta gamma"), (11, "b", "delta epsilon")], schema
+    )
+    got = incremental_pack(nxt, store, seq_len=8)
+
+    full = pack_sequences(
+        hist.join(deleted, "doc_id", "left_anti").unionByName(nxt), seq_len=8
+    ).join(nxt.select("doc_id"), "doc_id", "left_semi")
+    key = lambda r: (r["doc_id"], r["source"], r["n_tokens"],  # noqa: E731
+                     r["seq_id"], r["seq_offset"], r["straddles"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, full.collect()))
