@@ -382,12 +382,21 @@ def recover_compaction(spark: SparkSession, store_path: str) -> bool:
     sibling survives (the process died after writing it but before or
     during the store overwrite), restore the store from it and clean up.
     Returns True when a recovery was performed. Safe to call
-    unconditionally before opening a store."""
+    unconditionally before opening a store.
+
+    A sibling WITHOUT a ``_SUCCESS`` marker is a crash DURING the
+    sibling write itself — the store is still the good copy, and
+    restoring from the partial sibling would silently shrink the
+    fingerprint/signature history (ADVICE r7). Such a sibling is
+    deleted, not restored."""
     import os
     import shutil
 
     tmp = store_path.rstrip("/") + "__compacting"
     if not os.path.isdir(tmp):
+        return False
+    if not os.path.isfile(os.path.join(tmp, "_SUCCESS")):
+        shutil.rmtree(tmp, ignore_errors=True)
         return False
     spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
     shutil.rmtree(tmp, ignore_errors=True)

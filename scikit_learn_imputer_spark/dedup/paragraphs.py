@@ -30,6 +30,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _regex_literal(sep: str) -> str:
+    """Quote ``sep`` for Java-regex ``F.split`` (Pattern.quote
+    algorithm). ``F.split`` treats its pattern as a regex while
+    ``array_join`` re-joins literally; an unquoted metacharacter
+    separator ('.', '|') would split and rejoin inconsistently and
+    corrupt rebuilt text (ADVICE r7)."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def paragraph_digests(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -43,7 +52,9 @@ def paragraph_digests(
     return (
         df.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "__para"),
+            F.posexplode(
+                F.split(F.col(text_col), _regex_literal(sep))
+            ).alias("pos", "__para"),
         )
         .select(
             id_col,
@@ -98,7 +109,7 @@ def dedup_paragraphs(
         .agg(F.collect_set("pos").alias("__rm"))
     )
     rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
-    parts = F.split(F.col(text_col), sep)
+    parts = F.split(F.col(text_col), _regex_literal(sep))
     kept = F.filter(parts, lambda x, i: ~F.array_contains(rm, i.cast("int")))
     out_cols = [
         F.array_join(kept, sep).alias(c) if c == text_col else F.col(c)

@@ -253,8 +253,20 @@ def stream_pack_ingest(
             idempotent_batch_sink,
         )
 
-        if last_committed_batch_id(batch.sparkSession, store_path) >= batch_id:
+        last = last_committed_batch_id(batch.sparkSession, store_path)
+        if last == batch_id:
             return  # replayed after its own commit — fully processed
+        if last > batch_id:
+            # Batch ids restart at 0 under a new/cleared checkpoint; a
+            # store ahead of the stream means checkpoint and store are
+            # out of sync — skipping would silently drop data (ADVICE
+            # r7), so surface the mismatch instead.
+            raise RuntimeError(
+                f"offset store at {store_path} committed batch "
+                f"{last} but stream delivered batch {batch_id}; "
+                "checkpoint and offset store are out of sync (cleared "
+                "checkpoint, or two streams sharing one store)"
+            )
         packed = incremental_pack(
             batch, store_path, seq_len, id_col, text_col, shard_col
         )
@@ -423,8 +435,13 @@ def adjust_offsets_after_delete(
     delete-then-continue test). ``packed_deleted`` is the deleted docs'
     rows from the packed frame (their n_tokens is all that is needed).
     O(#shards) store rewrite, same tiny-write discipline as
-    ``commit_offsets``."""
+    ``commit_offsets``. The store's ``last_batch_id`` (streaming replay
+    guard) is preserved across the rewrite — dropping it would blind
+    ``last_committed_batch_id`` to a committed-but-uncheckpointed batch,
+    so a replay after a delete adjustment would double-advance the
+    offsets (ADVICE r7)."""
     spark = packed_deleted.sparkSession
+    last_bid = last_committed_batch_id(spark, store_path)
     store = _read_store(spark, store_path, seq_len)
     removed = packed_deleted.groupBy(shard_col).agg(
         F.sum("n_tokens").alias("__d")
@@ -440,9 +457,9 @@ def adjust_offsets_after_delete(
         )
     )
     rows = merged.collect()  # O(#shards)
-    (
-        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), merged.schema)
-        .withColumn("seq_len", F.lit(seq_len).cast("bigint"))
-        .write.mode("overwrite")
-        .parquet(store_path)
-    )
+    out = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), merged.schema
+    ).withColumn("seq_len", F.lit(seq_len).cast("bigint"))
+    if last_bid >= 0:
+        out = out.withColumn("last_batch_id", F.lit(last_bid).cast("bigint"))
+    out.write.mode("overwrite").parquet(store_path)

@@ -155,3 +155,44 @@ def write_training_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
+
+
+def write_training_shards_manifest(
+    shuffled: DataFrame,
+    shard_size: int,
+    position_col: str = "position",
+) -> DataFrame:
+    """Round-trip proof of the physical shard writer: write the shards
+    to a per-invocation temp dir (ADVICE r7: a fixed path raced
+    concurrent runs at the same sf), read them BACK from disk,
+    re-aggregate into the manifest shape of ``training_shards``, and
+    MATERIALIZE it before deleting the temp dir so the returned frame
+    never dangles on removed files.
+
+    The collect is O(#shards) manifest rows — same tiny-frame contract
+    as ``commit_offsets`` (a 100 TB corpus at 1 GiB shards is ~1e5
+    manifest rows, still driver-trivial); the corpus itself is only
+    touched by the distributed write + read-back."""
+    import shutil
+    import tempfile
+
+    spark = shuffled.sparkSession
+    tmp = tempfile.mkdtemp(prefix="sli_training_shards_")
+    try:
+        path = tmp + "/shards"
+        write_training_shards(shuffled, path, shard_size, position_col)
+        back = spark.read.parquet(path)
+        manifest = back.groupBy(
+            F.col("shard_id").cast("bigint").alias("shard_id")
+        ).agg(
+            F.count(F.lit(1)).alias("n_sequences"),
+            F.min(position_col).cast("bigint").alias("first_position"),
+            F.max(position_col).cast("bigint").alias("last_position"),
+        )
+        rows = manifest.collect()  # O(#shards)
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, max(1, min(len(rows), 8))),
+            manifest.schema,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

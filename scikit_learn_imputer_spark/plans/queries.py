@@ -1605,25 +1605,20 @@ def q_write_training_shards(spark, sf_dir):
     position-sorted file), then read BACK from disk and re-aggregated
     into the manifest. The oracle is training_shards' own SQL, so the
     round trip is hash-checked: what landed on disk must reproduce the
-    manifest's per-shard counts and position ranges exactly."""
-    import os
-
+    manifest's per-shard counts and position ranges exactly. The write
+    lands in a per-invocation mkdtemp dir and the manifest is
+    materialized before cleanup (ADVICE r7: a fixed /tmp path raced
+    concurrent bench runs at the same sf) — see
+    operators/shuffle.py:write_training_shards_manifest."""
     from scikit_learn_imputer_spark.operators.chunking import pack_sequences
     from scikit_learn_imputer_spark.operators.shuffle import (
         shuffle_sequences,
-        write_training_shards,
+        write_training_shards_manifest,
     )
 
     packed = pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
     shuffled = shuffle_sequences(packed, seed=42)
-    path = f"/tmp/sli_training_shards_{os.path.basename(sf_dir.rstrip('/'))}"
-    write_training_shards(shuffled, path, shard_size=16)
-    back = spark.read.parquet(path)
-    return back.groupBy(F.col("shard_id").cast("bigint").alias("shard_id")).agg(
-        F.count(F.lit(1)).alias("n_sequences"),
-        F.min("position").cast("bigint").alias("first_position"),
-        F.max("position").cast("bigint").alias("last_position"),
-    )
+    return write_training_shards_manifest(shuffled, shard_size=16)
 
 
 def _bpe_count_ctes() -> str:

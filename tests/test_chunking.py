@@ -527,3 +527,89 @@ def test_adjust_offsets_after_delete_continues_correctly(spark, tmp_path):
     key = lambda r: (r["doc_id"], r["source"], r["n_tokens"],  # noqa: E731
                      r["seq_id"], r["seq_offset"], r["straddles"])
     assert sorted(map(key, got.collect())) == sorted(map(key, full.collect()))
+
+
+def test_adjust_offsets_preserves_last_batch_id(spark, tmp_path):
+    """ADVICE r7: the delete adjustment rewrites the offset store; the
+    streaming replay guard (last_batch_id) must survive the rewrite or a
+    committed-but-uncheckpointed batch replays undetected and
+    double-advances the offsets."""
+    from scikit_learn_imputer_spark.operators.chunking import (
+        adjust_offsets_after_delete,
+        build_offset_store,
+        commit_offsets,
+        incremental_pack,
+        last_committed_batch_id,
+        pack_sequences,
+    )
+
+    schema = "doc_id bigint, source string, text string"
+    hist = spark.createDataFrame(
+        [(1, "a", "one two three four five"), (2, "a", "six seven eight")],
+        schema,
+    )
+    store = str(tmp_path / "store")
+    build_offset_store(hist.limit(0), store, seq_len=8)
+    packed = incremental_pack(hist, store, seq_len=8)
+    commit_offsets(packed, store, seq_len=8, batch_id=3)
+    assert last_committed_batch_id(spark, store) == 3
+
+    deleted = spark.createDataFrame([(2,)], "doc_id bigint")
+    packed_deleted = pack_sequences(hist, seq_len=8).join(
+        deleted, "doc_id", "left_semi"
+    )
+    adjust_offsets_after_delete(packed_deleted, store, seq_len=8)
+    assert last_committed_batch_id(spark, store) == 3
+
+    # pre-streaming store (no batch column): the rewrite must not invent one
+    store2 = str(tmp_path / "store2")
+    build_offset_store(hist, store2, seq_len=8)
+    adjust_offsets_after_delete(
+        pack_sequences(hist, seq_len=8).join(deleted, "doc_id", "left_semi"),
+        store2,
+        seq_len=8,
+    )
+    assert last_committed_batch_id(spark, store2) == -1
+
+
+def test_stream_pack_ingest_store_ahead_of_stream_raises(spark, tmp_path):
+    """ADVICE r7: batch ids restart at 0 under a cleared checkpoint; a
+    store already committed PAST the incoming batch is a
+    checkpoint/store mismatch and must raise, not silently drop every
+    early batch."""
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    from scikit_learn_imputer_spark.operators.chunking import (
+        build_offset_store,
+        commit_offsets,
+        incremental_pack,
+        stream_pack_ingest,
+    )
+
+    schema = "doc_id bigint, source string, text string"
+    docs = spark.createDataFrame(
+        [(1, "a", "one two three"), (2, "a", "four five")], schema
+    )
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    store = str(tmp_path / "store")
+    build_offset_store(docs.limit(0), store, seq_len=8)
+    # advance the store to batch 5 as if an earlier stream committed it
+    commit_offsets(
+        incremental_pack(docs, store, seq_len=8), store, seq_len=8, batch_id=5
+    )
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = stream_pack_ingest(
+        stream,
+        store,
+        str(tmp_path / "out"),
+        str(tmp_path / "ck_fresh"),  # fresh checkpoint -> batch ids restart at 0
+        seq_len=8,
+    ).start()
+    try:
+        with _pytest.raises(StreamingQueryException, match="out of sync"):
+            q.processAllAvailable()
+    finally:
+        q.stop()

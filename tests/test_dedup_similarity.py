@@ -1131,3 +1131,78 @@ def test_dedup_paragraphs_removes_corpus_duplicated_lines(spark):
         min_count=2,
     )
     assert all(r["n_paragraphs_removed"] == 0 for r in again.collect())
+
+
+def test_recover_compaction_partial_sibling_is_discarded(spark, tmp_path):
+    """ADVICE r7: a crash DURING the sibling write leaves a partial
+    sibling (no _SUCCESS) while the store is still good; recovery must
+    keep the store and delete the sibling, never restore from it."""
+    import os
+    import shutil
+
+    from scikit_learn_imputer_spark.dedup.incremental import (
+        build_fingerprint_store,
+        incremental_dedup,
+        recover_compaction,
+    )
+
+    schema = "doc_id bigint, text string"
+    t_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame([(1, t_a)], schema)
+    probe = spark.createDataFrame(
+        [(10, t_a), (11, "fresh words unrelated to anything stored here")],
+        schema,
+    )
+    fstore = str(tmp_path / "fstore")
+    build_fingerprint_store(docs, fstore)
+    want = {r["doc_id"] for r in incremental_dedup(probe, fstore).collect()}
+
+    # partial sibling: copy the store then strip the commit marker AND a
+    # data file — exactly what a mid-write crash leaves behind
+    tmp = fstore + "__compacting"
+    shutil.copytree(fstore, tmp)
+    os.remove(os.path.join(tmp, "_SUCCESS"))
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(tmp, f))
+            break
+
+    assert recover_compaction(spark, fstore) is False
+    assert not os.path.exists(tmp)  # partial sibling cleaned up
+    got = {r["doc_id"] for r in incremental_dedup(probe, fstore).collect()}
+    assert got == want  # store untouched — no history lost
+
+
+def test_dedup_paragraphs_regex_metachar_separator(spark):
+    """ADVICE r7: the separator feeds F.split (Java regex) but rejoins
+    literally; metacharacter separators ('.', '|') must round-trip
+    byte-identically through the quote-escape."""
+    from scikit_learn_imputer_spark.dedup.paragraphs import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner.unique one.cookie banner"),
+            (2, "unique two.cookie banner.unique three"),
+            (3, "no duplicates here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_paragraphs_removed"])
+        for r in dedup_paragraphs(docs, min_count=2, sep=".").collect()
+    }
+    assert got[1] == ("unique one", 2)
+    assert got[2] == ("unique two.unique three", 1)
+    assert got[3] == ("no duplicates here at all", 0)
+
+    # '|' — an alternation metachar that unescaped splits per character
+    docs2 = spark.createDataFrame(
+        [(1, "dup|keep a|dup"), (2, "keep b|dup")],
+        "doc_id bigint, text string",
+    )
+    got2 = {
+        r["doc_id"]: (r["text"], r["n_paragraphs_removed"])
+        for r in dedup_paragraphs(docs2, min_count=2, sep="|").collect()
+    }
+    assert got2[1] == ("keep a", 2)
+    assert got2[2] == ("keep b", 1)
