@@ -56,6 +56,26 @@ def vocab_values_sql(vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB) -> str:
     return ", ".join(f"('{v}')" for v in vocab)
 
 
+def vocab_ids(vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB) -> dict[str, int]:
+    """symbol -> token id: position in the vocab tuple, first
+    occurrence wins. Characters outside the vocabulary get the BYTE
+    FALLBACK band ``len(vocab) + codepoint`` — deterministic, collision
+    free (the band starts past every vocab id), and reproducible in SQL
+    (DuckDB ``unicode``, Python ``ord``)."""
+    validate_vocab(vocab)
+    out: dict[str, int] = {}
+    for i, v in enumerate(vocab):
+        out.setdefault(v, i)
+    return out
+
+
+def vocab_ids_values_sql(vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB) -> str:
+    """``('que', 0), ('ry', 1), ...`` — the VALUES literal for the
+    oracle's ``vocab(v, vid)`` CTE (encoding twin of
+    ``vocab_values_sql``), same first-wins ids as ``vocab_ids``."""
+    return ", ".join(f"('{v}', {i})" for v, i in vocab_ids(vocab).items())
+
+
 def count_word_tokens(word: str, vs: frozenset, lens: tuple[int, ...]) -> int:
     """Greedy longest-prefix-match token count of one word. ``lens`` is
     the distinct vocab entry lengths, DESCENDING (longest wins);
@@ -70,6 +90,71 @@ def count_word_tokens(word: str, vs: frozenset, lens: tuple[int, ...]) -> int:
         i += step
         c += 1
     return c
+
+
+def encode_word_ids(
+    word: str, ids: dict[str, int], lens: tuple[int, ...], unk_base: int
+) -> list[int]:
+    """Greedy longest-prefix-match token IDS of one word — the encoding
+    twin of ``count_word_tokens`` (same segmentation, so
+    ``len(encode_word_ids(w)) == count_word_tokens(w)`` by
+    construction). Unmatched characters emit ``unk_base + ord(ch)``."""
+    i, n, out = 0, len(word), []
+    while i < n:
+        tid, step = None, 1
+        for L in lens:
+            if L <= n - i:
+                t = ids.get(word[i : i + L])
+                if t is not None:
+                    tid, step = t, L
+                    break
+        out.append(unk_base + ord(word[i]) if tid is None else tid)
+        i += step
+    return out
+
+
+def bpe_encode_udf(vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB):
+    """Arrow-batched ``text -> array<int>`` encoder: whitespace-split,
+    greedy longest-prefix ids per word, per-batch word memo (the Python
+    loop runs once per DISTINCT word per batch). This materializes the
+    ids a training loader actually reads (VERDICT r7 #1) — the counting
+    UDF's exact segmentation, emitting ids instead of lengths."""
+    ids = vocab_ids(vocab)
+    lens = tuple(sorted({len(v) for v in vocab}, reverse=True))
+    unk_base = len(vocab)
+
+    @F.pandas_udf("array<int>")
+    def _encode(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[int]] = {}
+
+        def doc_ids(t) -> list[int]:
+            if t is None:
+                return []
+            out: list[int] = []
+            for w in t.split():
+                e = memo.get(w)
+                if e is None:
+                    e = encode_word_ids(w, ids, lens, unk_base)
+                    memo[w] = e
+                out.extend(e)
+            return out
+
+        return texts.map(doc_ids)
+
+    return _encode
+
+
+def bpe_encode(
+    df: DataFrame,
+    vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB,
+    text_col: str = "text",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """All input columns plus the token-id array — map-only (scan +
+    Arrow UDF), no shuffle; feeds ``operators/tokenized.py`` sequence
+    materialization and any loader that wants per-document ids."""
+    encoder = bpe_encode_udf(vocab)
+    return df.withColumn(out_col, encoder(F.col(text_col)))
 
 
 def bpe_count_udf(vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB):

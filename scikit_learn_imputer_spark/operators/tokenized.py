@@ -1,0 +1,176 @@
+"""Token-ID sequence materialization — the last step of the
+corpus -> trainer handoff (VERDICT r7 #1).
+
+``pack_sequences`` (operators/chunking.py) places every DOCUMENT into
+the per-shard stream of ``seq_len``-token training sequences;
+``functions/bpe.py:bpe_encode`` materializes each document's token ids.
+This module assembles the SEQUENCES themselves: one row per
+(shard, seq_id) holding the ``array<int>`` a training loader reads,
+plus the physical ``partitionBy`` shard writer.
+
+Scale design — ids move as ARRAYS, never as per-token rows:
+
+1. encode: map-only Arrow UDF, one id array per document;
+2. place: the same per-shard running-total window ``pack_sequences``
+   uses (one shuffle on the shard key), computed over ``size(ids)`` so
+   encode runs ONCE per row — the window shuffles each document's id
+   array exactly once, which is the inherent cost of writing a
+   tokenized copy of the corpus;
+3. split: a document spanning k sequences explodes into k (doc, seq)
+   SLICES via ``F.sequence`` + ``F.slice`` — rows grow by #sequences,
+   not by #tokens;
+4. assemble: groupBy (shard, seq_id), order slices by their global
+   token position, flatten. Map-side combine applies; each sequence's
+   payload is bounded by ``seq_len`` ids.
+
+No reference counterpart (the reference is a single-node imputer);
+this extends the training-data surface of SURVEY §2's M5 frontier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from scikit_learn_imputer_spark.functions.bpe import (
+    DEFAULT_BPE_VOCAB,
+    bpe_encode_udf,
+)
+
+
+def tokenized_sequences(
+    df: DataFrame,
+    vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """One row per training sequence: ``(shard, seq_id, n_ids,
+    token_ids)`` under the exact ``pack_sequences`` placement (per-shard
+    doc-id order, concat-and-cut every ``seq_len`` tokens). The final
+    sequence of each shard may be shorter than ``seq_len``; every other
+    sequence is exactly full — ``sum(n_ids)`` equals the corpus BPE
+    token count by construction (segmentation shared with
+    ``bpe_token_counts``)."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    encoder = bpe_encode_udf(vocab)
+    enc = df.select(
+        F.col(id_col),
+        F.col(shard_col),
+        encoder(F.col(text_col)).alias("__ids"),
+    ).withColumn("__n", F.size("__ids").cast("bigint"))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = enc.withColumn(
+        "__cum_prev",
+        F.coalesce(F.sum("__n").over(w), F.lit(0).cast("bigint")),
+    ).filter(F.col("__n") > 0)
+    first_seq = F.floor(F.col("__cum_prev") / seq_len)
+    last_seq = F.floor((F.col("__cum_prev") + F.col("__n") - 1) / seq_len)
+    spans = placed.select(
+        shard_col,
+        "__ids",
+        "__n",
+        "__cum_prev",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    # this doc's contribution to this sequence, in GLOBAL token positions
+    g_start = F.greatest(F.col("seq_id") * seq_len, F.col("__cum_prev"))
+    g_end = F.least(
+        (F.col("seq_id") + 1) * seq_len, F.col("__cum_prev") + F.col("__n")
+    )
+    slices = spans.select(
+        shard_col,
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        g_start.alias("__g"),
+        F.slice(
+            "__ids",
+            (g_start - F.col("__cum_prev") + 1).cast("int"),
+            (g_end - g_start).cast("int"),
+        ).alias("__slice"),
+    )
+    assembled = F.flatten(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("__g", "__slice"))),
+            lambda s: s["__slice"],
+        )
+    )
+    return (
+        slices.groupBy(shard_col, "seq_id")
+        .agg(assembled.alias(out_col))
+        .select(
+            shard_col,
+            "seq_id",
+            F.size(out_col).cast("bigint").alias("n_ids"),
+            out_col,
+        )
+    )
+
+
+def write_tokenized_shards(
+    seqs: DataFrame,
+    path: str,
+    shard_size: int,
+    shard_col: str = "source",
+) -> None:
+    """Write the physical tokenized shards: every sequence row (with its
+    ``array<int>`` ids) lands under ``<shard>/shard_id=<seq_id //
+    shard_size>/`` in parquet, sorted by ``seq_id`` within each file so
+    a loader streams a shard in training order. Same layout discipline
+    as ``operators/shuffle.py:write_training_shards``: repartition on
+    the partition keys BEFORE ``partitionBy`` so each shard directory
+    is owned by one task (one file per directory), which holds at any
+    scale where shards >> tasks."""
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1, got {shard_size}")
+    shard = F.floor(F.col("seq_id") / shard_size).cast("bigint")
+    (
+        seqs.withColumn("shard_id", shard)
+        .repartition(shard_col, "shard_id")
+        .sortWithinPartitions(shard_col, "shard_id", "seq_id")
+        .write.mode("overwrite")
+        .partitionBy(shard_col, "shard_id")
+        .parquet(path)
+    )
+
+
+def write_tokenized_shards_readback(
+    seqs: DataFrame,
+    shard_size: int,
+    shard_col: str = "source",
+) -> DataFrame:
+    """Round-trip proof of the tokenized-shard writer: write to a
+    per-invocation temp dir (unique path — no cross-run race), read the
+    shards back, and return the read-back frame LAZILY with the ids
+    serialized to a string (arrays hash unreliably across engines). The
+    temp dir is registered for atexit cleanup rather than deleted here,
+    because the returned plan still reads it; it is a few MB of
+    verification artifact at correctness scale, not a production
+    output — the production path is ``write_tokenized_shards`` to a
+    caller-owned location."""
+    import atexit
+    import shutil
+    import tempfile
+
+    spark = seqs.sparkSession
+    tmp = tempfile.mkdtemp(prefix="sli_tokenized_shards_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    path = tmp + "/shards"
+    write_tokenized_shards(seqs, path, shard_size, shard_col)
+    back = spark.read.parquet(path)
+    ids_str = F.concat_ws(
+        " ", F.transform("token_ids", lambda x: x.cast("string"))
+    )
+    return back.select(
+        F.col(shard_col).cast("string").alias(shard_col),
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        F.col("shard_id").cast("bigint").alias("shard_id"),
+        F.col("n_ids").cast("bigint").alias("n_ids"),
+        ids_str.alias("ids"),
+    )

@@ -1866,6 +1866,165 @@ def q_corpus_training_manifest(spark, sf_dir):
     return training_shards(shuffle_sequences(packed, seed=42), shard_size=16)
 
 
+def _bpe_encode_ctes() -> str:
+    """vocab(v, vid)..edocs — the greedy longest-prefix ENCODING CTEs:
+    per-word id strings via the same segmentation as bstep (the count
+    chain), unknown characters in the byte-fallback band
+    ``len(vocab) + unicode(ch)``. Yields ``edocs(doc_id, ids, n_ids)``
+    — each document's space-joined token-id string."""
+    from scikit_learn_imputer_spark.functions.bpe import (
+        DEFAULT_BPE_VOCAB,
+        vocab_ids_values_sql,
+    )
+
+    unk_base = len(DEFAULT_BPE_VOCAB)
+    return rf"""vocab(v, vid) AS (VALUES {vocab_ids_values_sql()}),
+btoks AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE str_split_regex(trim(text), '\s+') END AS tk
+  FROM documents
+), ewx AS (
+  SELECT doc_id, unnest(tk) AS word, generate_subscripts(tk, 1) AS ord
+  FROM btoks
+), ewords AS (
+  SELECT DISTINCT word FROM ewx
+), estep(word, rest, ids) AS (
+  SELECT word, word, CAST('' AS VARCHAR) FROM ewords
+  UNION ALL
+  SELECT word,
+         substr(rest, coalesce((SELECT max(length(v)) FROM vocab
+                                WHERE substr(rest, 1, length(v)) = v), 1) + 1),
+         CASE WHEN ids = '' THEN '' ELSE ids || ' ' END ||
+         CAST(coalesce((SELECT vid FROM vocab
+                        WHERE substr(rest, 1, length(v)) = v
+                        ORDER BY length(v) DESC LIMIT 1),
+                       {unk_base} + unicode(substr(rest, 1, 1))) AS VARCHAR)
+  FROM estep WHERE rest <> ''
+), ewids AS (
+  SELECT word, ids FROM estep WHERE rest = ''
+), edocs AS (
+  SELECT e.doc_id,
+         string_agg(w.ids, ' ' ORDER BY e.ord) AS ids,
+         CAST(sum(len(str_split(w.ids, ' '))) AS BIGINT) AS n_ids
+  FROM ewx e JOIN ewids w USING (word) GROUP BY e.doc_id
+)"""
+
+
+def _tokenized_seq_sql(seq_len: int) -> str:
+    """source/seq_id/n_ids/ids assembly over ``edocs`` — the SQL twin of
+    operators/tokenized.py:tokenized_sequences (per-source doc-id order,
+    concat-and-cut every ``seq_len`` ids)."""
+    return f"""c AS (
+  SELECT t.doc_id, t.source, e.ids, e.n_ids,
+         CAST(coalesce(sum(e.n_ids) OVER (PARTITION BY t.source ORDER BY t.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM documents t JOIN edocs e USING (doc_id)
+), tok AS (
+  SELECT source,
+         cum_prev + generate_subscripts(str_split(ids, ' '), 1) - 1 AS gpos,
+         unnest(str_split(ids, ' ')) AS tid
+  FROM c WHERE ids <> ''
+), tseqs AS (
+  SELECT source,
+         CAST(gpos // {seq_len} AS BIGINT) AS seq_id,
+         CAST(count(*) AS BIGINT) AS n_ids,
+         string_agg(tid, ' ' ORDER BY gpos) AS ids
+  FROM tok GROUP BY 1, 2
+)"""
+
+
+@register(
+    "bpe_encode_ids",
+    oracle=f"""
+WITH RECURSIVE {_bpe_encode_ctes()}
+SELECT d.doc_id,
+       CAST(coalesce(e.n_ids, 0) AS BIGINT) AS n_ids,
+       coalesce(e.ids, '') AS ids
+FROM documents d LEFT JOIN edocs e USING (doc_id)
+""",
+)
+def q_bpe_encode_ids(spark, sf_dir):
+    """Token-ID materialization (VERDICT r7 #1): per-document
+    ``array<int>`` ids under greedy longest-prefix match over the pinned
+    vocabulary — ids are vocab positions, unknown characters fall back
+    to ``len(vocab) + codepoint``. Map-only Arrow UDF
+    (functions/bpe.py:bpe_encode); the oracle re-derives the ids with a
+    recursive CTE, so the EXACT id sequences (serialized to strings —
+    arrays hash unreliably across engines) are hash-checked, not just
+    counts."""
+    from scikit_learn_imputer_spark.functions.bpe import bpe_encode
+
+    enc = bpe_encode(_t(spark, sf_dir, "documents"))
+    return enc.select(
+        "doc_id",
+        F.size("token_ids").cast("bigint").alias("n_ids"),
+        F.concat_ws(
+            " ", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("ids"),
+    )
+
+
+@register(
+    "tokenized_sequences",
+    oracle=f"""
+WITH RECURSIVE {_bpe_encode_ctes()},
+{_tokenized_seq_sql(512)}
+SELECT source, seq_id, n_ids, ids FROM tseqs
+""",
+)
+def q_tokenized_sequences(spark, sf_dir):
+    """Training-sequence materialization: one row per (source, seq_id)
+    holding the ids a loader reads, assembled under the exact
+    pack_sequences placement (operators/tokenized.py — ids move as
+    per-document ARRAYS sliced at sequence boundaries, one shard-key
+    window plus one (shard, seq) aggregate; rows scale with #sequences,
+    never #tokens). The oracle rebuilds every sequence in SQL and
+    hash-checks the full id strings."""
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        tokenized_sequences,
+    )
+
+    seqs = tokenized_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+    return seqs.select(
+        "source",
+        "seq_id",
+        "n_ids",
+        F.concat_ws(
+            " ", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("ids"),
+    )
+
+
+@register(
+    "write_tokenized_shards",
+    oracle=f"""
+WITH RECURSIVE {_bpe_encode_ctes()},
+{_tokenized_seq_sql(512)}
+SELECT source, seq_id,
+       CAST(seq_id // 16 AS BIGINT) AS shard_id,
+       n_ids, ids
+FROM tseqs
+""",
+)
+def q_write_tokenized_shards(spark, sf_dir):
+    """PHYSICAL tokenized-shard writer (VERDICT r7 #1 done-condition):
+    tokenized_sequences written as partitionBy(source, shard_id) parquet
+    with the ``array<int>`` ids inside (repartition-on-keys first — one
+    file per shard dir), then read BACK from disk and serialized for
+    comparison. The oracle is the sequence-assembly SQL plus the shard
+    key, so the disk round trip of the actual id arrays is
+    hash-checked end to end."""
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        tokenized_sequences,
+        write_tokenized_shards_readback,
+    )
+
+    seqs = tokenized_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+    return write_tokenized_shards_readback(seqs, shard_size=16)
+
+
 @register(
     "corpus_holdout_split",
     oracle=f"""
