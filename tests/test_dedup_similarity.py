@@ -1206,3 +1206,60 @@ def test_dedup_paragraphs_regex_metachar_separator(spark):
     }
     assert got2[1] == ("keep a", 2)
     assert got2[2] == ("keep b", 1)
+
+
+def test_dedup_store_stats_reports_health(spark, tmp_path):
+    """Store-health report: content metrics match the stores' actual
+    content, physical metrics are positive, per-source counts cover the
+    accepted docs, and compaction removes append redundancy (n_rows
+    converges to n_distinct)."""
+    from scikit_learn_imputer_spark.dedup.incremental import (
+        append_to_store,
+        build_fingerprint_store,
+        build_signature_store,
+        compact_fingerprint_store,
+        dedup_store_stats,
+    )
+
+    schema = "doc_id bigint, source string, text string"
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "alpha beta gamma delta epsilon zeta"),
+            (2, "a", "eta theta iota kappa lambda mu"),
+            (3, "b", "nu xi omicron pi rho sigma"),
+        ],
+        schema,
+    )
+    fstore = str(tmp_path / "fstore")
+    sstore = str(tmp_path / "sstore")
+    build_fingerprint_store(docs, fstore)
+    # force append redundancy: re-append an already-stored fingerprint
+    append_to_store(
+        spark.read.parquet(fstore).limit(1), fstore
+    )
+    build_signature_store(docs, sstore, num_hashes=8, bands=2, shingle=5)
+
+    stats = {
+        (r["store"], r["metric"]): r["value"]
+        for r in dedup_store_stats(
+            spark, fingerprint_path=fstore, signature_path=sstore, docs=docs
+        ).collect()
+    }
+    assert stats[("fingerprint", "n_rows")] == 4  # 3 + 1 redundant append
+    assert stats[("fingerprint", "n_distinct")] == 3
+    assert stats[("fingerprint", "n_files")] > 0
+    assert stats[("fingerprint", "n_bytes")] > 0
+    assert stats[("signature", "n_rows")] == 6  # 3 docs x 2 bands
+    assert stats[("signature", "n_distinct")] == 6
+    assert stats[("signature", "n_docs")] == 3
+    assert stats[("signature", "docs:a")] == 2
+    assert stats[("signature", "docs:b")] == 1
+
+    # compaction pays down the reported debt
+    compact_fingerprint_store(spark, fstore)
+    after = {
+        (r["store"], r["metric"]): r["value"]
+        for r in dedup_store_stats(spark, fingerprint_path=fstore).collect()
+    }
+    assert after[("fingerprint", "n_rows")] == 3
+    assert after[("fingerprint", "n_distinct")] == 3
