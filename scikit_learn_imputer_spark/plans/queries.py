@@ -1525,6 +1525,315 @@ ORACLE["filter_waterfall"] = (
 
 
 @register(
+    "filter_waterfall_scrubbed",
+    oracle=r"""
+WITH corpus0 AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 100 >= 2
+),
+pp AS (
+  SELECT doc_id, i - 1 AS pos, ps[i] AS para
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM corpus0) t,
+       UNNEST(generate_series(1, len(ps))) AS u(i)
+),
+pdg AS (
+  SELECT doc_id, pos, para,
+         md5(regexp_replace(lower(trim(para)), '\s+', ' ', 'g')) AS digest,
+         length(trim(para)) = 0 AS is_empty
+  FROM pp
+),
+phot AS (
+  SELECT digest FROM pdg WHERE NOT is_empty
+  GROUP BY digest HAVING count(*) >= 2
+),
+pmarked AS (
+  SELECT d.doc_id, d.pos, d.para,
+         (d.is_empty OR h.digest IS NULL) AS keep
+  FROM pdg d LEFT JOIN phot h ON d.digest = h.digest
+),
+scrubbed AS (
+  SELECT m.doc_id, any_value(c.lang) AS lang,
+         coalesce(string_agg(m.para, chr(10) ORDER BY m.pos)
+                  FILTER (WHERE m.keep), '') AS text,
+         CAST(count(*) FILTER (WHERE NOT m.keep) AS BIGINT) AS n_removed
+  FROM pmarked m JOIN corpus0 c USING (doc_id)
+  GROUP BY m.doc_id
+),
+ntoks AS (
+  SELECT s.doc_id,
+         CAST(CASE WHEN length(trim(c.text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(c.text), '\s+')) END AS BIGINT)
+           AS orig_tokens,
+         CAST(CASE WHEN length(trim(s.text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(s.text), '\s+')) END AS BIGINT)
+           AS n_tokens,
+         s.n_removed
+  FROM scrubbed s JOIN corpus0 c USING (doc_id)
+),
+rep0 AS ({rep}), tq0 AS ({tq}),
+fp0 AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM scrubbed
+),
+lmbg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(length(lower(text)) - 1, 0)),
+                               i -> substr(lower(text), CAST(i AS INT), 2))) AS bigram
+  FROM scrubbed
+),
+lmcounts AS (SELECT bigram, count(*) AS c FROM lmbg GROUP BY bigram),
+lmprefix AS (SELECT substr(bigram, 1, 1) AS prefix, sum(c) AS pc
+             FROM lmcounts GROUP BY 1),
+lmvocab AS (SELECT count(DISTINCT substr(bigram, 2, 1)) AS v FROM lmcounts),
+lmterms AS (
+  SELECT b.doc_id,
+         CAST(round(ln((c.c + 1)::DOUBLE / (p.pc + lmvocab.v)::DOUBLE) * 1e6)
+              AS BIGINT) AS m
+  FROM lmbg b
+  JOIN lmcounts c USING (bigram)
+  JOIN lmprefix p ON p.prefix = substr(b.bigram, 1, 1)
+  CROSS JOIN lmvocab
+),
+lmscore AS (
+  SELECT doc_id, round(sum(m)::DOUBLE / count(*) / 1e6, 6) AS lm
+  FROM lmterms GROUP BY doc_id
+),
+bg AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4])) AS g
+    FROM (SELECT str_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE doc_id % 100 < 2)
+  )
+),
+contam AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4])) AS g
+    FROM (SELECT doc_id, str_split_regex(trim(text), '\s+') AS w
+          FROM scrubbed)
+  ) WHERE g IN (SELECT g FROM bg)
+),
+wf AS (
+  SELECT r.doc_id, nt.n_tokens, fp0.fp,
+         (fp0.lang <> 'en') AS fail_lang,
+         NOT (t.q_score >= 0.5 AND t.q_tokens >= 20) AS fail_quality,
+         NOT (r.n_tokens BETWEEN 30 AND 95
+              AND r.top2_frac <= 0.12 AND r.top3_frac <= 0.10
+              AND r.dup5_frac <= 0.15 AND r.dup8_frac <= 0.10) AS fail_gopher,
+         NOT (l.lm IS NOT NULL AND l.lm >= -1.75) AS fail_lm,
+         (c.doc_id IS NOT NULL) AS is_contam
+  FROM rep0 r
+  JOIN tq0 t USING (doc_id)
+  JOIN fp0 USING (doc_id)
+  JOIN ntoks nt USING (doc_id)
+  LEFT JOIN lmscore l USING (doc_id)
+  LEFT JOIN contam c USING (doc_id)
+),
+keepers AS (
+  SELECT fp, min(doc_id) AS keep_id FROM wf
+  WHERE NOT fail_lang AND NOT fail_quality AND NOT fail_gopher
+    AND NOT fail_lm
+  GROUP BY fp
+),
+staged AS (
+  SELECT wf.n_tokens,
+         CASE WHEN fail_lang THEN 1
+              WHEN fail_quality THEN 2
+              WHEN fail_gopher THEN 3
+              WHEN fail_lm THEN 4
+              WHEN wf.doc_id <> k.keep_id THEN 5
+              WHEN is_contam THEN 6 ELSE 7 END AS stage_order
+  FROM wf LEFT JOIN keepers k USING (fp)
+)
+SELECT CAST(0 AS INTEGER) AS stage_order,
+       'paragraph_scrub' AS stage,
+       CAST(count(*) FILTER (WHERE n_removed > 0) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(orig_tokens - n_tokens), 0) AS BIGINT) AS n_tokens
+FROM ntoks
+UNION ALL
+SELECT CAST(stage_order AS INTEGER) AS stage_order,
+       CASE stage_order WHEN 1 THEN 'lang' WHEN 2 THEN 'quality'
+            WHEN 3 THEN 'gopher' WHEN 4 THEN 'lm_score'
+            WHEN 5 THEN 'exact_dup' WHEN 6 THEN 'decontam'
+            ELSE 'kept' END AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM staged GROUP BY 1, 2
+""",
+)
+def q_filter_waterfall_scrubbed(spark, sf_dir):
+    """The full-pipeline waterfall (VERDICT r7 #4): filter_waterfall
+    extended with the round-7 operators as first-class stages —
+
+    - stage 0 ``paragraph_scrub``: RefinedWeb paragraph dedup runs
+      FIRST and reports its removed token MASS (docs aren't dropped,
+      their boilerplate is); every later stage evaluates the SCRUBBED
+      text, so kept-token-mass accounting stays exact:
+      scrub mass + sum(stage masses) == original corpus mass (pinned by
+      test). On this synthetic corpus (no newlines, no exact-dup texts)
+      the stage reports zero — the multi-paragraph semantics are pinned
+      by the dedup_paragraphs unit/property tests;
+    - stage 4 ``lm_score``: the MODEL-score gate — the corpus-trained
+      char-bigram LM (functions/lm.py, the oracled stand-in for the
+      RF-distilled quality model, which has no SQL twin) gates at mean
+      log-prob >= -1.75; docs too short to score fail the gate.
+
+    First-fail attribution preserved: lang → quality → gopher →
+    lm_score → exact_dup → decontam → kept, survivor-chained exactly
+    like filter_waterfall (each gate's signals computed only on the
+    previous gate's survivors; the LM TRAINS once on the whole scrubbed
+    corpus — model training is corpus-level, not survivor-level)."""
+    from scikit_learn_imputer_spark.dedup.paragraphs import dedup_paragraphs
+    from scikit_learn_imputer_spark.functions.lm import bigram_lm_scores
+    from scikit_learn_imputer_spark.functions.repetition import repetition_signals
+    from scikit_learn_imputer_spark.functions.text import word_ngrams_col
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 100 < 2)
+    corpus0 = d.filter(F.col("doc_id") % 100 >= 2).select(
+        "doc_id", "lang", "text"
+    )
+
+    t0 = F.trim(F.col("text"))
+    ntok = (
+        F.when(F.length(t0) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t0, "\\s+")))
+        .cast("bigint")
+    )
+    orig = corpus0.select("doc_id", ntok.alias("__orig_tokens"))
+    scr = dedup_paragraphs(corpus0, min_count=2)
+    s0 = scr.select(
+        "doc_id",
+        "lang",
+        "text",
+        ntok.alias("n_tokens"),
+        "n_paragraphs_removed",
+    )
+
+    scrub_row = (
+        s0.join(orig, "doc_id")
+        .agg(
+            F.count_if(F.col("n_paragraphs_removed") > 0).alias("n_docs"),
+            F.coalesce(
+                F.sum(F.col("__orig_tokens") - F.col("n_tokens")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .select(
+            F.lit(0).cast("int").alias("stage_order"),
+            F.lit("paragraph_scrub").alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+
+    lang_pass = s0.filter(F.col("lang") == "en")
+    q = quality_features(lang_pass.select("doc_id", "text")).select(
+        "doc_id", "q_tokens", F.round("q_score", 6).alias("q_score")
+    )
+    q_pass = q.filter(
+        (F.col("q_score") >= 0.5) & (F.col("q_tokens") >= 20)
+    ).select("doc_id")
+    pass12 = lang_pass.join(q_pass, "doc_id", "left_semi")
+
+    rep = repetition_signals(pass12)
+    gopher_pass = rep.filter(
+        F.col("n_tokens").between(30, 95)
+        & (F.col("top2_frac") <= 0.12)
+        & (F.col("top3_frac") <= 0.10)
+        & (F.col("dup5_frac") <= 0.15)
+        & (F.col("dup8_frac") <= 0.10)
+    ).select("doc_id")
+    pass123 = pass12.join(gopher_pass, "doc_id", "left_semi")
+
+    # model-score gate: LM trained on the WHOLE scrubbed corpus (model
+    # training is corpus-level), scores gate only the upstream survivors
+    lm = bigram_lm_scores(s0.select("doc_id", "text"))
+    lm_pass = lm.filter(F.round(F.col("lm_score"), 6) >= -1.75).select(
+        "doc_id"
+    )
+    pass1234 = pass123.join(lm_pass, "doc_id", "left_semi")
+
+    fp = pass1234.select("doc_id", fingerprint_col(F.col("text")).alias("__fp"))
+    keepers = fp.groupBy("__fp").agg(F.min("doc_id").alias("__keep_id"))
+    dup_pass = (
+        fp.join(keepers, "__fp")
+        .filter(F.col("doc_id") == F.col("__keep_id"))
+        .select("doc_id")
+    )
+    pass12345 = pass1234.join(dup_pass, "doc_id", "left_semi")
+
+    bench_g = (
+        bench.select(F.explode(word_ngrams_col(F.col("text"), 5)).alias("g"))
+        .select(F.md5("g").alias("gd"))
+        .distinct()
+    )
+    contam_ids = (
+        pass12345.select(
+            "doc_id", F.explode(word_ngrams_col(F.col("text"), 5)).alias("g")
+        )
+        .select("doc_id", F.md5("g").alias("gd"))
+        .join(bench_g, "gd", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    mark = lambda ids, col: ids.withColumn(col, F.lit(True))  # noqa: E731
+    staged = (
+        s0.join(mark(q_pass, "__p2"), "doc_id", "left")
+        .join(mark(gopher_pass, "__p3"), "doc_id", "left")
+        .join(mark(lm_pass, "__p4"), "doc_id", "left")
+        .join(mark(dup_pass, "__p5"), "doc_id", "left")
+        .join(mark(contam_ids, "__c6"), "doc_id", "left")
+        .select(
+            F.when(F.col("lang") != "en", 1)
+            .when(F.col("__p2").isNull(), 2)
+            .when(F.col("__p3").isNull(), 3)
+            .when(F.col("__p4").isNull(), 4)
+            .when(F.col("__p5").isNull(), 5)
+            .when(F.col("__c6"), 6)
+            .otherwise(7)
+            .alias("stage_order"),
+            "n_tokens",
+        )
+    )
+    stage_name = (
+        F.when(F.col("stage_order") == 1, "lang")
+        .when(F.col("stage_order") == 2, "quality")
+        .when(F.col("stage_order") == 3, "gopher")
+        .when(F.col("stage_order") == 4, "lm_score")
+        .when(F.col("stage_order") == 5, "exact_dup")
+        .when(F.col("stage_order") == 6, "decontam")
+        .otherwise("kept")
+    )
+    stages = (
+        staged.groupBy("stage_order")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            F.col("stage_order").cast("int").alias("stage_order"),
+            stage_name.alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+    return scrub_row.unionByName(stages)
+
+
+ORACLE["filter_waterfall_scrubbed"] = (
+    ORACLE["filter_waterfall_scrubbed"]
+    .replace("{rep}", ORACLE["repetition_signals"].replace("FROM documents", "FROM scrubbed"))
+    .replace("{tq}", ORACLE["text_quality"].replace("FROM documents", "FROM scrubbed"))
+)
+
+
+@register(
     "shuffle_sequences",
     oracle=r"""
 WITH t AS (

@@ -320,3 +320,73 @@ def test_bpe_learned_vocab_roundtrip(spark):
         # learned subwords compress below pure char count, never below
         # one token per word
         assert len(text.split()) <= got[i] < len(text.replace(" ", ""))
+
+
+def test_filter_waterfall_scrubbed_conserves_mass_and_stages(
+    spark, sf_smoke, docs_total
+):
+    """Extended waterfall (VERDICT r7 #4): stage rows still partition
+    the corpus docs; the kept-token-mass invariant extends across the
+    scrub stage — scrubbed mass + sum(stage token masses) equals the
+    ORIGINAL corpus token mass exactly."""
+    rows = QUERIES["filter_waterfall_scrubbed"](spark, sf_smoke).collect()
+    _, n_corpus = docs_total
+    scrub = [r for r in rows if r["stage"] == "paragraph_scrub"]
+    stages = [r for r in rows if r["stage"] != "paragraph_scrub"]
+    assert len(scrub) == 1 and scrub[0]["stage_order"] == 0
+    assert sum(r["n_docs"] for r in stages) == n_corpus
+    want = {1: "lang", 2: "quality", 3: "gopher", 4: "lm_score",
+            5: "exact_dup", 6: "decontam", 7: "kept"}
+    assert all(want[r["stage_order"]] == r["stage"] for r in stages)
+
+    d = load_table(spark, sf_smoke, "documents").filter(
+        F.col("doc_id") % 100 >= 2
+    )
+    t = F.trim(F.col("text"))
+    ntok = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, "\\s+")))
+        .cast("bigint")
+    )
+    orig_mass = d.agg(F.sum(ntok)).collect()[0][0]
+    assert scrub[0]["n_tokens"] + sum(r["n_tokens"] for r in stages) == orig_mass
+    kept = [r for r in stages if r["stage"] == "kept"]
+    assert kept and kept[0]["n_docs"] > 0
+    # the model-score gate is a real stage on this corpus
+    assert any(r["stage"] == "lm_score" and r["n_docs"] > 0 for r in stages)
+
+
+def test_filter_waterfall_scrubbed_attributes_scrub_mass(spark):
+    """On a corpus WITH duplicated paragraphs the scrub stage reports
+    the removed mass, downstream stages see the scrubbed text, and the
+    mass invariant holds (the synthetic driver corpus has no newlines,
+    so this pins the non-degenerate path)."""
+    import scikit_learn_imputer_spark.plans.queries as Q
+
+    banner = "cookie banner accept all cookies now please"
+    body_a = " ".join(f"alpha{i}" for i in range(40))
+    body_b = " ".join(f"beta{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (102, "en", f"{banner}\n{body_a}", "a", 1),
+            (103, "en", f"{banner}\n{body_b}", "a", 1),
+            (104, "xx", "short non english text", "b", 1),
+        ],
+        "doc_id bigint, lang string, text string, source string, n_chars int",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(f"{tmp}/documents.parquet")
+        rows = {r["stage"]: r for r in Q.QUERIES["filter_waterfall_scrubbed"](
+            spark, tmp
+        ).collect()}
+    scrub = rows["paragraph_scrub"]
+    assert scrub["n_docs"] == 2  # both banner carriers scrubbed
+    assert scrub["n_tokens"] == 2 * len(banner.split())
+    assert rows["lang"]["n_docs"] == 1  # doc 104
+    total = sum(r["n_tokens"] for s, r in rows.items())
+    orig = sum(len(t.split()) for t in [f"{banner}\n{body_a}",
+                                        f"{banner}\n{body_b}",
+                                        "short non english text"])
+    assert total == orig
