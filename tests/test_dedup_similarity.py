@@ -1263,3 +1263,66 @@ def test_dedup_store_stats_reports_health(spark, tmp_path):
     }
     assert after[("fingerprint", "n_rows")] == 3
     assert after[("fingerprint", "n_distinct")] == 3
+
+
+def test_incremental_dedup_quality_within_batch(spark, tmp_path):
+    """keep='quality' selects the argmax-q_score member per distinct
+    content WITHIN a batch (VERDICT r7 #7 policy threading); keep='min'
+    unchanged; bad modes fail fast."""
+    import pytest as _pytest
+
+    from scikit_learn_imputer_spark.dedup.incremental import (
+        build_fingerprint_store,
+        incremental_dedup,
+    )
+
+    schema = "doc_id bigint, text string"
+    store = str(tmp_path / "store")
+    build_fingerprint_store(spark.createDataFrame([], schema), store)
+    # 10 and 11 normalize identically; 10's doubled spaces dilute its
+    # alpha_ratio -> lower q_score, so the quality keeper picks 11.
+    batch = spark.createDataFrame(
+        [
+            (10, "the  cat  sat  on  the  mat  tonight"),
+            (11, "the cat sat on the mat tonight"),
+            (12, "something else entirely different here"),
+        ],
+        schema,
+    )
+    got_min = {r["doc_id"] for r in incremental_dedup(batch, store).collect()}
+    assert got_min == {10, 12}
+    got_q = {
+        r["doc_id"]
+        for r in incremental_dedup(batch, store, keep="quality").collect()
+    }
+    assert got_q == {11, 12}
+    with _pytest.raises(ValueError, match="keep"):
+        incremental_dedup(batch, store, keep="best")
+
+
+def test_incremental_dedup_first_seen_beats_late_quality(spark, tmp_path):
+    """Documented decision (VERDICT r7 #7): ACROSS batches the store
+    keeps FIRST-SEEN regardless of policy — a committed doc has been
+    published and fingerprinted; a later higher-quality duplicate is
+    dropped, under keep='min' AND keep='quality'."""
+    from scikit_learn_imputer_spark.dedup.incremental import (
+        build_fingerprint_store,
+        incremental_dedup,
+        incremental_dedup_and_commit,
+    )
+
+    schema = "doc_id bigint, text string"
+    store = str(tmp_path / "store")
+    build_fingerprint_store(spark.createDataFrame([], schema), store)
+    first = spark.createDataFrame(
+        [(1, "the  cat  sat  on  the  mat  tonight")], schema  # low quality
+    )
+    committed = incremental_dedup_and_commit(first, store)
+    assert {r["doc_id"] for r in committed.collect()} == {1}
+
+    later = spark.createDataFrame(
+        [(2, "the cat sat on the mat tonight")], schema  # higher quality
+    )
+    for keep in ("min", "quality"):
+        out = incremental_dedup(later, store, keep=keep)
+        assert out.collect() == [], f"late duplicate survived under {keep}"

@@ -390,3 +390,51 @@ def test_filter_waterfall_scrubbed_attributes_scrub_mass(spark):
                                         f"{banner}\n{body_b}",
                                         "short non english text"])
     assert total == orig
+
+
+def test_filter_waterfall_exact_dup_stage_is_min_id_policy(spark):
+    """Documented decision (VERDICT r7 #7): the waterfall's exact-dup
+    stage keeps min-id — its drop count equals exact_dedup(keep='min')
+    drops over the gate survivors on a corpus with real duplicates."""
+    import tempfile
+
+    import scikit_learn_imputer_spark.plans.queries as Q
+    from scikit_learn_imputer_spark.dedup.exact import exact_dedup
+
+    words = [
+        "the", "quick", "brown", "fox", "jumps", "over", "a", "lazy",
+        "dog", "while", "many", "other", "animals", "watch", "from",
+        "the", "tall", "green", "grass", "beside", "a", "quiet", "river",
+        "bank", "under", "bright", "morning", "sunlight", "and", "gentle",
+        "breeze", "carrying", "distant", "sounds", "of", "village",
+        "life", "toward", "them", "slowly",
+    ]
+    x = " ".join(words)
+    y = " ".join(reversed(words))
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "benchmark holdout text nothing shared here at all", "b", 1),
+            (110, "en", x, "a", 1),
+            (111, "en", x, "a", 1),  # exact duplicate of 110
+            (112, "en", y, "a", 1),
+        ],
+        "doc_id bigint, lang string, text string, source string, n_chars int",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(f"{tmp}/documents.parquet")
+        rows = {
+            r["stage"]: r
+            for r in Q.QUERIES["filter_waterfall"](spark, tmp).collect()
+        }
+    # all corpus docs pass the signal gates; only dedup drops
+    for gate in ("lang", "quality", "gopher", "decontam"):
+        assert gate not in rows, f"{gate} unexpectedly dropped docs: {rows}"
+    assert rows["exact_dup"]["n_docs"] == 1
+    assert rows["kept"]["n_docs"] == 2
+
+    corpus = docs.filter(F.col("doc_id") >= 110)
+    survivors = exact_dedup(corpus, keep="min")
+    dropped = corpus.count() - survivors.count()
+    assert rows["exact_dup"]["n_docs"] == dropped
+    # and the min-id keeper is what survives
+    assert {r["doc_id"] for r in survivors.collect()} == {110, 112}
