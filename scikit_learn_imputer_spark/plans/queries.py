@@ -5718,6 +5718,145 @@ def q_corpus_dataset_card(spark, sf_dir):
 
 
 @register(
+    "dataset_card_diff",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\s+')) END AS BIGINT) AS n
+  FROM documents
+),
+a AS (SELECT * FROM t WHERE doc_id % 7 <> 0),
+b AS (SELECT * FROM t
+      WHERE substr(md5('takedown:' || CAST(doc_id AS VARCHAR)), 1, 1) <> '0'),
+pa AS (
+  SELECT doc_id, source,
+         CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum
+  FROM a
+),
+pb AS (
+  SELECT doc_id, source,
+         CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum
+  FROM b
+),
+common AS (
+  SELECT pa.source, pa.doc_id, pa.cum AS ca, pb.cum AS cb
+  FROM pa JOIN pb USING (doc_id)
+),
+added AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS dn, CAST(sum(n) AS BIGINT) AS tn
+  FROM b WHERE doc_id NOT IN (SELECT doc_id FROM a) GROUP BY source
+),
+removed AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS dn, CAST(sum(n) AS BIGINT) AS tn
+  FROM a WHERE doc_id NOT IN (SELECT doc_id FROM b) GROUP BY source
+),
+rep AS (
+  SELECT source,
+         CAST(count(*) FILTER (WHERE ca <> cb) AS BIGINT) AS rn,
+         CAST(count(*) FILTER (WHERE ca = cb) AS BIGINT) AS sn
+  FROM common GROUP BY source
+),
+srcs AS (SELECT DISTINCT source FROM t)
+SELECT s.source,
+       CAST(coalesce(added.dn, 0) AS BIGINT) AS docs_added,
+       CAST(coalesce(added.tn, 0) AS BIGINT) AS tokens_added,
+       CAST(coalesce(removed.dn, 0) AS BIGINT) AS docs_removed,
+       CAST(coalesce(removed.tn, 0) AS BIGINT) AS tokens_removed,
+       CAST(coalesce(rep.rn, 0) AS BIGINT) AS docs_repacked,
+       CAST(coalesce(rep.sn, 0) AS BIGINT) AS docs_stable
+FROM srcs s
+LEFT JOIN added USING (source)
+LEFT JOIN removed USING (source)
+LEFT JOIN rep USING (source)
+""",
+)
+def q_dataset_card_diff(spark, sf_dir):
+    """Corpus snapshot diff (VERDICT r7 stretch #8): the ops report for
+    a corpus that MUTATES over time — snapshot A (pre-ingest: doc_id %
+    7 != 0) vs snapshot B (post-ingest-and-takedown: all docs minus the
+    md5 takedown set). Per source: docs/tokens added and removed, and —
+    closing the loop on the deletion-propagation work — how many
+    surviving docs were RE-PACKED (their concat-and-cut stream position
+    moved between the two packings, i.e. the write amplification a
+    takedown actually causes) vs stable (untouched shards passing
+    through). Scale shape: membership diffs are anti joins on
+    id-only frames; the two packings are the standard per-shard
+    running-total windows; nothing shuffles text."""
+    from scikit_learn_imputer_spark.operators.chunking import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    t0 = F.trim(F.col("text"))
+    ntok = (
+        F.when(F.length(t0) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t0, "\\s+")))
+        .cast("bigint")
+    )
+    base = d.select("doc_id", "source", ntok.alias("__n"))
+    takedown = (
+        F.md5(F.concat(F.lit("takedown:"), F.col("doc_id").cast("string")))
+        .substr(1, 1)
+        == "0"
+    )
+    a = d.filter(F.col("doc_id") % 7 != 0)
+    b = d.filter(~takedown)
+
+    cum = lambda p: (  # noqa: E731
+        p["seq_id"] * 512 + p["seq_offset"]
+    ).cast("bigint")
+    pa = pack_sequences(a, seq_len=512)
+    pb = pack_sequences(b, seq_len=512)
+    common = (
+        pa.select("doc_id", "source", cum(pa).alias("__ca"))
+        .join(pb.select("doc_id", cum(pb).alias("__cb")), "doc_id")
+    )
+    rep = common.groupBy("source").agg(
+        F.count_if(F.col("__ca") != F.col("__cb")).alias("docs_repacked"),
+        F.count_if(F.col("__ca") == F.col("__cb")).alias("docs_stable"),
+    )
+    a_ids = a.select("doc_id")
+    b_ids = b.select("doc_id")
+    added = (
+        base.join(b_ids, "doc_id", "left_semi")
+        .join(a_ids, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_added"),
+            F.sum("__n").cast("bigint").alias("tokens_added"),
+        )
+    )
+    removed = (
+        base.join(a_ids, "doc_id", "left_semi")
+        .join(b_ids, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_removed"),
+            F.sum("__n").cast("bigint").alias("tokens_removed"),
+        )
+    )
+    srcs = d.select("source").distinct()
+    z = F.lit(0).cast("bigint")
+    return (
+        srcs.join(added, "source", "left")
+        .join(removed, "source", "left")
+        .join(rep, "source", "left")
+        .select(
+            "source",
+            F.coalesce("docs_added", z).alias("docs_added"),
+            F.coalesce("tokens_added", z).alias("tokens_added"),
+            F.coalesce("docs_removed", z).alias("docs_removed"),
+            F.coalesce("tokens_removed", z).alias("tokens_removed"),
+            F.coalesce("docs_repacked", z).alias("docs_repacked"),
+            F.coalesce("docs_stable", z).alias("docs_stable"),
+        )
+    )
+
+
+@register(
     "jsonl_roundtrip",
     oracle="""
 SELECT source,
