@@ -142,6 +142,7 @@ def incremental_pack(
     id_col: str = "doc_id",
     text_col: str = "text",
     shard_col: str = "source",
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Continue each shard's concat-and-cut token stream from the
     persisted offset: the batch packs exactly as if it had been part of
@@ -155,7 +156,9 @@ def incremental_pack(
     store = _read_store(spark, store_path, seq_len).select(
         F.col(shard_col), F.col("cum_tokens").alias("__base")
     )
-    packed = pack_sequences(batch, seq_len, id_col, text_col, shard_col)
+    packed = pack_sequences(
+        batch, seq_len, id_col, text_col, shard_col, token_count_col
+    )
     # pack_sequences emitted shard-local (seq_id, offset); rebase onto the
     # stored global stream position. cum_prev = local_cum_prev + base.
     local_cum_prev = packed["seq_id"] * seq_len + packed["seq_offset"]

@@ -71,6 +71,18 @@ def tokenized_sequences(
         "__cum_prev",
         F.coalesce(F.sum("__n").over(w), F.lit(0).cast("bigint")),
     ).filter(F.col("__n") > 0)
+    return _assemble_slices(
+        _slice_by_sequence(placed, seq_len, shard_col), shard_col, out_col
+    )
+
+
+def _slice_by_sequence(
+    placed: DataFrame, seq_len: int, shard_col: str
+) -> DataFrame:
+    """(shard, seq_id, __g, __slice) from a placed frame carrying
+    ``__ids`` / ``__n`` / ``__cum_prev``: a document spanning k
+    sequences explodes into k array SLICES; ``__g`` is the slice's
+    global token position (the assembly sort key)."""
     first_seq = F.floor(F.col("__cum_prev") / seq_len)
     last_seq = F.floor((F.col("__cum_prev") + F.col("__n") - 1) / seq_len)
     spans = placed.select(
@@ -85,7 +97,7 @@ def tokenized_sequences(
     g_end = F.least(
         (F.col("seq_id") + 1) * seq_len, F.col("__cum_prev") + F.col("__n")
     )
-    slices = spans.select(
+    return spans.select(
         shard_col,
         F.col("seq_id").cast("bigint").alias("seq_id"),
         g_start.alias("__g"),
@@ -95,6 +107,14 @@ def tokenized_sequences(
             (g_end - g_start).cast("int"),
         ).alias("__slice"),
     )
+
+
+def _assemble_slices(
+    slices: DataFrame, shard_col: str, out_col: str = "token_ids"
+) -> DataFrame:
+    """(shard, seq_id, n_ids, ids) from position-keyed slices: order by
+    global position, flatten. Map-side combine applies; each sequence's
+    payload is bounded by seq_len ids."""
     assembled = F.flatten(
         F.transform(
             F.sort_array(F.collect_list(F.struct("__g", "__slice"))),
@@ -173,4 +193,201 @@ def write_tokenized_shards_readback(
         F.col("shard_id").cast("bigint").alias("shard_id"),
         F.col("n_ids").cast("bigint").alias("n_ids"),
         ids_str.alias("ids"),
+    )
+
+
+def sequence_doc_spans(
+    df: DataFrame,
+    vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Per training sequence, the DOCUMENT BOUNDARY spans a trainer
+    needs for attention masking / loss weighting in packed sequences:
+    ``(shard, seq_id, n_docs, spans)`` where ``spans`` is the ordered
+    ``"doc_id:start:len"`` list (start 0-based within the sequence,
+    BPE-token units — the same placement ``tokenized_sequences`` cuts
+    ids by, so spans index directly into its arrays).
+
+    Cheaper than materializing ids: only token COUNTS flow through the
+    shard window; the per-(doc, seq) explode is bounded by #sequences,
+    and the payload per sequence row is O(docs-in-sequence) short
+    strings."""
+    from scikit_learn_imputer_spark.functions.bpe import with_bpe_token_counts
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    counts = with_bpe_token_counts(
+        df.select(id_col, shard_col, text_col), vocab, text_col
+    ).select(id_col, shard_col, F.col("n_bpe_tokens").alias("__n"))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = counts.withColumn(
+        "__cum",
+        F.coalesce(F.sum("__n").over(w), F.lit(0).cast("bigint")),
+    ).filter(F.col("__n") > 0)
+    first_seq = F.floor(F.col("__cum") / seq_len)
+    last_seq = F.floor((F.col("__cum") + F.col("__n") - 1) / seq_len)
+    spans = placed.select(
+        id_col,
+        shard_col,
+        "__n",
+        "__cum",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    g_start = F.greatest(F.col("seq_id") * seq_len, F.col("__cum"))
+    g_end = F.least(
+        (F.col("seq_id") + 1) * seq_len, F.col("__cum") + F.col("__n")
+    )
+    rows = spans.select(
+        shard_col,
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        g_start.alias("__g"),
+        F.concat_ws(
+            ":",
+            F.col(id_col).cast("string"),
+            (g_start - F.col("seq_id") * seq_len).cast("string"),
+            (g_end - g_start).cast("string"),
+        ).alias("__span"),
+    )
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("__g", "__span"))),
+        lambda s: s["__span"],
+    )
+    return (
+        rows.groupBy(shard_col, "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(ordered, " ").alias("spans"),
+        )
+        .select(shard_col, "seq_id", "n_docs", "spans")
+    )
+
+
+def incremental_tokenized_slices(
+    batch: DataFrame,
+    store_path: str,
+    vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> tuple[DataFrame, DataFrame]:
+    """The streaming unit of token-ID materialization: this batch's
+    sequence SLICES, stream positions continued from the persisted
+    offset store — a micro-batch boundary can cut mid-sequence, so the
+    streaming form emits (shard, seq_id, pos, token_ids) PIECES and
+    ``assemble_tokenized_sequences`` compacts them into full sequences
+    (slices from different batches meet in the same (shard, seq_id)
+    group; the identical _assemble_slices path batch mode uses).
+
+    Returns ``(slices, packed)``: ``packed`` is the doc-level placement
+    frame to feed ``commit_offsets`` — one lineage, no recompute."""
+    from scikit_learn_imputer_spark.operators.chunking import incremental_pack
+
+    encoder = bpe_encode_udf(vocab)
+    enc = batch.select(
+        F.col(id_col),
+        F.col(shard_col),
+        encoder(F.col(text_col)).alias("__ids"),
+    ).withColumn("__n", F.size("__ids").cast("bigint"))
+    packed = incremental_pack(
+        enc, store_path, seq_len, id_col, text_col="__ids",
+        shard_col=shard_col, token_count_col="__n",
+    )
+    placed = (
+        packed.select(
+            id_col,
+            (F.col("seq_id") * seq_len + F.col("seq_offset")).alias(
+                "__cum_prev"
+            ),
+        )
+        .join(enc.select(id_col, shard_col, "__ids", "__n"), id_col)
+        .filter(F.col("__n") > 0)
+    )
+    slices = _slice_by_sequence(placed, seq_len, shard_col).select(
+        shard_col,
+        "seq_id",
+        (F.col("__g") - F.col("seq_id") * seq_len).cast("int").alias("pos"),
+        F.col("__slice").alias("token_ids"),
+    )
+    return slices, packed
+
+
+def assemble_tokenized_sequences(
+    slices: DataFrame, shard_col: str = "source", out_col: str = "token_ids"
+) -> DataFrame:
+    """Compact streamed slices (possibly from many micro-batches) into
+    full training sequences — identical output to ``tokenized_sequences``
+    over the same corpus (batch == stream, pinned by test)."""
+    renamed = slices.select(
+        shard_col,
+        "seq_id",
+        F.col("pos").cast("bigint").alias("__g"),
+        F.col("token_ids").alias("__slice"),
+    )
+    return _assemble_slices(renamed, shard_col, out_col)
+
+
+def stream_tokenized_ingest(
+    docs_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+):
+    """Continuous token-ID materialization: each micro-batch encodes,
+    continues its shards' streams from the offset store, lands its
+    sequence slices in ``out_path``, and commits offsets — the streaming
+    form of ``tokenized_sequences`` + ``write_tokenized_shards``.
+
+    Exactly-once discipline inherited from stream_pack_ingest: the
+    slice write is batch_id-keyed and idempotent; offsets commit AFTER
+    the write with ``last_batch_id``; a replay after its own commit is
+    skipped on equality and a store AHEAD of the stream raises (cleared
+    checkpoint / shared store — ADVICE r7)."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        from scikit_learn_imputer_spark.operators.chunking import (
+            commit_offsets,
+            last_committed_batch_id,
+        )
+        from scikit_learn_imputer_spark.streaming.sinks import (
+            idempotent_batch_sink,
+        )
+
+        last = last_committed_batch_id(batch.sparkSession, store_path)
+        if last == batch_id:
+            return
+        if last > batch_id:
+            raise RuntimeError(
+                f"offset store at {store_path} committed batch {last} but "
+                f"stream delivered batch {batch_id}; checkpoint and offset "
+                "store are out of sync"
+            )
+        slices, packed = incremental_tokenized_slices(
+            batch, store_path, vocab, seq_len, id_col, text_col, shard_col
+        )
+        slices.persist()
+        packed.persist()
+        try:
+            idempotent_batch_sink(slices, out_path, batch_id)
+            commit_offsets(packed, store_path, seq_len, shard_col, batch_id)
+        finally:
+            slices.unpersist()
+            packed.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
     )

@@ -2200,19 +2200,29 @@ def q_corpus_training_manifest(spark, sf_dir):
     return training_shards(shuffle_sequences(packed, seed=42), shard_size=16)
 
 
-def _bpe_encode_ctes() -> str:
+def _bpe_encode_ctes(
+    vocab_cte: str | None = None, unk_base_sql: str | None = None
+) -> str:
     """vocab(v, vid)..edocs — the greedy longest-prefix ENCODING CTEs:
     per-word id strings via the same segmentation as bstep (the count
     chain), unknown characters in the byte-fallback band
-    ``len(vocab) + unicode(ch)``. Yields ``edocs(doc_id, ids, n_ids)``
-    — each document's space-joined token-id string."""
+    ``unk_base + unicode(ch)``. Yields ``edocs(doc_id, ids, n_ids)``
+    — each document's space-joined token-id string.
+
+    Default is the pinned vocabulary as a VALUES literal with
+    ``unk_base = len(vocab)``; pass ``vocab_cte`` (any CTE defining
+    ``vocab(v, vid)``) + ``unk_base_sql`` (a scalar SQL expression) to
+    encode against a DERIVED vocabulary (the learned-merge chain)."""
     from scikit_learn_imputer_spark.functions.bpe import (
         DEFAULT_BPE_VOCAB,
         vocab_ids_values_sql,
     )
 
-    unk_base = len(DEFAULT_BPE_VOCAB)
-    return rf"""vocab(v, vid) AS (VALUES {vocab_ids_values_sql()}),
+    if vocab_cte is None:
+        vocab_cte = f"vocab(v, vid) AS (VALUES {vocab_ids_values_sql()})"
+        unk_base_sql = str(len(DEFAULT_BPE_VOCAB))
+    unk_base = unk_base_sql
+    return rf"""{vocab_cte},
 btoks AS (
   SELECT doc_id, source,
          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
@@ -2357,6 +2367,169 @@ def q_write_tokenized_shards(spark, sf_dir):
 
     seqs = tokenized_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
     return write_tokenized_shards_readback(seqs, shard_size=16)
+
+
+@register(
+    "sequence_doc_spans",
+    oracle=f"""
+WITH RECURSIVE {_bpe_cte()},
+c AS (
+  SELECT doc_id, source, n_bpe_tokens,
+         CAST(coalesce(sum(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM bcounts
+),
+sp AS (
+  SELECT source, doc_id, n_bpe_tokens AS n, cum_prev,
+         unnest(generate_series(cum_prev // 512, (cum_prev + n_bpe_tokens - 1) // 512))
+           AS sq
+  FROM c WHERE n_bpe_tokens > 0
+)
+SELECT source, CAST(sq AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       string_agg(
+         CAST(doc_id AS VARCHAR) || ':' ||
+         CAST(greatest(sq * 512, cum_prev) - sq * 512 AS VARCHAR) || ':' ||
+         CAST(least((sq + 1) * 512, cum_prev + n)
+              - greatest(sq * 512, cum_prev) AS VARCHAR),
+         ' ' ORDER BY greatest(sq * 512, cum_prev)) AS spans
+FROM sp GROUP BY 1, 2
+""",
+)
+def q_sequence_doc_spans(spark, sf_dir):
+    """Document-boundary spans per training sequence
+    (operators/tokenized.py:sequence_doc_spans): the ordered
+    ``doc_id:start:len`` list a trainer needs for attention masking /
+    per-doc loss weighting inside packed sequences — BPE-token units,
+    the exact placement ``tokenized_sequences`` cuts ids by, so spans
+    index directly into its arrays. Counts-only dataflow (no id
+    materialization): one shard window, one bounded explode, one
+    (shard, seq) aggregate."""
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        sequence_doc_spans,
+    )
+
+    return sequence_doc_spans(_t(spark, sf_dir, "documents"), seq_len=512)
+
+
+@register(
+    "stream_tokenized_ingest",
+    oracle=f"""
+WITH RECURSIVE {_bpe_encode_ctes()},
+{_tokenized_seq_sql(512)}
+SELECT source, seq_id, n_ids, ids FROM tseqs
+""",
+)
+def q_stream_tokenized_ingest(spark, sf_dir):
+    """STREAMING token-ID materialization, driver-visible: the corpus is
+    drained through stream_tokenized_ingest (operators/tokenized.py —
+    foreachBatch encode → offset-continued incremental pack → idempotent
+    batch_id-keyed slice sink → offset commit), the landed slices are
+    assembled into full sequences, and the result is oracled against the
+    SAME sequence-assembly SQL as tokenized_sequences — batch == stream,
+    hash-checked by the driver (the multi-micro-batch stitch across a
+    sequence boundary is pinned by
+    tests/test_tokenized.py::test_stream_tokenized_ingest_matches_batch)."""
+    from scikit_learn_imputer_spark.operators.chunking import (
+        build_offset_store,
+    )
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        assemble_tokenized_sequences,
+        stream_tokenized_ingest,
+    )
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = _scratch("tok_offsets")
+    out = _scratch("tok_slices") + "/slices"
+    ck = _scratch("tok_ck")
+    build_offset_store(docs.limit(0), store, seq_len=512)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select(*docs.columns)
+    )
+    q = stream_tokenized_ingest(stream, store, out, ck, seq_len=512).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    seqs = assemble_tokenized_sequences(spark.read.parquet(out))
+    return seqs.select(
+        "source",
+        "seq_id",
+        "n_ids",
+        F.concat_ws(
+            " ", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("ids"),
+    )
+
+
+def _learned_encode_oracle(k: int) -> str:
+    """Fully self-contained twin of ENCODING with a LEARNED vocabulary:
+    the unrolled learn loop derives the merged symbols in SQL, ids are
+    their dedup-rank positions (vocab_from_merges' first-wins order),
+    unknown characters fall back to ``count(vocab) + codepoint``, and
+    the sequence assembly cuts the resulting id streams — the whole
+    learn → vocab → encode → pack chain hash-checked with zero
+    out-of-band literals."""
+    ctes, _ = _bpe_learn_parts(k)
+    vr = " UNION ALL ".join(
+        f"SELECT replace(pr, ' ', '') AS v, {i} AS r FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    vocab_cte = (
+        f"lv AS ({vr}),\n"
+        "lvd AS (SELECT v, min(r) AS r FROM lv GROUP BY v),\n"
+        "vocab(v, vid) AS (SELECT v, CAST(row_number() OVER (ORDER BY r) - 1"
+        " AS INTEGER) AS vid FROM lvd)"
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + ",\n"
+        + _bpe_encode_ctes(
+            vocab_cte=vocab_cte,
+            unk_base_sql="(SELECT count(*) FROM vocab)",
+        )
+        + ",\n"
+        + _tokenized_seq_sql(512)
+        + "\nSELECT source, seq_id, n_ids, ids FROM tseqs"
+    )
+
+
+@register("tokenized_sequences_learned", oracle=_learned_encode_oracle(8))
+def q_tokenized_sequences_learned(spark, sf_dir):
+    """Learned-tokenizer sequence materialization: the full artifact
+    chain a real pipeline ships — learn_bpe_merges trains the merge
+    table on this corpus, vocab_from_merges derives the encoding
+    vocabulary (ids = dedup rank order), bpe_encode emits ids against
+    it, and tokenized_sequences cuts the streams into training
+    sequences. The oracle re-derives ALL of it in SQL (unrolled learn
+    loop → ranked vocab → recursive encode → window assembly), so the
+    learn → vocab → encode → pack chain is hash-checked end to end with
+    no out-of-band literals."""
+    from scikit_learn_imputer_spark.functions.bpe import (
+        learn_bpe_merges,
+        vocab_from_merges,
+    )
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        tokenized_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = vocab_from_merges(learn_bpe_merges(docs, num_merges=8))
+    seqs = tokenized_sequences(docs, vocab=vocab, seq_len=512)
+    return seqs.select(
+        "source",
+        "seq_id",
+        "n_ids",
+        F.concat_ws(
+            " ", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("ids"),
+    )
 
 
 @register(

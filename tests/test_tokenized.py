@@ -129,3 +129,60 @@ def test_write_tokenized_shards_layout_and_roundtrip(spark, tmp_path):
     ).count() == 0
     with pytest.raises(ValueError, match="shard_size"):
         write_tokenized_shards(seqs, path, shard_size=0)
+
+
+def test_stream_tokenized_ingest_matches_batch(spark, tmp_path):
+    """Streaming token-ID materialization == the batch run: slices from
+    multiple micro-batches assemble into exactly the sequences
+    tokenized_sequences produces over the whole corpus."""
+    from scikit_learn_imputer_spark.operators.chunking import (
+        build_offset_store,
+    )
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        assemble_tokenized_sequences,
+        stream_tokenized_ingest,
+    )
+
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    golden = {
+        (r["source"], r["seq_id"]): r["token_ids"]
+        for r in tokenized_sequences(docs, seq_len=7).collect()
+    }
+    src = str(tmp_path / "src")
+    # two files -> availableNow drains them as separate micro-batches
+    import os
+
+    docs.filter(F.col("doc_id") <= 3).coalesce(1).write.parquet(src)
+    docs.filter(F.col("doc_id") > 3).coalesce(1).write.mode("append").parquet(src)
+    # pin distinct mtimes so batches arrive in doc order (round-6 lesson)
+    files = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    for i, f in enumerate(files):
+        os.utime(os.path.join(src, f), (1_700_000_000 + i, 1_700_000_000 + i))
+
+    store = str(tmp_path / "offsets")
+    out = str(tmp_path / "slices")
+    ck = str(tmp_path / "ck")
+    build_offset_store(docs.limit(0), store, seq_len=7)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_tokenized_ingest(stream, store, out, ck, seq_len=7).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["source"], r["seq_id"]): r["token_ids"]
+        for r in assemble_tokenized_sequences(
+            spark.read.parquet(out)
+        ).collect()
+    }
+    assert got == golden
+    # sequences straddling the micro-batch boundary were stitched from
+    # slices of BOTH batches
+    back = spark.read.parquet(out)
+    assert back.select("ingest_batch_id").distinct().count() >= 2
