@@ -2533,6 +2533,213 @@ def q_tokenized_sequences_learned(spark, sf_dir):
 
 
 @register(
+    "packing_efficiency_curve",
+    oracle=f"""
+WITH RECURSIVE {_bpe_cte()},
+tot AS (
+  SELECT source, CAST(sum(n_bpe_tokens) AS BIGINT) AS t FROM bcounts
+  GROUP BY source
+),
+cum AS (
+  SELECT source, n_bpe_tokens AS n,
+         CAST(coalesce(sum(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM bcounts
+),
+per_len AS (
+  SELECT L,
+         CAST(sum((t + L - 1) // L) AS BIGINT) AS n_sequences,
+         CAST(sum(t) AS BIGINT) AS total_tokens,
+         CAST(sum((t + L - 1) // L) * L - sum(t) AS BIGINT) AS pad_tokens
+  FROM tot, (SELECT unnest([128, 512, 1024]) AS L)
+  GROUP BY L
+),
+strad AS (
+  SELECT L, CAST(count(*) FILTER (WHERE cum_prev % L + n > L) AS BIGINT)
+           AS straddle_docs
+  FROM cum, (SELECT unnest([128, 512, 1024]) AS L)
+  GROUP BY L
+)
+SELECT CAST(p.L AS BIGINT) AS seq_len, p.n_sequences, p.total_tokens,
+       p.pad_tokens,
+       round(CAST(p.pad_tokens AS DOUBLE)
+             / greatest(p.n_sequences * p.L, 1), 6) AS pad_frac,
+       s.straddle_docs
+FROM per_len p JOIN strad s ON p.L = s.L
+""",
+)
+def q_packing_efficiency_curve(spark, sf_dir):
+    """Packing-efficiency curve: for candidate sequence lengths (128 /
+    512 / 1024 BPE tokens), how many training sequences the corpus
+    packs into, the padding mass wasted in each shard's final partial
+    sequence, and how many documents straddle a cut — the numbers that
+    pick seq_len for a training run (padding waste vs cross-doc
+    attention contamination). One BPE count pass + one tiny per-source
+    aggregate; the straddle count reuses the per-shard running window.
+    Concat-and-cut pads only per-shard tails, so pad_frac is the true
+    loader waste."""
+    from scikit_learn_imputer_spark.functions.bpe import with_bpe_token_counts
+    from scikit_learn_imputer_spark.operators.chunking import pack_sequences
+
+    docs = with_bpe_token_counts(_t(spark, sf_dir, "documents"))
+    out = None
+    for L in (128, 512, 1024):
+        packed = pack_sequences(docs, L, token_count_col="n_bpe_tokens")
+        per_src = packed.groupBy("source").agg(
+            F.sum("n_tokens").cast("bigint").alias("__t"),
+            F.count_if(F.col("straddles")).alias("__sd"),
+        )
+        row = per_src.agg(
+            F.sum(F.floor((F.col("__t") + L - 1) / L))
+            .cast("bigint")
+            .alias("n_sequences"),
+            F.sum("__t").cast("bigint").alias("total_tokens"),
+            F.sum("__sd").cast("bigint").alias("straddle_docs"),
+        ).select(
+            F.lit(L).cast("bigint").alias("seq_len"),
+            "n_sequences",
+            "total_tokens",
+            (F.col("n_sequences") * L - F.col("total_tokens"))
+            .cast("bigint")
+            .alias("pad_tokens"),
+            F.round(
+                (F.col("n_sequences") * L - F.col("total_tokens")).cast(
+                    "double"
+                )
+                / F.greatest(F.col("n_sequences") * L, F.lit(1)),
+                6,
+            ).alias("pad_frac"),
+            "straddle_docs",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "oov_rate_by_source",
+    oracle=f"""
+WITH RECURSIVE {_bpe_encode_ctes()},
+ids AS (
+  SELECT d.source, CAST(unnest(str_split(e.ids, ' ')) AS INTEGER) AS tid
+  FROM edocs e JOIN documents d USING (doc_id)
+  WHERE e.ids <> ''
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_ids,
+       CAST(count(*) FILTER (WHERE tid >= {{unk}}) AS BIGINT) AS n_oov,
+       round(CAST(count(*) FILTER (WHERE tid >= {{unk}}) AS DOUBLE)
+             / count(*), 6) AS oov_rate
+FROM ids GROUP BY source
+""",
+)
+def q_oov_rate_by_source(spark, sf_dir):
+    """Tokenizer OOV health per source: the fraction of emitted ids in
+    the byte-fallback band (>= len(vocab)) — high OOV means the
+    vocabulary doesn't cover that source and its sequences are
+    character soup. Map-only: per-doc counts from the id arrays (one
+    F.filter over each array, no explode), one small per-source
+    aggregate."""
+    from scikit_learn_imputer_spark.functions.bpe import (
+        DEFAULT_BPE_VOCAB,
+        bpe_encode,
+    )
+
+    base = len(DEFAULT_BPE_VOCAB)
+    enc = bpe_encode(_t(spark, sf_dir, "documents"))
+    per_doc = enc.select(
+        "source",
+        F.size("token_ids").cast("bigint").alias("__n"),
+        F.size(F.filter("token_ids", lambda x: x >= base))
+        .cast("bigint")
+        .alias("__o"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_ids"),
+            F.sum("__o").cast("bigint").alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_ids",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_ids"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def _default_unk_base() -> str:
+    from scikit_learn_imputer_spark.functions.bpe import DEFAULT_BPE_VOCAB
+
+    return str(len(DEFAULT_BPE_VOCAB))
+
+
+ORACLE["oov_rate_by_source"] = ORACLE["oov_rate_by_source"].replace(
+    "{unk}", _default_unk_base()
+)
+
+
+@register(
+    "tokenizer_fertility_by_source",
+    oracle=f"""
+WITH RECURSIVE {_bpe_cte()},
+w AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\\s+')) END AS BIGINT)
+           AS n_words
+  FROM documents
+)
+SELECT w.source,
+       CAST(sum(w.n_words) AS BIGINT) AS n_words,
+       CAST(sum(b.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(b.n_bpe_tokens) AS DOUBLE)
+             / greatest(sum(w.n_words), 1), 6) AS fertility
+FROM w JOIN bcounts b USING (doc_id)
+GROUP BY w.source
+""",
+)
+def q_tokenizer_fertility_by_source(spark, sf_dir):
+    """Tokenizer fertility (subword tokens per whitespace word) per
+    source — THE standard tokenizer-evaluation metric: fertility near 1
+    means the vocabulary covers the source's words whole; high fertility
+    means the source fragments (and its token budget buys fewer words).
+    Two map-only counters in one projection + one small aggregate."""
+    from scikit_learn_imputer_spark.functions.bpe import with_bpe_token_counts
+
+    d = _t(spark, sf_dir, "documents")
+    t0 = F.trim(F.col("text"))
+    nw = (
+        F.when(F.length(t0) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t0, "\\s+")))
+        .cast("bigint")
+    )
+    counted = with_bpe_token_counts(d).select(
+        "source", nw.alias("__w"), F.col("n_bpe_tokens").alias("__b")
+    )
+    return (
+        counted.groupBy("source")
+        .agg(
+            F.sum("__w").cast("bigint").alias("n_words"),
+            F.sum("__b").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double")
+                / F.greatest(F.col("n_words"), F.lit(1)),
+                6,
+            ).alias("fertility"),
+        )
+    )
+
+
+@register(
     "repack_after_delete",
     oracle=r"""
 WITH t AS (
