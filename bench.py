@@ -19,6 +19,13 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # The 2026-08-14 testdata regeneration made the documents corpus far
+    # denser in shared character 3-grams (377 distinct grams, mean df
+    # ~1.9k at sf0.1), so the EXACT gram-join baselines now stream ~2.2B
+    # intermediate rows through one aggregate. At 1g driver heap the 32
+    # concurrent partial-agg spills OOM the JVM mid-suite; 4g fits with
+    # headroom. Correctness/test sessions keep session.py's 1g default.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "4g")
 
     from scikit_learn_imputer_spark.session import get_spark
     from scikit_learn_imputer_spark.plans.queries import ANCHORS, ORACLE, QUERIES
@@ -54,8 +61,12 @@ def main() -> None:
         save_ivf_index,
     )
 
+    import tempfile
+
     _ivf: dict[str, object] = {}
-    _ivf_path = "/tmp/sli_spark_bench_ivf_index"
+    # per-run dir: two concurrent bench invocations must not share an
+    # index path (same race class as ADVICE r7's training-shard path)
+    _ivf_path = tempfile.mkdtemp(prefix="sli_bench_ivf_") + "/index"
 
     def _ivf_build(s, d):
         # PURE index construction (KMeans fit + assignment); the on-disk
@@ -132,6 +143,15 @@ def main() -> None:
             .select("doc_id")
         )
 
+    def _best_survivors_guarded(s, d):
+        from scikit_learn_imputer_spark.dedup.cluster import cluster_survivors
+
+        labels = connected_components(_guarded_edges(s, d), src="id_a", dst="id_b")
+        return (
+            cluster_survivors(load_table(s, d, "documents"), labels, keep="quality")
+            .select("doc_id")
+        )
+
     def _pagerank_guarded(s, d):
         from scikit_learn_imputer_spark.graph import pagerank
 
@@ -151,6 +171,7 @@ def main() -> None:
         ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")),
         "near_dup_clusters": _clusters_guarded,
         "near_dup_survivors": _survivors_guarded,
+        "near_dup_best_survivors": _best_survivors_guarded,
         "ann_ivf_build": _ivf_build,
         "ann_ivf_index_save": _ivf_index_save,
         "ann_ivf_topk": _ivf_search,

@@ -36,10 +36,18 @@ def connected_components(
     """Return (id, label) where ``label`` is the minimum vertex id in the
     component — a canonical, deterministic cluster id. Only vertices that
     appear in ``edges`` are returned (singletons have no near-dup)."""
+    # Materialize the symmetric edge list ONCE: ``edges`` may be an
+    # expensive upstream plan (the exact gram-join baseline fans out to
+    # billions of intermediate rows on a shared-vocabulary corpus), and
+    # without truncation every label-propagation round would recompute
+    # it from scratch — O(rounds × candidate-join) instead of
+    # O(candidate-join + rounds × |edges|). The checkpoint is O(edges),
+    # the same tiny frame the rounds join.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("id"))

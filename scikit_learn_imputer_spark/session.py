@@ -49,6 +49,10 @@ def get_spark(
         # thrash cache, a pure loss for the small-working-set bench. On
         # a real cluster per-executor memory is sized to the partition
         # working set instead. Only takes effect at JVM launch.
+        # Exception: bench.py sets 4g — the 2026-08-14 testdata
+        # regeneration made the exact gram-join baselines stream ~2.2B
+        # intermediate rows at sf0.1, whose 32-way partial-agg spills
+        # OOM a 1g heap (tests at sf0.001/0.01 stay comfortably in 1g).
         .config(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "1g"),
