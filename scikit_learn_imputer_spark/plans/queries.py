@@ -1696,6 +1696,38 @@ def q_filter_waterfall_scrubbed(spark, sf_dir):
     like filter_waterfall (each gate's signals computed only on the
     previous gate's survivors; the LM TRAINS once on the whole scrubbed
     corpus — model training is corpus-level, not survivor-level)."""
+    staged, scrub_row = _waterfall_scrubbed_staged(spark, sf_dir)
+    stage_name = (
+        F.when(F.col("stage_order") == 1, "lang")
+        .when(F.col("stage_order") == 2, "quality")
+        .when(F.col("stage_order") == 3, "gopher")
+        .when(F.col("stage_order") == 4, "lm_score")
+        .when(F.col("stage_order") == 5, "exact_dup")
+        .when(F.col("stage_order") == 6, "decontam")
+        .otherwise("kept")
+    )
+    stages = (
+        staged.groupBy("stage_order")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            F.col("stage_order").cast("int").alias("stage_order"),
+            stage_name.alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+    return scrub_row.unionByName(stages)
+
+
+def _waterfall_scrubbed_staged(spark, sf_dir):
+    """The per-document half of the scrubbed waterfall, shared by
+    filter_waterfall_scrubbed (aggregates it) and the tokenized
+    capstone (tokenizes its kept set): returns ``(staged, scrub_row)``
+    where ``staged`` carries (doc_id, source, text[scrubbed], n_tokens,
+    stage_order 1..7) and ``scrub_row`` is the stage-0 mass row."""
     from scikit_learn_imputer_spark.dedup.paragraphs import dedup_paragraphs
     from scikit_learn_imputer_spark.functions.lm import bigram_lm_scores
     from scikit_learn_imputer_spark.functions.repetition import repetition_signals
@@ -1704,7 +1736,7 @@ def q_filter_waterfall_scrubbed(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 100 < 2)
     corpus0 = d.filter(F.col("doc_id") % 100 >= 2).select(
-        "doc_id", "lang", "text"
+        "doc_id", "source", "lang", "text"
     )
 
     t0 = F.trim(F.col("text"))
@@ -1717,6 +1749,7 @@ def q_filter_waterfall_scrubbed(spark, sf_dir):
     scr = dedup_paragraphs(corpus0, min_count=2)
     s0 = scr.select(
         "doc_id",
+        "source",
         "lang",
         "text",
         ntok.alias("n_tokens"),
@@ -1800,6 +1833,10 @@ def q_filter_waterfall_scrubbed(spark, sf_dir):
         .join(mark(dup_pass, "__p5"), "doc_id", "left")
         .join(mark(contam_ids, "__c6"), "doc_id", "left")
         .select(
+            "doc_id",
+            "source",
+            "text",
+            "n_tokens",
             F.when(F.col("lang") != "en", 1)
             .when(F.col("__p2").isNull(), 2)
             .when(F.col("__p3").isNull(), 3)
@@ -1808,32 +1845,9 @@ def q_filter_waterfall_scrubbed(spark, sf_dir):
             .when(F.col("__c6"), 6)
             .otherwise(7)
             .alias("stage_order"),
-            "n_tokens",
         )
     )
-    stage_name = (
-        F.when(F.col("stage_order") == 1, "lang")
-        .when(F.col("stage_order") == 2, "quality")
-        .when(F.col("stage_order") == 3, "gopher")
-        .when(F.col("stage_order") == 4, "lm_score")
-        .when(F.col("stage_order") == 5, "exact_dup")
-        .when(F.col("stage_order") == 6, "decontam")
-        .otherwise("kept")
-    )
-    stages = (
-        staged.groupBy("stage_order")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-        )
-        .select(
-            F.col("stage_order").cast("int").alias("stage_order"),
-            stage_name.alias("stage"),
-            "n_docs",
-            "n_tokens",
-        )
-    )
-    return scrub_row.unionByName(stages)
+    return staged, scrub_row
 
 
 ORACLE["filter_waterfall_scrubbed"] = (
@@ -2533,6 +2547,147 @@ def q_tokenized_sequences_learned(spark, sf_dir):
 
 
 @register(
+    "tokenized_repack_delta",
+    oracle=f"""
+WITH RECURSIVE {_bpe_cte()},
+a AS (SELECT * FROM bcounts WHERE doc_id % 7 <> 0),
+b AS (SELECT * FROM bcounts
+      WHERE substr(md5('takedown:' || CAST(doc_id AS VARCHAR)), 1, 1) <> '0'),
+ca AS (
+  SELECT doc_id, source, n_bpe_tokens AS n,
+         CAST(coalesce(sum(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum
+  FROM a
+),
+cb AS (
+  SELECT doc_id, source, n_bpe_tokens AS n,
+         CAST(coalesce(sum(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum
+  FROM b
+),
+rem AS (
+  SELECT source, CAST(min(cum) AS BIGINT) AS m FROM ca
+  WHERE doc_id NOT IN (SELECT doc_id FROM b) GROUP BY source
+),
+adds AS (
+  SELECT source, CAST(min(cum) AS BIGINT) AS m FROM cb
+  WHERE doc_id NOT IN (SELECT doc_id FROM a) GROUP BY source
+),
+tots AS (
+  SELECT source,
+         CAST(coalesce(sum(CASE WHEN in_a THEN n END), 0) AS BIGINT) AS ta,
+         CAST(coalesce(sum(CASE WHEN in_b THEN n END), 0) AS BIGINT) AS tb
+  FROM (
+    SELECT source, n_bpe_tokens AS n,
+           doc_id % 7 <> 0 AS in_a,
+           substr(md5('takedown:' || CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+             AS in_b
+    FROM bcounts
+  ) GROUP BY source
+)
+SELECT t.source,
+       CAST((t.ta + 511) // 512 AS BIGINT) AS n_seqs_before,
+       CAST((t.tb + 511) // 512 AS BIGINT) AS n_seqs_after,
+       CAST(CASE WHEN rem.m IS NULL AND adds.m IS NULL
+            THEN (t.ta + 511) // 512
+            ELSE least(coalesce(rem.m, t.ta), coalesce(adds.m, t.tb)) // 512
+            END AS BIGINT) AS n_seqs_unchanged,
+       CAST((t.tb + 511) // 512
+            - CASE WHEN rem.m IS NULL AND adds.m IS NULL
+              THEN (t.ta + 511) // 512
+              ELSE least(coalesce(rem.m, t.ta), coalesce(adds.m, t.tb)) // 512
+              END AS BIGINT) AS n_seqs_rewritten
+FROM tots t
+LEFT JOIN rem USING (source)
+LEFT JOIN adds USING (source)
+""",
+)
+def q_tokenized_repack_delta(spark, sf_dir):
+    """Sequence-granular write amplification of a corpus mutation: the
+    dataset_card_diff snapshots (pre-ingest A = doc_id %7 != 0 vs
+    post-ingest-and-takedown B), measured in tokenized training
+    SEQUENCES — per source, how many seq_len=512 sequences existed
+    before/after, how many are byte-identical (every sequence strictly
+    before the first membership change's stream position), and how many
+    must be rewritten. This is the number a shard-rewrite job actually
+    schedules. COUNTS-ONLY dataflow: two per-shard running windows over
+    BPE token counts + two anti-join mins — no id materialization, no
+    sequence assembly, so the delta report costs a scan even when the
+    corpus doesn't."""
+    from scikit_learn_imputer_spark.functions.bpe import with_bpe_token_counts
+
+    L = 512
+    counted = with_bpe_token_counts(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "source", F.col("n_bpe_tokens").alias("__n")
+    )
+    in_a = F.col("doc_id") % 7 != 0
+    in_b = (
+        F.md5(F.concat(F.lit("takedown:"), F.col("doc_id").cast("string")))
+        .substr(1, 1)
+        != "0"
+    )
+    marked = counted.select("doc_id", "source", "__n", in_a.alias("__a"), in_b.alias("__b"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ca = (
+        marked.filter("__a")
+        .withColumn(
+            "__cum", F.coalesce(F.sum("__n").over(w), F.lit(0).cast("bigint"))
+        )
+    )
+    cb = (
+        marked.filter("__b")
+        .withColumn(
+            "__cum", F.coalesce(F.sum("__n").over(w), F.lit(0).cast("bigint"))
+        )
+    )
+    rem = (
+        ca.filter(~F.col("__b"))
+        .groupBy("source")
+        .agg(F.min("__cum").cast("bigint").alias("__rm"))
+    )
+    adds = (
+        cb.filter(~F.col("__a"))
+        .groupBy("source")
+        .agg(F.min("__cum").cast("bigint").alias("__am"))
+    )
+    tots = marked.groupBy("source").agg(
+        F.coalesce(F.sum(F.when(F.col("__a"), F.col("__n"))), F.lit(0))
+        .cast("bigint")
+        .alias("__ta"),
+        F.coalesce(F.sum(F.when(F.col("__b"), F.col("__n"))), F.lit(0))
+        .cast("bigint")
+        .alias("__tb"),
+    )
+    before = F.floor((F.col("__ta") + L - 1) / L).cast("bigint")
+    after = F.floor((F.col("__tb") + L - 1) / L).cast("bigint")
+    no_change = F.col("__rm").isNull() & F.col("__am").isNull()
+    first = F.least(
+        F.coalesce(F.col("__rm"), F.col("__ta")),
+        F.coalesce(F.col("__am"), F.col("__tb")),
+    )
+    unchanged = F.when(no_change, before).otherwise(
+        F.floor(first / L).cast("bigint")
+    )
+    return (
+        tots.join(rem, "source", "left")
+        .join(adds, "source", "left")
+        .select(
+            "source",
+            before.alias("n_seqs_before"),
+            after.alias("n_seqs_after"),
+            unchanged.alias("n_seqs_unchanged"),
+            (after - unchanged).cast("bigint").alias("n_seqs_rewritten"),
+        )
+    )
+
+
+@register(
     "packing_efficiency_curve",
     oracle=f"""
 WITH RECURSIVE {_bpe_cte()},
@@ -2736,6 +2891,75 @@ def q_tokenizer_fertility_by_source(spark, sf_dir):
                 6,
             ).alias("fertility"),
         )
+    )
+
+
+def _capstone_oracle() -> str:
+    """The corpus -> trainer END-TO-END twin: the scrubbed-waterfall CTE
+    prefix (scrub + six gates) selects the kept set, the encode CTEs
+    emit its token ids, and the sequence assembly cuts them — one SQL
+    statement reproducing the entire pipeline for the hash compare."""
+    prefix = ORACLE["filter_waterfall_scrubbed"].split(
+        "SELECT CAST(0 AS INTEGER) AS stage_order"
+    )[0].rstrip().rstrip(",")
+    prefix = prefix.replace("WITH corpus0", "WITH RECURSIVE corpus0", 1)
+    kept = """kept AS (
+  SELECT wf.doc_id
+  FROM wf LEFT JOIN keepers k USING (fp)
+  WHERE NOT fail_lang AND NOT fail_quality AND NOT fail_gopher
+    AND NOT fail_lm AND wf.doc_id = k.keep_id AND NOT is_contam
+),
+ksrc AS (
+  SELECT s.doc_id, dd.source, s.text
+  FROM scrubbed s
+  JOIN kept USING (doc_id)
+  JOIN documents dd USING (doc_id)
+)"""
+    enc = _bpe_encode_ctes().replace("FROM documents", "FROM ksrc")
+    seq = _tokenized_seq_sql(512).replace(
+        "FROM documents t JOIN edocs e USING (doc_id)",
+        "FROM ksrc t JOIN edocs e USING (doc_id)",
+    )
+    return (
+        prefix
+        + ",\n"
+        + kept
+        + ",\n"
+        + enc
+        + ",\n"
+        + seq
+        + "\nSELECT source, seq_id, n_ids, ids FROM tseqs"
+    )
+
+
+@register("corpus_tokenized_capstone", oracle=_capstone_oracle())
+def q_corpus_tokenized_capstone(spark, sf_dir):
+    """THE corpus -> trainer capstone, one lazy plan end to end:
+    paragraph scrub -> lang/quality/Gopher/LM-score gates -> exact dedup
+    -> decontamination (the scrubbed waterfall's kept set) -> BPE token
+    ids -> 512-token training sequences. What a user runs to turn a raw
+    crawl into loader-ready sequences; every stage's semantics are
+    individually oracled elsewhere, and here the COMPOSITION is
+    hash-checked — the exact id streams of the surviving corpus. Cost
+    shape: the gates are survivor-chained projections/explodes, dedup
+    and decontam join digests, encode is one Arrow pass over survivors,
+    and assembly is the one shard-window + (shard, seq) aggregate."""
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        tokenized_sequences,
+    )
+
+    staged, _ = _waterfall_scrubbed_staged(spark, sf_dir)
+    kept = staged.filter(F.col("stage_order") == 7).select(
+        "doc_id", "source", "text"
+    )
+    seqs = tokenized_sequences(kept, seq_len=512)
+    return seqs.select(
+        "source",
+        "seq_id",
+        "n_ids",
+        F.concat_ws(
+            " ", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("ids"),
     )
 
 

@@ -186,3 +186,49 @@ def test_stream_tokenized_ingest_matches_batch(spark, tmp_path):
     # slices of BOTH batches
     back = spark.read.parquet(out)
     assert back.select("ingest_batch_id").distinct().count() >= 2
+
+
+def test_tokenized_repack_delta_matches_assembled_sequences(spark, sf_smoke):
+    """The counts-only delta equals ground truth from actually
+    assembling both snapshots' sequences: per source, n_seqs_unchanged
+    counts exactly the leading run of byte-identical sequences, and
+    n_seqs_rewritten the remainder of the after-state."""
+    import collections
+
+    from scikit_learn_imputer_spark.plans.queries import QUERIES
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    delta = {
+        r["source"]: r
+        for r in QUERIES["tokenized_repack_delta"](spark, sf_smoke).collect()
+    }
+    d = load_table(spark, sf_smoke, "documents")
+    a = d.filter(F.col("doc_id") % 7 != 0)
+    b = d.filter(
+        F.md5(
+            F.concat(F.lit("takedown:"), F.col("doc_id").cast("string"))
+        ).substr(1, 1)
+        != "0"
+    )
+    seq_a = collections.defaultdict(dict)
+    for r in tokenized_sequences(a, seq_len=512).collect():
+        seq_a[r["source"]][r["seq_id"]] = r["token_ids"]
+    seq_b = collections.defaultdict(dict)
+    for r in tokenized_sequences(b, seq_len=512).collect():
+        seq_b[r["source"]][r["seq_id"]] = r["token_ids"]
+    for src, row in delta.items():
+        sa, sb = seq_a.get(src, {}), seq_b.get(src, {})
+        assert row["n_seqs_before"] == len(sa)
+        assert row["n_seqs_after"] == len(sb)
+        # leading run of identical sequences
+        run = 0
+        while run in sa and run in sb and sa[run] == sb[run]:
+            run += 1
+        # identical-prefix ground truth: every counted-unchanged sequence
+        # must actually be identical (the count is a safe lower bound —
+        # a change can coincidentally reproduce identical later content)
+        assert row["n_seqs_unchanged"] <= run
+        assert (
+            row["n_seqs_rewritten"]
+            == row["n_seqs_after"] - row["n_seqs_unchanged"]
+        )
