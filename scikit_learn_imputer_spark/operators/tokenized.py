@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from scikit_learn_imputer_spark.functions.bpe import (
     DEFAULT_BPE_VOCAB,
+    bpe_count_udf,
     bpe_encode_udf,
 )
 
@@ -391,3 +392,233 @@ def stream_tokenized_ingest(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def _shard_boundaries(
+    before: DataFrame,
+    after: DataFrame,
+    vocab: tuple[str, ...],
+    seq_len: int,
+    shard_size: int,
+    id_col: str,
+    text_col: str,
+    shard_col: str,
+) -> DataFrame:
+    """Per-shard-key rewrite boundary between two corpus snapshots that
+    share document content (membership mutations: ingest / takedown).
+    Counts-only — the same two running windows ``tokenized_repack_delta``
+    uses, never an id materialization. Returns one row per shard key in
+    EITHER snapshot: ``start_seq`` (first sequence of the first shard
+    any rewrite touches; null when the snapshots agree on this key) and
+    ``n_total_after`` (B's token mass, for stale-shard truncation)."""
+    counter = bpe_count_udf(vocab)
+
+    def counted(df: DataFrame) -> DataFrame:
+        c = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(shard_col).alias("__k"),
+            counter(F.col(text_col)).cast("bigint").alias("__n"),
+        )
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return c.withColumn(
+            "__cum", F.coalesce(F.sum("__n").over(w), F.lit(0).cast("bigint"))
+        )
+
+    ca, cb = counted(before), counted(after)
+    a_ids = ca.select("doc_id")
+    b_ids = cb.select("doc_id")
+    removed = (
+        ca.join(b_ids, "doc_id", "left_anti")
+        .groupBy("__k")
+        .agg(F.min("__cum").alias("__rm"))
+    )
+    added = (
+        cb.join(a_ids, "doc_id", "left_anti")
+        .groupBy("__k")
+        .agg(F.min("__cum").alias("__am"))
+    )
+    tot_b = cb.groupBy("__k").agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n_total_after")
+    )
+    keys = (
+        ca.select("__k")
+        .union(cb.select("__k"))
+        .distinct()
+        .join(removed, "__k", "left")
+        .join(added, "__k", "left")
+        .join(tot_b, "__k", "left")
+    )
+    first_change = F.least(
+        F.coalesce(F.col("__rm"), F.col("__am")),
+        F.coalesce(F.col("__am"), F.col("__rm")),
+    )
+    start_seq = (
+        F.floor(F.floor(first_change / seq_len) / shard_size) * shard_size
+    ).cast("bigint")
+    return keys.select(
+        "__k",
+        start_seq.alias("start_seq"),
+        F.coalesce(F.col("n_total_after"), F.lit(0))
+        .cast("bigint")
+        .alias("n_total_after"),
+    )
+
+
+def rewrite_tokenized_shards_incremental(
+    before: DataFrame,
+    after: DataFrame,
+    path: str,
+    shard_size: int,
+    vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> dict:
+    """Physically apply a corpus mutation (``before`` -> ``after``,
+    membership changes only) to an existing ``write_tokenized_shards``
+    layout at ``path`` — the execution half of
+    ``tokenized_repack_delta``'s planning half. Every shard whose
+    sequences are all strictly below the first membership change's
+    stream position is left untouched ON DISK (same files, same bytes);
+    only shards at or after the boundary are re-encoded and rewritten,
+    via Spark dynamic partition overwrite; trailing shards of
+    ``before`` that ``after`` no longer fills are deleted.
+
+    Scale shape: the boundary is counts-only (two windows + two
+    anti-join mins); the expensive Arrow ENCODE pass runs only over
+    documents overlapping rewritten shards — a takedown touching the
+    tail of each shard stream re-encodes the tail, not the corpus. The
+    boundary frame is O(#shard-keys) and broadcast. Stale-dir cleanup
+    is an O(#stale shards) filesystem walk (a metastore/manifest op on
+    a real deployment; local-fs here).
+
+    Returns a manifest dict: per shard key, the first rewritten shard
+    (or None), shards deleted. Caller must pass the SAME seq_len /
+    shard_size / vocab the layout was written with."""
+    import os
+    import shutil
+
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1, got {shard_size}")
+    spark = after.sparkSession
+    bounds = _shard_boundaries(
+        before, after, vocab, seq_len, shard_size,
+        id_col, text_col, shard_col,
+    )
+    rows = bounds.collect()  # O(#shard-keys): sources, not documents
+    boundary = {
+        r["__k"]: (r["start_seq"], r["n_total_after"]) for r in rows
+    }
+
+    changed = {k: v for k, v in boundary.items() if v[0] is not None}
+    manifest = {
+        k: {"first_rewritten_shard": (v[0] // shard_size if v[0] is not None else None),
+            "deleted_shards": []}
+        for k, v in boundary.items()
+    }
+    if changed:
+        bk = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [(k, int(v[0])) for k, v in changed.items()], 1
+            ),
+            "__k string, __start_seq long",
+        )
+        encoder = bpe_encode_udf(vocab)
+        counter = bpe_count_udf(vocab)
+        counted = after.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(shard_col).alias("__k"),
+            F.col(text_col).alias("__text"),
+            counter(F.col(text_col)).cast("bigint").alias("__n"),
+        )
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        placed_counts = counted.withColumn(
+            "__cum_prev",
+            F.coalesce(F.sum("__n").over(w), F.lit(0).cast("bigint")),
+        )
+        # encode ONLY documents overlapping a rewritten shard
+        todo = (
+            placed_counts.join(F.broadcast(bk), "__k")
+            .filter(
+                (F.col("__cum_prev") + F.col("__n"))
+                > F.col("__start_seq") * seq_len
+            )
+            .filter(F.col("__n") > 0)
+        )
+        placed = todo.select(
+            F.col("__k").alias(shard_col),
+            encoder(F.col("__text")).alias("__ids"),
+            "__n",
+            "__cum_prev",
+            "__start_seq",
+        )
+        slices = _slice_by_sequence(placed, seq_len, shard_col)
+        # _slice_by_sequence drops extra columns; re-join the per-key
+        # boundary (broadcast, O(#keys)) to trim slices of the
+        # unchanged-prefix sequences a straddling document also feeds
+        slices = slices.join(
+            F.broadcast(
+                bk.select(F.col("__k").alias(shard_col), "__start_seq")
+            ),
+            shard_col,
+        ).filter(F.col("seq_id") >= F.col("__start_seq"))
+        seqs = _assemble_slices(
+            slices.select(shard_col, "seq_id", "__g", "__slice"), shard_col
+        )
+        out = seqs.withColumn(
+            "shard_id",
+            F.floor(F.col("seq_id") / shard_size).cast("bigint"),
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                out.repartition(shard_col, "shard_id")
+                .sortWithinPartitions(shard_col, "shard_id", "seq_id")
+                .write.mode("overwrite")
+                .partitionBy(shard_col, "shard_id")
+                .parquet(path)
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+    # truncate: delete shard dirs past B's last shard (and keys gone)
+    root = path[len("file:"):] if path.startswith("file:") else path
+    if os.path.isdir(root):
+        for kdir in os.listdir(root):
+            if not kdir.startswith(f"{shard_col}="):
+                continue
+            key = kdir[len(shard_col) + 1:]
+            total = boundary.get(key, (None, 0))[1]
+            n_seqs = -(-total // seq_len) if total else 0
+            last_shard = (n_seqs - 1) // shard_size if n_seqs else -1
+            for sdir in os.listdir(os.path.join(root, kdir)):
+                if not sdir.startswith("shard_id="):
+                    continue
+                sid = int(sdir[len("shard_id="):])
+                if sid > last_shard:
+                    shutil.rmtree(os.path.join(root, kdir, sdir))
+                    manifest.setdefault(
+                        key,
+                        {"first_rewritten_shard": None,
+                         "deleted_shards": []},
+                    )["deleted_shards"].append(sid)
+            if not any(
+                s.startswith("shard_id=")
+                for s in os.listdir(os.path.join(root, kdir))
+            ):
+                shutil.rmtree(os.path.join(root, kdir))
+    return manifest

@@ -2687,6 +2687,94 @@ def q_tokenized_repack_delta(spark, sf_dir):
     )
 
 
+def _incremental_rewrite_oracle() -> str:
+    """Full rebuild of the AFTER snapshot (takedown membership) through
+    the encode + sequence-assembly CTEs, grouped to the shard manifest
+    the incremental rewriter's read-back is aggregated to — equality
+    hash-checks 'incremental rewrite == full rewrite' on disk bytes."""
+    enc = _bpe_encode_ctes().replace("FROM documents", "FROM bsnap")
+    seq = _tokenized_seq_sql(512).replace(
+        "FROM documents t JOIN edocs e USING (doc_id)",
+        "FROM bsnap t JOIN edocs e USING (doc_id)",
+    )
+    return f"""WITH RECURSIVE bsnap AS (
+  SELECT * FROM documents
+  WHERE substr(md5('takedown:' || CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+),
+{enc},
+{seq}
+SELECT source,
+       CAST(seq_id // 16 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(n_ids) AS BIGINT) AS n_ids,
+       md5(string_agg(ids, '|' ORDER BY seq_id)) AS ids_md5
+FROM tseqs GROUP BY 1, 2
+"""
+
+
+@register("tokenized_incremental_rewrite", oracle=_incremental_rewrite_oracle())
+def q_tokenized_incremental_rewrite(spark, sf_dir):
+    """The EXECUTION half of tokenized_repack_delta's planning half:
+    write the full tokenized-shard layout of snapshot A (doc_id % 7 !=
+    0), then apply the A -> B mutation (B = md5 takedown membership)
+    with operators/tokenized.py:rewrite_tokenized_shards_incremental —
+    shards wholly below the first membership change keep their exact
+    on-disk files; only the changed suffix is re-ENCODED (the Arrow
+    pass runs over suffix documents, not the corpus) and rewritten via
+    dynamic partition overwrite; stale trailing shards are deleted.
+    The read-back is aggregated to a per-(source, shard) manifest with
+    an order-keyed md5 over the id strings, and the oracle rebuilds B
+    from scratch in SQL — so 'incremental == full rewrite' is
+    hash-checked by the driver down to the exact ids on disk."""
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        rewrite_tokenized_shards_incremental,
+        tokenized_sequences,
+        write_tokenized_shards,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 7 != 0)
+    b = d.filter(
+        F.md5(
+            F.concat(F.lit("takedown:"), F.col("doc_id").cast("string"))
+        ).substr(1, 1)
+        != "0"
+    )
+    path = _scratch("tok_incr_rewrite") + "/shards"
+    write_tokenized_shards(
+        tokenized_sequences(a, seq_len=512), path, shard_size=16
+    )
+    rewrite_tokenized_shards_incremental(
+        a, b, path, shard_size=16, seq_len=512
+    )
+    back = spark.read.parquet(path)
+    ids_str = F.concat_ws(
+        " ", F.transform("token_ids", lambda x: x.cast("string"))
+    )
+    ordered_ids = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("seq_id", "__ids_str"))),
+            lambda s: s["__ids_str"],
+        ),
+        "|",
+    )
+    return (
+        back.select(
+            F.col("source").cast("string").alias("source"),
+            F.col("shard_id").cast("bigint").alias("shard_id"),
+            "seq_id",
+            F.col("n_ids").cast("bigint").alias("n_ids"),
+            ids_str.alias("__ids_str"),
+        )
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+            F.sum("n_ids").cast("bigint").alias("n_ids"),
+            F.md5(ordered_ids).alias("ids_md5"),
+        )
+    )
+
+
 @register(
     "packing_efficiency_curve",
     oracle=f"""

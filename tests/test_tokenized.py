@@ -232,3 +232,118 @@ def test_tokenized_repack_delta_matches_assembled_sequences(spark, sf_smoke):
             row["n_seqs_rewritten"]
             == row["n_seqs_after"] - row["n_seqs_unchanged"]
         )
+
+
+def _seqs_map(df):
+    return {
+        (r["source"], r["seq_id"]): list(r["token_ids"])
+        for r in df.collect()
+    }
+
+
+def _file_inventory(path):
+    inv = {}
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                inv[p] = os.path.getmtime(p)
+    return inv
+
+
+def _read_back(spark, path):
+    return spark.read.parquet(path).select("source", "seq_id", "token_ids")
+
+
+def test_incremental_rewrite_append_only_touches_tail(spark, tmp_path):
+    """Appending documents at the end of each source's doc-id order must
+    rewrite ONLY the final (partial) shard onward: every earlier shard
+    keeps its exact on-disk files, and the result equals a full rewrite
+    of the after-snapshot."""
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        rewrite_tokenized_shards_incremental,
+    )
+
+    base = [(i, "a", f"doc number {i} query table value") for i in range(1, 30)]
+    extra = [(i, "a", f"appended doc {i} fast hash") for i in range(30, 36)]
+    A = spark.createDataFrame(base, SCHEMA)
+    B = spark.createDataFrame(base + extra, SCHEMA)
+    path = str(tmp_path / "shards")
+    write_tokenized_shards(
+        tokenized_sequences(A, seq_len=8), path, shard_size=2
+    )
+    inv = _file_inventory(path)
+    man = rewrite_tokenized_shards_incremental(
+        A, B, path, shard_size=2, seq_len=8
+    )
+    assert _seqs_map(_read_back(spark, path)) == _seqs_map(
+        tokenized_sequences(B, seq_len=8)
+    )
+    # boundary: first rewritten shard = the shard holding A's last seq
+    n_a = sum(
+        r["n_bpe_tokens"]
+        for r in with_bpe_token_counts(A).select("n_bpe_tokens").collect()
+    )
+    first = (n_a // 8) // 2
+    assert man["a"]["first_rewritten_shard"] == first
+    untouched = [
+        p
+        for p, m in inv.items()
+        if os.path.exists(p) and os.path.getmtime(p) == m
+    ]
+    # every shard strictly below the boundary kept its exact files
+    for p in inv:
+        sid = int(p.split("shard_id=")[1].split("/")[0])
+        if sid < first:
+            assert p in untouched, p
+
+
+def test_incremental_rewrite_truncates_stale_shards(spark, tmp_path):
+    """A shrinking mutation (mass takedown) must delete trailing shard
+    dirs the after-snapshot no longer fills, and a fully-removed source
+    loses its directory."""
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        rewrite_tokenized_shards_incremental,
+    )
+
+    rows = [
+        (i, "a", f"doc number {i} query table value") for i in range(1, 30)
+    ] + [(i, "b", f"other {i} source row") for i in range(100, 110)]
+    A = spark.createDataFrame(rows, SCHEMA)
+    B = spark.createDataFrame(
+        [r for r in rows if r[1] == "a" and r[0] <= 5], SCHEMA
+    )
+    path = str(tmp_path / "shards")
+    write_tokenized_shards(
+        tokenized_sequences(A, seq_len=8), path, shard_size=2
+    )
+    man = rewrite_tokenized_shards_incremental(
+        A, B, path, shard_size=2, seq_len=8
+    )
+    assert _seqs_map(_read_back(spark, path)) == _seqs_map(
+        tokenized_sequences(B, seq_len=8)
+    )
+    assert not os.path.isdir(os.path.join(path, "source=b"))
+    assert man["b"]["deleted_shards"], "source b's shards must be deleted"
+
+
+def test_incremental_rewrite_no_change_is_noop(spark, tmp_path):
+    """Identical snapshots: no shard rewritten, no file touched, no
+    deletion — the manifest says so and the bytes prove it."""
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        rewrite_tokenized_shards_incremental,
+    )
+
+    rows = [(i, "a", f"doc number {i} query") for i in range(1, 20)]
+    A = spark.createDataFrame(rows, SCHEMA)
+    path = str(tmp_path / "shards")
+    write_tokenized_shards(
+        tokenized_sequences(A, seq_len=8), path, shard_size=2
+    )
+    inv = _file_inventory(path)
+    man = rewrite_tokenized_shards_incremental(
+        A, A, path, shard_size=2, seq_len=8
+    )
+    assert man["a"]["first_rewritten_shard"] is None
+    assert man["a"]["deleted_shards"] == []
+    assert _file_inventory(path) == inv
