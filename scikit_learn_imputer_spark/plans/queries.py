@@ -2775,6 +2775,121 @@ def q_tokenized_incremental_rewrite(spark, sf_dir):
     )
 
 
+def _token_id_histogram_oracle() -> str:
+    return f"""WITH RECURSIVE {_bpe_encode_ctes()},
+ids_flat AS (
+  SELECT CAST(unnest(str_split(ids, ' ')) AS BIGINT) AS token_id
+  FROM edocs WHERE ids <> ''
+)
+SELECT i.token_id,
+       coalesce(v.v, '') AS token,
+       CAST(count(*) AS BIGINT) AS n
+FROM ids_flat i LEFT JOIN vocab v ON v.vid = i.token_id
+GROUP BY 1, 2
+ORDER BY n DESC, token_id
+LIMIT 50
+"""
+
+
+@register("token_id_histogram", oracle=_token_id_histogram_oracle())
+def q_token_id_histogram(spark, sf_dir):
+    """Vocabulary audit over the ENCODED corpus: the top-50 token ids a
+    trainer will actually see, with their symbols (byte-fallback ids —
+    the band >= len(vocab) — show an empty symbol). The wordcount shape
+    at id granularity: one Arrow encode pass, an explode whose rows are
+    immediately partial-aggregated map-side (shuffle carries one row
+    per distinct id per partition — vocabulary-sized, never
+    corpus-sized), a broadcast join to the O(|vocab|) symbol table, and
+    a top-k. The audit every tokenizer change should re-run: id mass
+    concentration, dead vocab entries, fallback-band leakage."""
+    from scikit_learn_imputer_spark.functions.bpe import (
+        DEFAULT_BPE_VOCAB,
+        bpe_encode,
+        vocab_ids,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    enc = bpe_encode(d.select("doc_id", "text"))
+    counts = (
+        enc.select(F.explode("token_ids").alias("token_id"))
+        .groupBy(F.col("token_id").cast("bigint").alias("token_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark_vocab = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(int(i), v) for v, i in vocab_ids(DEFAULT_BPE_VOCAB).items()], 1
+        ),
+        "token_id long, token string",
+    )
+    return (
+        counts.join(F.broadcast(spark_vocab), "token_id", "left")
+        .select(
+            "token_id",
+            F.coalesce("token", F.lit("")).alias("token"),
+            "n",
+        )
+        .orderBy(F.desc("n"), "token_id")
+        .limit(50)
+    )
+
+
+@register(
+    "curriculum_epoch_order",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, source,
+         round({_QSCORE_SQL}, 6) AS qr,
+         CAST(({_NTOK_SQL}) AS BIGINT) AS n
+  FROM documents
+),
+b AS (
+  SELECT source, qr, n,
+         ntile(10) OVER (PARTITION BY source ORDER BY qr DESC, doc_id)
+           AS phase
+  FROM q
+)
+SELECT CAST(phase AS INTEGER) AS phase, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       min(qr) AS q_min, max(qr) AS q_max
+FROM b GROUP BY 1, 2
+""",
+)
+def q_curriculum_epoch_order(spark, sf_dir):
+    """Curriculum training schedule: per source, documents are ranked
+    clean -> noisy by the composite quality score (deterministic
+    tie-break on doc_id — no rand(), reproducible everywhere) and cut
+    into 10 equal phases; a trainer consumes phase 1 first and anneals
+    toward the noisier tail. Reported as per-(phase, source) doc/token
+    mass with the phase's quality band. Cost shape: one projection for
+    the score, one per-source ntile window (shuffles (id, score) pairs,
+    never text), one aggregate — the schedule is metadata-sized at any
+    corpus scale."""
+    from scikit_learn_imputer_spark.functions.text import (
+        quality_score_col,
+        token_count_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "source",
+        F.round(quality_score_col(F.col("text")), 6).alias("qr"),
+        token_count_col(F.col("text")).cast("bigint").alias("__n"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("qr"), "doc_id")
+    return (
+        q.withColumn("phase", F.ntile(10).over(w))
+        .groupBy(F.col("phase").cast("int").alias("phase"), "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("n_tokens"),
+            F.min("qr").alias("q_min"),
+            F.max("qr").alias("q_max"),
+        )
+    )
+
+
 @register(
     "packing_efficiency_curve",
     oracle=f"""
