@@ -171,6 +171,56 @@ def decontaminate_ngram(
     return corpus.join(contaminated, on=id_col, how="left_anti")
 
 
+def decontaminate_token_ngrams(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    vocab: tuple[str, ...] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TOKEN-space n-gram decontamination: drop every corpus document
+    sharing ANY n consecutive TOKENIZER IDS with any benchmark document
+    — the id-gram collision check modern eval-hygiene pipelines run
+    (word-gram overlap misses matches that tokenize identically across
+    whitespace/punctuation normalization differences; id grams are what
+    the model actually trains on).
+
+    Same scale shape as ``decontaminate_ngram``: one Arrow encode pass
+    per side, benchmark grams collapse to DISTINCT md5 digests, corpus
+    rows shuffle 16-byte digests (never text or ids), AQE promotes the
+    tiny sides to broadcast at runtime (no forced hint — ADVICE r4)."""
+    from scikit_learn_imputer_spark.functions.bpe import (
+        DEFAULT_BPE_VOCAB,
+        bpe_encode_udf,
+    )
+    from scikit_learn_imputer_spark.functions.text import array_ngrams_col
+
+    encoder = bpe_encode_udf(vocab or DEFAULT_BPE_VOCAB)
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                array_ngrams_col(encoder(F.col(text_col)), n)
+            ).alias("__g")
+        )
+        .select(F.md5("__g").alias("__bg"))
+        .distinct()
+    )
+    contaminated = (
+        corpus.select(
+            F.col(id_col),
+            F.explode(
+                array_ngrams_col(encoder(F.col(text_col)), n)
+            ).alias("__g"),
+        )
+        .select(id_col, F.md5("__g").alias("__cg"))
+        .join(bench_grams, F.col("__cg") == F.col("__bg"), "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(contaminated, on=id_col, how="left_anti")
+
+
 def benchmark_gram_digests(
     benchmark: DataFrame, n: int = 5, text_col: str = "text"
 ) -> DataFrame:

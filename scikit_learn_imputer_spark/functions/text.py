@@ -129,11 +129,20 @@ def word_ngrams_col(text: Column, n: int = 3) -> Column:
     DESCENDS rather than being empty, so short docs must short-circuit
     to [].)"""
     words = F.split(F.trim(text), "\\s+")
-    k = F.size(words) - (n - 1)
-    grams = F.slice(words, n, k)
+    return array_ngrams_col(words, n)
+
+
+def array_ngrams_col(arr: Column, n: int) -> Column:
+    """n-grams of ANY array column as space-joined ``array<string>``
+    (elements cast to string) — the ``word_ngrams_col`` fold generalized
+    to token-ID arrays and other sequences; same O(len) zip_with shape,
+    same short-doc short-circuit."""
+    strs = F.transform(arr, lambda x: x.cast("string"))
+    k = F.size(strs) - (n - 1)
+    grams = F.slice(strs, n, k)
     for off in range(n - 1, 0, -1):
         grams = F.zip_with(
-            F.slice(words, off, k),
+            F.slice(strs, off, k),
             grams,
             lambda a, rest: F.concat_ws(" ", a, rest),
         )

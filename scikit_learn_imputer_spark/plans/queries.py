@@ -3504,6 +3504,55 @@ def q_decontaminate_ngram_corpus(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars")
 
 
+def _token_ngram_decontam_oracle(n: int = 8) -> str:
+    g = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return f"""WITH RECURSIVE {_bpe_encode_ctes()},
+idt AS (
+  SELECT doc_id, str_split(ids, ' ') AS t FROM edocs WHERE ids <> ''
+),
+bg AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(t) - {n - 2}, 1)),
+             i -> {g})) AS g
+    FROM idt WHERE doc_id % 100 < 2
+  )
+),
+contam AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - {n - 2}, 1)),
+             i -> {g})) AS g
+    FROM idt WHERE doc_id % 100 >= 2
+  ) WHERE g IN (SELECT g FROM bg)
+)
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id % 100 >= 2
+  AND doc_id NOT IN (SELECT doc_id FROM contam)
+"""
+
+
+@register("decontam_token_ngrams", oracle=_token_ngram_decontam_oracle(16))
+def q_decontam_token_ngrams(spark, sf_dir):
+    """TOKEN-space decontamination
+    (dedup/exact.py:decontaminate_token_ngrams): drop corpus docs
+    sharing any 16 consecutive TOKENIZER IDS with the pseudo eval set
+    (strictness chosen to sit at the word-5-gram baseline's level on
+    this corpus; published pipelines use ~13 ids on real prose) —
+    the id-gram collision check run on what the model actually trains
+    on; word-gram overlap (decontaminate_ngram_corpus) misses pairs
+    that tokenize identically across whitespace/punctuation
+    normalization differences. Benchmark id-grams collapse to broadcast
+    digests; corpus ids never shuffle."""
+    from scikit_learn_imputer_spark.dedup.exact import (
+        decontaminate_token_ngrams,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 100 < 2)
+    corpus = d.filter(F.col("doc_id") % 100 >= 2)
+    out = decontaminate_token_ngrams(corpus, bench, n=16)
+    return out.select("doc_id", "source", "n_chars")
+
+
 @register(
     "contamination_report",
     oracle=r"""
