@@ -181,10 +181,12 @@ def decontaminate_token_ngrams(
 ) -> DataFrame:
     """TOKEN-space n-gram decontamination: drop every corpus document
     sharing ANY n consecutive TOKENIZER IDS with any benchmark document
-    — the id-gram collision check modern eval-hygiene pipelines run
-    (word-gram overlap misses matches that tokenize identically across
-    whitespace/punctuation normalization differences; id grams are what
-    the model actually trains on).
+    — the id-gram collision check modern eval-hygiene pipelines run.
+    Strictness is measured in what the model actually trains on: a
+    short word span of fallback-heavy words carries many ids and
+    triggers where a word-k-gram check misses (and vice versa for long
+    runs of 1-id words), so this is a DIFFERENT net than
+    ``decontaminate_ngram``, not a stricter one.
 
     Same scale shape as ``decontaminate_ngram``: one Arrow encode pass
     per side, benchmark grams collapse to DISTINCT md5 digests, corpus

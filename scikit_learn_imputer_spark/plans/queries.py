@@ -3538,10 +3538,11 @@ def q_decontam_token_ngrams(spark, sf_dir):
     (strictness chosen to sit at the word-5-gram baseline's level on
     this corpus; published pipelines use ~13 ids on real prose) —
     the id-gram collision check run on what the model actually trains
-    on; word-gram overlap (decontaminate_ngram_corpus) misses pairs
-    that tokenize identically across whitespace/punctuation
-    normalization differences. Benchmark id-grams collapse to broadcast
-    digests; corpus ids never shuffle."""
+    on. A DIFFERENT net than decontaminate_ngram_corpus, not a stricter
+    one: id-mass overlap triggers on fallback-heavy short word spans
+    word-grams miss, and vice versa (pinned by
+    test_decontaminate_token_ngrams_vs_word_grams). Benchmark id-grams
+    collapse to broadcast digests; corpus ids never shuffle."""
     from scikit_learn_imputer_spark.dedup.exact import (
         decontaminate_token_ngrams,
     )

@@ -1326,3 +1326,38 @@ def test_incremental_dedup_first_seen_beats_late_quality(spark, tmp_path):
     for keep in ("min", "quality"):
         out = incremental_dedup(later, store, keep=keep)
         assert out.collect() == [], f"late duplicate survived under {keep}"
+
+
+def test_decontaminate_token_ngrams_vs_word_grams(spark):
+    """Token-space decontamination triggers on id-mass, not word count:
+    a 4-word overlap whose words are fallback-heavy (6 ids each, 24 ids
+    total >= 16) is caught by the id-16-gram check but survives the
+    word-5-gram check — and conversely a 16-id run never spans a
+    4-word overlap of short 1-id words. Equality with the word check is
+    NOT expected; strictness is measured in what the model trains on."""
+    from scikit_learn_imputer_spark.dedup.exact import (
+        decontaminate_ngram,
+        decontaminate_token_ngrams,
+    )
+
+    # zqxjvk etc. have no vocab prefix: 6 byte-fallback ids per word
+    overlap = "zqxjvk wmbfpy ghrtln dkcsvz"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"prefix words then {overlap} and a different tail"),
+            (2, "completely unrelated content with other words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, f"{overlap} benchmark continuation")], ["doc_id", "text"]
+    )
+    word_kept = sorted(
+        r["doc_id"] for r in decontaminate_ngram(corpus, bench, n=5).collect()
+    )
+    tok_kept = sorted(
+        r["doc_id"]
+        for r in decontaminate_token_ngrams(corpus, bench, n=16).collect()
+    )
+    assert word_kept == [1, 2]  # only 4 shared words: word-5-gram misses
+    assert tok_kept == [2]  # 24 shared ids: id-16-gram catches doc 1
