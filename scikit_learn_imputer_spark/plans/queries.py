@@ -2810,8 +2810,13 @@ def q_token_id_histogram(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     enc = bpe_encode(d.select("doc_id", "text"))
+    # explode_outer, not explode: Catalyst infers a `size(arr) > 0`
+    # filter under a plain explode and CLONES the Arrow encode UDF into
+    # it — two encode passes over the corpus; outer-explode emits one
+    # null row per empty doc instead, dropped after the (single) pass
     counts = (
-        enc.select(F.explode("token_ids").alias("token_id"))
+        enc.select(F.explode_outer("token_ids").alias("token_id"))
+        .filter(F.col("token_id").isNotNull())
         .groupBy(F.col("token_id").cast("bigint").alias("token_id"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
