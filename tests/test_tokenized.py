@@ -152,14 +152,18 @@ def test_stream_tokenized_ingest_matches_batch(spark, tmp_path):
     # two files -> availableNow drains them as separate micro-batches
     import os
 
+    # pin distinct mtimes AFTER EACH WRITE so batches arrive in doc
+    # order (round-6 lesson). Pinning must go by write, not by sorted
+    # filename: part-file names embed a random UUID, so name order is a
+    # coin flip vs batch order (was a 50% flake).
     docs.filter(F.col("doc_id") <= 3).coalesce(1).write.parquet(src)
+    first = {f for f in os.listdir(src) if f.endswith(".parquet")}
     docs.filter(F.col("doc_id") > 3).coalesce(1).write.mode("append").parquet(src)
-    # pin distinct mtimes so batches arrive in doc order (round-6 lesson)
-    files = sorted(
-        f for f in os.listdir(src) if f.endswith(".parquet")
-    )
-    for i, f in enumerate(files):
-        os.utime(os.path.join(src, f), (1_700_000_000 + i, 1_700_000_000 + i))
+    for f in os.listdir(src):
+        if not f.endswith(".parquet"):
+            continue
+        t = 1_700_000_000 if f in first else 1_700_000_001
+        os.utime(os.path.join(src, f), (t, t))
 
     store = str(tmp_path / "offsets")
     out = str(tmp_path / "slices")
