@@ -233,3 +233,65 @@ def minhash_candidate_pairs(
     )
     big_pairs = probe.join(build, on=["band", "bucket", "__c"]).drop("__c")
     return finish(small_pairs.unionByName(big_pairs))
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "fast",
+    heavy_threshold: int = 20,
+) -> DataFrame:
+    """Per-band LSH bucket-population report — the straggler forecast
+    for the banded near-dup join. ``pairs_work`` (sum of s·(s-1)/2 over
+    buckets) is EXACTLY the number of candidate pairs the in-bucket
+    join will emit; ``heavy_buckets``/``salt_fanout`` quantify how much
+    of that the salted two-stage path (minhash_candidate_pairs
+    ``heavy='salt'``) would split, and into how many bounded chunks.
+    Run this before the join at a new scale: max_bucket tells you the
+    single worst task the UNSALTED join would create.
+
+    One gram explode + two bucket-keyed aggregates; output is
+    O(bands) rows."""
+    sigs = minhash_signatures(
+        df, num_hashes, shingle, id_col, text_col, hasher
+    )
+    bb = band_buckets(sigs, num_hashes, bands, id_col)
+    sz = bb.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s")
+    )
+    s = F.col("s")
+    return (
+        sz.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(s).cast("bigint").alias("n_docs"),
+            F.max(s).cast("bigint").alias("max_bucket"),
+            F.percentile(s, F.lit(0.5)).cast("double").alias("median_bucket"),
+            F.sum(s * (s - 1) / 2).cast("bigint").alias("pairs_work"),
+            F.sum(F.when(s > heavy_threshold, 1).otherwise(0))
+            .cast("bigint")
+            .alias("heavy_buckets"),
+            F.sum(
+                F.when(
+                    s > heavy_threshold,
+                    F.ceil(s / F.lit(float(heavy_threshold))).cast("bigint"),
+                ).otherwise(1)
+            )
+            .cast("bigint")
+            .alias("salt_fanout"),
+        )
+        .select(
+            F.col("band").cast("int").alias("band"),
+            "n_buckets",
+            "n_docs",
+            "max_bucket",
+            "median_bucket",
+            "pairs_work",
+            "heavy_buckets",
+            "salt_fanout",
+        )
+    )

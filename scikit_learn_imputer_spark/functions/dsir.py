@@ -1,0 +1,228 @@
+"""DSIR-style importance weighting for training-data selection.
+
+Hashed n-gram importance resampling (Xie et al. 2023, "Data Selection
+for Language Models via Importance Resampling", NeurIPS): score every
+raw document by the log-likelihood ratio of its hashed word-unigram
+features under a TARGET distribution versus the RAW corpus
+distribution, then sample the training set with the Gumbel-top-k trick
+so selection probability is proportional to the (softmax of the)
+importance score — the published scalable recipe for "pick raw web
+data that looks like the target domain".
+
+Engine-portable by construction so the driver can hash-compare against
+a DuckDB twin:
+
+- the feature hash is the first 8 hex chars of md5 folded mod
+  ``n_buckets`` (no engine-native ``hash()``);
+- per-bucket log-ratios are snapped to integer MICRO-units
+  (``round(ln(...) * 1e6)``) before any per-document summation, so
+  document scores are integer arithmetic on both engines;
+- the Gumbel perturbation derives from the same md5-uniform primitive
+  as every other deterministic sample in this repo
+  (functions/text.py:uniform_hash_col).
+
+Scale shape (the 100-TB story): two map-side partial aggregations over
+the exploded grams (raw + target histograms, each collapsing to
+``n_buckets`` rows), a broadcast join of the tiny distribution table
+back onto the gram stream, and one per-doc sum — the corpus text never
+shuffles, nothing driver-side ever exceeds O(n_buckets) rows, and the
+final selection is a TakeOrdered top-k (O(k) per partition), exactly
+how DSIR is run over Pile-scale raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def gram_bucket_col(gram: Column, n_buckets: int) -> Column:
+    """Portable feature hash: first 8 hex chars of md5 -> uint32 ->
+    mod ``n_buckets`` (DuckDB twin:
+    ``('0x' || substr(md5(g), 1, 8))::UBIGINT % n_buckets``)."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    ).cast("int")
+
+
+def dsir_scores(
+    df: DataFrame,
+    target: Column,
+    n_buckets: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-document DSIR importance scores.
+
+    ``target`` is a boolean Column selecting the rows that define the
+    target distribution (an eval-like / in-domain slice); the RAW
+    distribution is the whole input. Both distributions are
+    Laplace-(+1)-smoothed over ``n_buckets`` hashed word-unigram
+    buckets; a document's score is the MEAN per-gram log-likelihood
+    ratio ln(p_target / p_raw), in micro-unit integer arithmetic.
+
+    Returns ``(id_col, source_col, n_grams, score)`` for every document
+    with at least one whitespace token; ``score`` is the micro-snapped
+    double (exactly ``round(sum(m)/n) / 1e6``).
+    """
+    t = F.trim(F.col(text_col))
+    occ = (
+        df.filter(F.length(t) > 0)
+        .select(
+            id_col,
+            source_col,
+            target.alias("__is_target"),
+            F.explode(F.split(F.lower(t), r"\s+")).alias("__g"),
+        )
+        .select(
+            id_col,
+            source_col,
+            "__is_target",
+            gram_bucket_col(F.col("__g"), n_buckets).alias("__b"),
+        )
+    )
+    # Raw + target histograms in ONE pass (conditional count), collapsing
+    # the gram stream to <= n_buckets rows map-side.
+    hist = occ.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__c_r"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("__c_t"),
+    )
+    totals = hist.agg(
+        F.sum("__c_r").cast("double").alias("__n_r"),
+        F.sum("__c_t").cast("double").alias("__n_t"),
+    )
+    p_t = (F.col("__c_t") + 1) / (F.col("__n_t") + F.lit(float(n_buckets)))
+    p_r = (F.col("__c_r") + 1) / (F.col("__n_r") + F.lit(float(n_buckets)))
+    dist = (
+        hist.crossJoin(F.broadcast(totals))  # 1-row totals frame
+        .select(
+            "__b",
+            F.round(F.log(p_t / p_r) * 1e6).cast("bigint").alias("__m"),
+        )
+    )
+    per_doc = (
+        occ.join(F.broadcast(dist), "__b")
+        .groupBy(id_col, source_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("__m").alias("__sum_m"),
+        )
+    )
+    score_micro = F.round(F.col("__sum_m") / F.col("n_grams")).cast("bigint")
+    return per_doc.select(
+        id_col,
+        source_col,
+        "n_grams",
+        (score_micro / F.lit(1e6)).alias("score"),
+    )
+
+
+def gumbel_topk(
+    scored: DataFrame,
+    k: int,
+    seed: str = "dsir",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Gumbel-top-k importance resampling: perturb each score with an
+    independent Gumbel(0,1) draw (``-ln(-ln(u))`` from the
+    deterministic md5 uniform, offset by +0.5/2^32 so u is strictly
+    inside (0,1)) and take the k largest keys — a sample WITHOUT
+    replacement with inclusion probability softmax(score), per the
+    Gumbel-max trick. The key is snapped to micro-units before the
+    top-k so last-ulp ln() differences between engines cannot reorder
+    the cutoff; ties (astronomically unlikely) break on ``id_col``.
+
+    Physical plan: TakeOrderedAndProject — O(k) heap per partition, no
+    global sort materialization.
+    """
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{seed}:"), F.col(id_col).cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + F.lit(0.5)
+        )
+        / F.lit(4294967296.0)
+    )
+    gumbel = -F.log(-F.log(u))
+    key_micro = (
+        F.round((F.col(score_col) + gumbel) * 1e6).cast("bigint")
+    )
+    return (
+        scored.withColumn("__key", key_micro)
+        .orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("sample_key", (F.col("__key") / F.lit(1e6)))
+        .drop("__key")
+    )
+
+
+def embedding_target_select(
+    emb: DataFrame,
+    target: Column,
+    k: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """The embedding-space sibling of DSIR: select the k raw vectors
+    closest (cosine) to the TARGET slice's centroid — "keep what looks
+    like the target domain" when the signal lives in embeddings rather
+    than n-grams (the selection half of SemDeDup-style curation).
+
+    Engine-portable centroid: per-dimension components are snapped to
+    integer MICRO-units before summation, so the centroid is exact
+    integer arithmetic (no float-association drift between engines);
+    the only floats are the final per-vector cosine, with the same
+    dot/(norm*norm) sequence the other embedding oracles pin.
+
+    Scale shape: centroid = one tree-aggregated posexplode (d rows
+    map-side) collected O(d) to the driver; scoring = MAP-ONLY against
+    the literal centroid array (no join, nothing broadcast but d
+    doubles inside the plan); selection = TakeOrdered O(k) heap per
+    partition. The embedding column is read once.
+    """
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.dedup.embedding import cosine
+
+    tgt = (
+        emb.filter(target)
+        .select(F.posexplode(F.col(vec_col).cast("array<double>")))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.round(F.col("col") * 1e6).cast("bigint")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    if not tgt:
+        raise ValueError("target slice is empty — no centroid to select by")
+    comp = {r["pos"]: r["s"] / (r["n"] * 1e6) for r in tgt}
+    centroid = F.array(*[F.lit(comp[i]) for i in sorted(comp)])
+    scored = emb.select(
+        id_col,
+        *extra_cols,
+        cosine(centroid, F.col(vec_col).cast("array<double>")).alias("__cos"),
+    )
+    return (
+        scored.orderBy(F.col("__cos").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            *extra_cols,
+            F.round("__cos", 6).alias("cosine"),
+        )
+    )

@@ -270,6 +270,151 @@ def sequence_doc_spans(
     )
 
 
+def token_position_lookup(
+    df: DataFrame,
+    vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB,
+    seq_len: int = 512,
+    stride: int = 500,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """INVERSE provenance: map global token positions back to the
+    document that owns them — the "loss-spike forensics" lookup. Given
+    the per-shard token stream that ``tokenized_sequences`` packs, every
+    position that is a multiple of ``stride`` is resolved to
+    ``(shard, position, seq_id, doc_id, token_offset_in_doc,
+    offset_in_seq)``: which document a trainer was reading at that
+    position, and where inside the packed sequence it sat.
+
+    The naive formulation is a RANGE join (positions x doc cumulative
+    intervals) — quadratic-ish and unsortable at corpus scale. This
+    implementation inverts it: each document ENUMERATES the stride
+    multiples inside its own [cum, cum + n) interval via a bounded
+    ``F.sequence`` explode, so the cost is one counts-only shard window
+    (identical to ``sequence_doc_spans``) plus O(total_tokens / stride)
+    output rows. No join at all; document text never shuffles."""
+    from scikit_learn_imputer_spark.functions.bpe import with_bpe_token_counts
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    counts = with_bpe_token_counts(
+        df.select(id_col, shard_col, text_col), vocab, text_col
+    ).select(id_col, shard_col, F.col("n_bpe_tokens").alias("__n"))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = counts.withColumn(
+        "__cum",
+        F.coalesce(F.sum("__n").over(w), F.lit(0).cast("bigint")),
+    ).filter(F.col("__n") > 0)
+    # First / last stride multiple inside [cum, cum + n).
+    k0 = F.floor((F.col("__cum") + stride - 1) / stride)
+    k1 = F.floor((F.col("__cum") + F.col("__n") - 1) / stride)
+    hits = placed.filter(k1 >= k0).select(
+        id_col,
+        shard_col,
+        "__cum",
+        F.explode(F.sequence(k0, k1)).alias("__k"),
+    )
+    pos = F.col("__k") * stride
+    return hits.select(
+        shard_col,
+        pos.cast("bigint").alias("position"),
+        F.floor(pos / seq_len).cast("bigint").alias("seq_id"),
+        id_col,
+        (pos - F.col("__cum")).cast("bigint").alias("token_offset_in_doc"),
+        (pos % seq_len).cast("bigint").alias("offset_in_seq"),
+    )
+
+
+def sequence_quality_weights(
+    df: DataFrame,
+    vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Per-sequence LOSS WEIGHTS for packed training sequences: the
+    token-mass-weighted mean document quality of everything inside each
+    (shard, seq_id) — what a trainer multiplies into the loss when
+    packing mixes documents of uneven quality (the sequence-level
+    aggregate of per-doc loss weighting).
+
+    Quality is the repo's composite q_score (functions/text.py), snapped
+    to integer micro-units per document so the weighted mean is exact
+    integer arithmetic until the final division. Dataflow is identical
+    to ``sequence_doc_spans``: quality + BPE count in ONE map pass over
+    the corpus, a counts-only shard window, a bounded (doc, seq)
+    explode, one (shard, seq) aggregate — document text never shuffles.
+
+    Returns ``(shard, seq_id, n_docs, n_tokens, weight)`` where
+    ``n_tokens`` is the sequence's occupied token mass (== seq_len
+    except the shard tail) and ``weight`` = sum(L_d * q_d) / sum(L_d)
+    rounded to 6 places."""
+    from scikit_learn_imputer_spark.functions.bpe import with_bpe_token_counts
+    from scikit_learn_imputer_spark.functions.text import quality_features
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    base = quality_features(
+        with_bpe_token_counts(
+            df.select(id_col, shard_col, text_col), vocab, text_col
+        ),
+        text_col=text_col,
+    ).select(
+        id_col,
+        shard_col,
+        F.col("n_bpe_tokens").alias("__n"),
+        F.round(F.round("q_score", 6) * 1e6).cast("bigint").alias("__qm"),
+    )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = base.withColumn(
+        "__cum",
+        F.coalesce(F.sum("__n").over(w), F.lit(0).cast("bigint")),
+    ).filter(F.col("__n") > 0)
+    first_seq = F.floor(F.col("__cum") / seq_len)
+    last_seq = F.floor((F.col("__cum") + F.col("__n") - 1) / seq_len)
+    spans = placed.select(
+        shard_col,
+        "__qm",
+        "__cum",
+        "__n",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    overlap = F.least(
+        (F.col("seq_id") + 1) * seq_len, F.col("__cum") + F.col("__n")
+    ) - F.greatest(F.col("seq_id") * seq_len, F.col("__cum"))
+    return (
+        spans.select(
+            shard_col,
+            F.col("seq_id").cast("bigint").alias("seq_id"),
+            overlap.alias("__L"),
+            "__qm",
+        )
+        .groupBy(shard_col, "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__L").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("__L") * F.col("__qm"))
+                / F.sum("__L")
+                / 1e6,
+                6,
+            ).alias("weight"),
+        )
+    )
+
+
 def incremental_tokenized_slices(
     batch: DataFrame,
     store_path: str,

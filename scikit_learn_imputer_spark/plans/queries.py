@@ -1755,6 +1755,15 @@ def _waterfall_scrubbed_staged(spark, sf_dir):
         ntok.alias("n_tokens"),
         "n_paragraphs_removed",
     )
+    # The scrubbed corpus feeds the mass row, every gate's signals, the
+    # LM model, and the final attribution join. Left lazy, Catalyst
+    # clones the ENTIRE paragraph-dedup subtree into each reference and
+    # the clones compound through the survivor chain — measured ~240
+    # file scans in the physical plan at 7 stages. One lineage
+    # truncation here (what a production pipeline does by persisting the
+    # scrubbed corpus between stages) pins the scrub to a single
+    # materialization; every downstream stage plans against the leaf.
+    s0 = s0.localCheckpoint(eager=True)
 
     scrub_row = (
         s0.join(orig, "doc_id")
@@ -1799,7 +1808,15 @@ def _waterfall_scrubbed_staged(spark, sf_dir):
     lm_pass = lm.filter(F.round(F.col("lm_score"), 6) >= -1.75).select(
         "doc_id"
     )
-    pass1234 = pass123.join(lm_pass, "doc_id", "left_semi")
+    # Second truncation point: the map-only gates above are cheap to
+    # re-derive from the s0 leaf, but dedup + decontam below each
+    # reference their survivor set 2-3 times (fingerprint keepers,
+    # contamination explode, the attribution join) and each reference
+    # re-runs the repetition/LM signal explodes. Pin the post-gate
+    # survivors once; the expensive digest joins then plan against it.
+    pass1234 = pass123.join(lm_pass, "doc_id", "left_semi").localCheckpoint(
+        eager=True
+    )
 
     fp = pass1234.select("doc_id", fingerprint_col(F.col("text")).alias("__fp"))
     keepers = fp.groupBy("__fp").agg(F.min("doc_id").alias("__keep_id"))
@@ -9490,3 +9507,401 @@ ORACLE["source_quality_matrix"] = (
     .replace("{rep}", ORACLE["repetition_signals"])
     .replace("{lm}", ORACLE["bigram_lm_quality"])
 )
+
+
+def _dsir_ctes(n_buckets: int = 128, target_src: str = "src0") -> str:
+    """Shared DuckDB scoring chain for the DSIR queries: hashed-unigram
+    histograms (raw + target in one pass), Laplace-smoothed per-bucket
+    log-ratios in integer micro-units, per-doc sums. Yields CTEs:
+    occ(doc_id, source, is_t, b), hist, tot, dist(b, m),
+    per(doc_id, source, n_grams, sum_m)."""
+    return rf"""occ AS (
+  SELECT doc_id, source, (source = '{target_src}') AS is_t,
+         CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT % {n_buckets}
+              AS INTEGER) AS b
+  FROM (
+    SELECT doc_id, source,
+           unnest(str_split_regex(lower(trim(text)), '\s+')) AS g
+    FROM documents WHERE length(trim(text)) > 0
+  )
+),
+hist AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c_r,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+  FROM occ GROUP BY b
+),
+tot AS (SELECT CAST(sum(c_r) AS DOUBLE) AS n_r,
+               CAST(sum(c_t) AS DOUBLE) AS n_t FROM hist),
+dist AS (
+  SELECT b,
+         CAST(round(ln(((c_t + 1) / (tot.n_t + {n_buckets}.0)) /
+                       ((c_r + 1) / (tot.n_r + {n_buckets}.0))) * 1e6)
+              AS BIGINT) AS m
+  FROM hist, tot
+),
+per AS (
+  SELECT o.doc_id, o.source,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(d.m) AS BIGINT) AS sum_m
+  FROM occ o JOIN dist d USING (b)
+  GROUP BY o.doc_id, o.source
+)"""
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+WITH {_dsir_ctes()}
+SELECT doc_id, source, n_grams,
+       CAST(round(sum_m / n_grams) AS BIGINT) / 1e6 AS score
+FROM per
+""",
+)
+def q_dsir_importance_weights(spark, sf_dir):
+    """DSIR importance scores (functions/dsir.py — Xie et al. 2023,
+    hashed n-gram importance resampling): every document scored by the
+    mean log-likelihood ratio of its hashed word-unigram buckets under
+    the TARGET distribution (here the src0 slice standing in for an
+    eval-like domain) vs the RAW corpus distribution. The published
+    data-selection recipe for "raw web text that looks like the
+    target". Scale shape: one conditional-count histogram pass
+    (collapses to 128 rows map-side), a broadcast dist join back onto
+    the gram stream, one per-doc sum — text never shuffles."""
+    from scikit_learn_imputer_spark.functions.dsir import dsir_scores
+
+    return dsir_scores(
+        _t(spark, sf_dir, "documents"),
+        target=F.col("source") == "src0",
+        n_buckets=128,
+    )
+
+
+@register(
+    "dsir_resample",
+    oracle=f"""
+WITH {_dsir_ctes()},
+scored AS (
+  SELECT doc_id, source,
+         CAST(round(sum_m / n_grams) AS BIGINT) AS s_micro
+  FROM per
+),
+keyed AS (
+  SELECT doc_id, source, s_micro / 1e6 AS score,
+         CAST(round((s_micro / 1e6 + -ln(-ln(
+             (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              + 0.5) / 4294967296.0))) * 1e6) AS BIGINT) AS key_micro
+  FROM scored
+)
+SELECT doc_id, source, score, key_micro / 1e6 AS sample_key
+FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 100
+""",
+)
+def q_dsir_resample(spark, sf_dir):
+    """DSIR selection step: Gumbel-top-k importance resampling over the
+    dsir_importance_weights scores (functions/dsir.py:gumbel_topk) —
+    a deterministic without-replacement sample whose inclusion
+    probability follows softmax(score), per the Gumbel-max trick. Keys
+    are micro-snapped before the cutoff so engine last-ulp ln()
+    differences cannot reorder the k-th boundary. Physical plan:
+    TakeOrderedAndProject (O(k) heap per partition) — no global sort
+    materialization at corpus scale."""
+    from scikit_learn_imputer_spark.functions.dsir import (
+        dsir_scores,
+        gumbel_topk,
+    )
+
+    scored = dsir_scores(
+        _t(spark, sf_dir, "documents"),
+        target=F.col("source") == "src0",
+        n_buckets=128,
+    )
+    return gumbel_topk(scored, k=100).select(
+        "doc_id", "source", "score", "sample_key"
+    )
+
+
+@register(
+    "token_position_lookup",
+    oracle=f"""
+WITH RECURSIVE {{bpe}},
+c AS (
+  SELECT doc_id, source, n_bpe_tokens AS n,
+         CAST(coalesce(sum(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum
+  FROM bcounts
+),
+hits AS (
+  SELECT source, doc_id, cum,
+         unnest(generate_series((cum + 499) // 500, (cum + n - 1) // 500)) AS k
+  FROM c WHERE n > 0 AND (cum + n - 1) // 500 >= (cum + 499) // 500
+)
+SELECT source, CAST(k * 500 AS BIGINT) AS position,
+       CAST((k * 500) // 512 AS BIGINT) AS seq_id,
+       doc_id,
+       CAST(k * 500 - cum AS BIGINT) AS token_offset_in_doc,
+       CAST((k * 500) % 512 AS BIGINT) AS offset_in_seq
+FROM hits
+""",
+)
+def q_token_position_lookup(spark, sf_dir):
+    """Inverse provenance (operators/tokenized.py:token_position_lookup,
+    the "loss-spike forensics" query): every 500th global BPE-token
+    position in each shard's packed stream resolved to the document
+    that owns it, its offset inside that document, and its placement
+    (seq_id, offset) in the 512-token sequences tokenized_sequences
+    cuts. Implemented WITHOUT the naive position-interval range join:
+    each doc enumerates the stride multiples inside its own [cum,
+    cum+n) interval via a bounded F.sequence explode — one counts-only
+    shard window, zero joins, O(total_tokens / stride) output rows."""
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        token_position_lookup,
+    )
+
+    return token_position_lookup(
+        _t(spark, sf_dir, "documents"), seq_len=512, stride=500
+    )
+
+
+ORACLE["token_position_lookup"] = ORACLE["token_position_lookup"].replace(
+    "{bpe}", _bpe_cte()
+)
+
+
+@register(
+    "embedding_target_select",
+    oracle="""
+WITH tpos AS (
+  SELECT i,
+         CAST(sum(CAST(round(v * 1e6) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(embedding::DOUBLE[]) AS v,
+           unnest(range(1, len(embedding) + 1)) AS i
+    FROM embeddings WHERE label = 0
+  )
+  GROUP BY i
+),
+cent AS (SELECT list(s::DOUBLE / (n * 1e6) ORDER BY i) AS c FROM tpos),
+scored AS (
+  SELECT e.vec_id, e.label,
+         list_dot_product(cent.c, e.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(cent.c, cent.c)) *
+          sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           AS cos
+  FROM embeddings e, cent
+)
+SELECT vec_id, label, round(cos, 6) AS cosine
+FROM scored ORDER BY cos DESC, vec_id LIMIT 200
+""",
+)
+def q_embedding_target_select(spark, sf_dir):
+    """Embedding-space target selection
+    (functions/dsir.py:embedding_target_select): the k=200 vectors
+    closest by cosine to the label-0 slice's centroid — DSIR's
+    embedding sibling, "keep raw data that looks like the target" when
+    the signal lives in embeddings. Centroid components accumulate in
+    integer micro-units (exact across engines, O(d) driver collect —
+    the codebook-collect pattern); scoring is MAP-ONLY against the
+    literal centroid (no join), selection is a TakeOrdered O(k) heap.
+    The embedding column is scanned once."""
+    from scikit_learn_imputer_spark.functions.dsir import (
+        embedding_target_select,
+    )
+
+    return embedding_target_select(
+        _t(spark, sf_dir, "embeddings"), target=F.col("label") == 0, k=200
+    )
+
+
+@register(
+    "sequence_quality_weights",
+    oracle=f"""
+WITH RECURSIVE {{bpe}},
+qd AS (
+  SELECT doc_id,
+         CAST(round(round(
+             0.4 * (CASE WHEN length(text) > 0
+               THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                    / length(text) ELSE 0.0 END)
+           + 0.3 * least((CASE WHEN {_NTOK_SQL} > 0
+               THEN CAST({_NSTOP_SQL} AS DOUBLE) / ({_NTOK_SQL})
+               ELSE 0.0 END) * 5, 1.0)
+           + 0.3 * (1 - least((CASE WHEN length(text) > 0
+               THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                    / length(text) ELSE 0.0 END) * 10, 1.0)), 6) * 1e6)
+           AS BIGINT) AS qm
+  FROM documents
+),
+c AS (
+  SELECT b.doc_id, b.source, b.n_bpe_tokens AS n, qd.qm,
+         CAST(coalesce(sum(b.n_bpe_tokens) OVER (PARTITION BY b.source ORDER BY b.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+  FROM bcounts b JOIN qd USING (doc_id)
+),
+sp AS (
+  SELECT source, qm, n, cum,
+         unnest(generate_series(cum // 512, (cum + n - 1) // 512)) AS sq
+  FROM c WHERE n > 0
+),
+ol AS (
+  SELECT source, CAST(sq AS BIGINT) AS seq_id, qm,
+         least((sq + 1) * 512, cum + n) - greatest(sq * 512, cum) AS L
+  FROM sp
+)
+SELECT source, seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(L) AS BIGINT) AS n_tokens,
+       round(CAST(sum(L * qm) AS DOUBLE) / sum(L) / 1e6, 6) AS weight
+FROM ol GROUP BY 1, 2
+""",
+)
+def q_sequence_quality_weights(spark, sf_dir):
+    """Per-sequence loss weights
+    (operators/tokenized.py:sequence_quality_weights): the
+    token-mass-weighted mean document q_score inside each packed
+    512-token sequence — what a trainer multiplies into the loss when
+    packing mixes documents of uneven quality. Quality + BPE count in
+    one map pass, counts-only shard window, bounded (doc, seq)
+    explode, one aggregate; integer micro-unit weighting end to end."""
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        sequence_quality_weights,
+    )
+
+    return sequence_quality_weights(
+        _t(spark, sf_dir, "documents"), seq_len=512
+    )
+
+
+ORACLE["sequence_quality_weights"] = ORACLE["sequence_quality_weights"].replace(
+    "{bpe}", _bpe_cte()
+)
+
+
+def _lsh_bucket_skew_oracle() -> str:
+    """Bucket populations from the (already-oracled) md5 signatures:
+    bucket = md5 of the band's comma-joined signature slice — the SAME
+    keying band_buckets/minhash_candidate_pairs use."""
+    band_selects = []
+    for b in range(_MINHASH_K // 4):
+        cols = ", ".join(
+            f"CAST(sig_{4 * b + j} AS VARCHAR)" for j in range(4)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sigs"
+        )
+    union = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH sigs AS ({_minhash_oracle_sql()}),
+bb AS (
+  {union}
+),
+sz AS (SELECT band, bucket, CAST(count(*) AS BIGINT) AS s
+       FROM bb GROUP BY 1, 2)
+SELECT CAST(band AS INTEGER) AS band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(s) AS BIGINT) AS n_docs,
+       CAST(max(s) AS BIGINT) AS max_bucket,
+       CAST(quantile_cont(s, 0.5) AS DOUBLE) AS median_bucket,
+       CAST(sum(s * (s - 1) // 2) AS BIGINT) AS pairs_work,
+       CAST(sum(CASE WHEN s > 20 THEN 1 ELSE 0 END) AS BIGINT) AS heavy_buckets,
+       CAST(sum(CASE WHEN s > 20 THEN (s + 19) // 20 ELSE 1 END) AS BIGINT)
+         AS salt_fanout
+FROM sz GROUP BY band
+"""
+
+
+@register("lsh_bucket_skew", oracle=_lsh_bucket_skew_oracle())
+def q_lsh_bucket_skew(spark, sf_dir):
+    """LSH bucket-skew forecast (dedup/minhash.py:lsh_bucket_stats):
+    per-band bucket populations of the banded MinHash join —
+    pairs_work is EXACTLY the candidate-pair count the in-bucket join
+    emits, max_bucket the worst unsalted task, salt_fanout the bounded
+    chunk count the salted two-stage path splits heavy buckets into.
+    The run-before-you-join health check that decides whether the
+    skew guard is needed at a new corpus scale. One gram explode + two
+    bucket-keyed aggregates; O(bands) output rows."""
+    from scikit_learn_imputer_spark.dedup.minhash import lsh_bucket_stats
+
+    return lsh_bucket_stats(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_MINHASH_K,
+        bands=_MINHASH_K // 4,
+        shingle=5,
+        hasher="md5",
+        heavy_threshold=20,
+    )
+
+
+@register(
+    "dsir_selection_drift",
+    oracle=f"""
+WITH {_dsir_ctes()},
+scored AS (
+  SELECT doc_id, source,
+         CAST(round(sum_m / n_grams) AS BIGINT) AS s_micro
+  FROM per
+),
+keyed AS (
+  SELECT doc_id, source,
+         CAST(round((s_micro / 1e6 + -ln(-ln(
+             (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              + 0.5) / 4294967296.0))) * 1e6) AS BIGINT) AS key_micro
+  FROM scored
+),
+sel AS (SELECT doc_id FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 100),
+tots AS (SELECT CAST(count(*) AS DOUBLE) AS nr FROM scored)
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n_docs_raw,
+       CAST(count(sel.doc_id) AS BIGINT) AS n_selected,
+       round(count(*) / tots.nr, 6) AS raw_share,
+       round(count(sel.doc_id) / 100.0, 6) AS sel_share,
+       round(count(sel.doc_id) / 100.0 - count(*) / tots.nr, 6) AS drift
+FROM scored s LEFT JOIN sel USING (doc_id) CROSS JOIN tots
+GROUP BY s.source, tots.nr
+""",
+)
+def q_dsir_selection_drift(spark, sf_dir):
+    """Selection-bias audit for DSIR resampling: per source, the raw
+    corpus share vs the share of the k=100 Gumbel-top-k selection —
+    the number a curation run reports to show HOW the target-domain
+    filter re-weighted the mixture (sources resembling src0 drift
+    positive, the rest negative; drifts sum to ~0). Same scoring
+    dataflow as dsir_importance_weights plus a broadcast 100-row
+    semi-join and a 1-row total broadcast — nothing corpus-sized
+    beyond the scoring passes."""
+    from scikit_learn_imputer_spark.functions.dsir import (
+        dsir_scores,
+        gumbel_topk,
+    )
+
+    scored = dsir_scores(
+        _t(spark, sf_dir, "documents"),
+        target=F.col("source") == "src0",
+        n_buckets=128,
+    )
+    sel = gumbel_topk(scored, k=100).select("doc_id")
+    raw = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_raw")
+    )
+    selc = (
+        scored.join(F.broadcast(sel), "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_selected"))
+    )
+    tot = raw.agg(F.sum("n_docs_raw").cast("double").alias("__nr"))
+    out = (
+        raw.join(selc, "source", "left")
+        .withColumn("n_selected", F.coalesce("n_selected", F.lit(0).cast("bigint")))
+        .crossJoin(F.broadcast(tot))
+    )
+    raw_share = F.col("n_docs_raw") / F.col("__nr")
+    sel_share = F.col("n_selected") / F.lit(100.0)
+    return out.select(
+        "source",
+        "n_docs_raw",
+        "n_selected",
+        F.round(raw_share, 6).alias("raw_share"),
+        F.round(sel_share, 6).alias("sel_share"),
+        F.round(sel_share - raw_share, 6).alias("drift"),
+    )

@@ -41,6 +41,9 @@ INTENDED_NON_EQUI = {
     "mixture_epoch_plan",          # broadcast 1-row budget/normalizer frame
     "mixture_epoch_plan_bpe",      # same 1-row budget broadcast, BPE-counted
     "lm_score_deciles",            # broadcast 1-row decile-threshold frame
+    "dsir_importance_weights",     # broadcast 1-row gram-totals frame
+    "dsir_resample",               # same 1-row totals broadcast (scoring stage)
+    "dsir_selection_drift",        # same, plus a 1-row corpus-total broadcast
     "semdedup_threshold_curve",    # exact pair-join baseline (same as
                                    # embedding_near_pairs/semdedup_exact)
 }
