@@ -66,21 +66,45 @@ def dsir_scores(
     with at least one whitespace token; ``score`` is the micro-snapped
     double (exactly ``round(sum(m)/n) / 1e6``).
     """
+    dist = dsir_dist(df, target, n_buckets, text_col=text_col)
+    return dsir_scores_with_dist(
+        df,
+        dist,
+        n_buckets=n_buckets,
+        id_col=id_col,
+        text_col=text_col,
+        source_col=source_col,
+    )
+
+
+def _gram_buckets(
+    df: DataFrame, n_buckets: int, text_col: str, keep: list
+) -> DataFrame:
+    """One row per word occurrence: ``keep`` columns (names or aliased
+    Columns) + hashed bucket ``__b``; blank documents drop out."""
     t = F.trim(F.col(text_col))
-    occ = (
+    return (
         df.filter(F.length(t) > 0)
-        .select(
-            id_col,
-            source_col,
-            target.alias("__is_target"),
-            F.explode(F.split(F.lower(t), r"\s+")).alias("__g"),
-        )
-        .select(
-            id_col,
-            source_col,
-            "__is_target",
-            gram_bucket_col(F.col("__g"), n_buckets).alias("__b"),
-        )
+        .select(*keep, F.explode(F.split(F.lower(t), r"\s+")).alias("__g"))
+        .withColumn("__b", gram_bucket_col(F.col("__g"), n_buckets))
+        .drop("__g")
+    )
+
+
+def dsir_dist(
+    df: DataFrame,
+    target: Column,
+    n_buckets: int = 128,
+    text_col: str = "text",
+) -> DataFrame:
+    """The DSIR MODEL: the per-bucket micro-unit log-likelihood ratio
+    table, COMPLETE over all ``n_buckets`` buckets (buckets unseen at
+    fit time carry the smoothed zero-count ratio, so a dist fitted on
+    one corpus scores any other without dropped grams). O(n_buckets)
+    rows — the artifact you fit once and ship to every scoring pass.
+    Columns: ``(bucket, m, n_buckets)``."""
+    occ = _gram_buckets(
+        df, n_buckets, text_col, [target.alias("__is_target")]
     )
     # Raw + target histograms in ONE pass (conditional count), collapsing
     # the gram stream to <= n_buckets rows map-side.
@@ -88,25 +112,88 @@ def dsir_scores(
         F.count(F.lit(1)).alias("__c_r"),
         F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("__c_t"),
     )
-    totals = hist.agg(
+    spine = (
+        df.sparkSession.range(n_buckets)
+        .select(F.col("id").cast("int").alias("__b"))
+    )
+    full = (
+        spine.join(hist, "__b", "left")
+        .select(
+            "__b",
+            F.coalesce("__c_r", F.lit(0)).alias("__c_r"),
+            F.coalesce("__c_t", F.lit(0)).alias("__c_t"),
+        )
+    )
+    totals = full.agg(
         F.sum("__c_r").cast("double").alias("__n_r"),
         F.sum("__c_t").cast("double").alias("__n_t"),
     )
     p_t = (F.col("__c_t") + 1) / (F.col("__n_t") + F.lit(float(n_buckets)))
     p_r = (F.col("__c_r") + 1) / (F.col("__n_r") + F.lit(float(n_buckets)))
-    dist = (
-        hist.crossJoin(F.broadcast(totals))  # 1-row totals frame
+    return (
+        full.crossJoin(F.broadcast(totals))  # 1-row totals frame
         .select(
-            "__b",
-            F.round(F.log(p_t / p_r) * 1e6).cast("bigint").alias("__m"),
+            F.col("__b").alias("bucket"),
+            F.round(F.log(p_t / p_r) * 1e6).cast("bigint").alias("m"),
+            F.lit(n_buckets).cast("int").alias("n_buckets"),
         )
     )
+
+
+def save_dsir_dist(dist: DataFrame, path: str) -> None:
+    """Persist the fitted dist table (one tiny parquet file)."""
+    dist.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_dsir_dist(spark, path: str) -> DataFrame:
+    """Load and validate a persisted dist: exactly one ``n_buckets``
+    value and one row per bucket — a truncated/merged store scores
+    silently wrong, so fail loudly instead."""
+    dist = spark.read.parquet(path)
+    meta = dist.agg(
+        F.countDistinct("n_buckets").alias("nv"),
+        F.first("n_buckets").alias("b"),
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("bucket").alias("distinct_buckets"),
+    ).collect()[0]
+    if meta["nv"] != 1 or meta["rows"] != meta["b"] or (
+        meta["distinct_buckets"] != meta["b"]
+    ):
+        raise ValueError(
+            f"dsir dist at {path} is corrupt: n_buckets values={meta['nv']}, "
+            f"rows={meta['rows']}, distinct buckets="
+            f"{meta['distinct_buckets']}, expected {meta['b']} of each"
+        )
+    return dist
+
+
+def dsir_scores_with_dist(
+    df: DataFrame,
+    dist: DataFrame,
+    n_buckets: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """The SCORING half: per-doc mean micro log-ratio against an
+    already-fitted dist table (one broadcast join + one per-doc sum;
+    the production pass you run over the full raw corpus — or per
+    micro-batch — after fitting once). ``n_buckets`` is read from the
+    dist's own column when not given (O(1) collect)."""
+    if n_buckets is None:
+        n_buckets = dist.select("n_buckets").first()["n_buckets"]
+    occ = _gram_buckets(
+        df, n_buckets, text_col, [id_col, source_col]
+    )
     per_doc = (
-        occ.join(F.broadcast(dist), "__b")
+        occ.join(
+            F.broadcast(dist.select(F.col("bucket").alias("__b"), "m")),
+            "__b",
+        )
         .groupBy(id_col, source_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum("__m").alias("__sum_m"),
+            F.sum("m").alias("__sum_m"),
         )
     )
     score_micro = F.round(F.col("__sum_m") / F.col("n_grams")).cast("bigint")

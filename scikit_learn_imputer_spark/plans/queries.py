@@ -9905,3 +9905,31 @@ def q_dsir_selection_drift(spark, sf_dir):
         F.round(sel_share, 6).alias("sel_share"),
         F.round(sel_share - raw_share, 6).alias("drift"),
     )
+
+
+@register(
+    "dsir_scores_persisted",
+    oracle=ORACLE["dsir_importance_weights"],
+)
+def q_dsir_scores_persisted(spark, sf_dir):
+    """The DSIR production shape: FIT the per-bucket log-ratio dist
+    once, PERSIST it (an O(n_buckets)-row parquet artifact), reload
+    through the validating loader, and score the corpus from the
+    stored model (functions/dsir.py:dsir_dist/save/load/
+    dsir_scores_with_dist). Shares dsir_importance_weights' oracle —
+    equality through the save/load round trip is what's hash-checked.
+    At scale this is how DSIR runs: the dist ships to every scoring
+    pass (batch or per micro-batch) as a broadcast table; the corpus
+    is only ever touched by map-side explodes."""
+    from scikit_learn_imputer_spark.functions.dsir import (
+        dsir_dist,
+        dsir_scores_with_dist,
+        load_dsir_dist,
+        save_dsir_dist,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    path = _scratch("dsir_dist") + "/dist"
+    fitted = dsir_dist(d, target=F.col("source") == "src0", n_buckets=128)
+    save_dsir_dist(fitted, path)
+    return dsir_scores_with_dist(d, load_dsir_dist(spark, path))

@@ -354,3 +354,59 @@ def test_dsir_selection_drift_sums(spark, docs):
     # vocabulary, so there is no domain signal and the drift is honest
     # sampling noise; the target-uplift behavior when signal EXISTS is
     # pinned by test_gumbel_topk_deterministic_and_biased above.
+
+
+def test_dsir_dist_round_trip_and_validation(spark, docs, tmp_path):
+    from scikit_learn_imputer_spark.functions.dsir import (
+        dsir_dist,
+        dsir_scores,
+        dsir_scores_with_dist,
+        load_dsir_dist,
+        save_dsir_dist,
+    )
+
+    B = 32
+    dist = dsir_dist(docs, target=F.col("source") == "wiki", n_buckets=B)
+    rows = dist.collect()
+    # Complete spine: one row per bucket, even for buckets unseen in
+    # the fit corpus.
+    assert len(rows) == B
+    assert sorted(r["bucket"] for r in rows) == list(range(B))
+    path = str(tmp_path / "dist")
+    save_dsir_dist(dist, path)
+    loaded = load_dsir_dist(spark, path)
+    # Scoring from the store == scoring inline.
+    direct = {
+        (r["doc_id"], r["score"])
+        for r in dsir_scores(
+            docs, target=F.col("source") == "wiki", n_buckets=B
+        ).collect()
+    }
+    stored = {
+        (r["doc_id"], r["score"])
+        for r in dsir_scores_with_dist(docs, loaded).collect()
+    }
+    assert direct == stored
+    # A truncated store must fail loudly, not score silently wrong.
+    bad = str(tmp_path / "bad")
+    dist.filter(F.col("bucket") != 3).coalesce(1).write.parquet(bad)
+    with pytest.raises(ValueError, match="corrupt"):
+        load_dsir_dist(spark, bad)
+
+
+def test_dsir_dist_scores_unseen_grams(spark, docs):
+    """A dist fitted on one corpus scores a DIFFERENT corpus whose grams
+    never appeared at fit time — unseen buckets carry the smoothed
+    zero-count ratio instead of dropping the gram."""
+    from scikit_learn_imputer_spark.functions.dsir import (
+        dsir_dist,
+        dsir_scores_with_dist,
+    )
+
+    dist = dsir_dist(docs, target=F.col("source") == "wiki", n_buckets=32)
+    other = spark.createDataFrame(
+        [(100, "new", "zzzz qqqq xxxx wwww vvvv")], SCHEMA
+    )
+    got = dsir_scores_with_dist(other, dist).collect()
+    assert len(got) == 1
+    assert got[0]["n_grams"] == 5  # nothing dropped
