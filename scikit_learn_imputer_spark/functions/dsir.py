@@ -313,3 +313,41 @@ def embedding_target_select(
             F.round("__cos", 6).alias("cosine"),
         )
     )
+
+
+def stream_dsir_score_ingest(
+    docs_stream: DataFrame,
+    dist_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+):
+    """Continuous DSIR scoring: the dist is FIT OFFLINE once
+    (``dsir_dist`` + ``save_dsir_dist`` — the model artifact, like a
+    tokenizer vocab) and every micro-batch of raw documents is scored
+    against the persisted table as it arrives. Scoring is per-document
+    map-only (one broadcast join), so batch == stream EXACTLY, with no
+    cross-batch state at all; output is exactly-once via the
+    batch_id-keyed idempotent sink. At scale this is the shape DSIR
+    curation takes inside a live ingestion pipeline: score on arrival,
+    select downstream."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        from scikit_learn_imputer_spark.streaming.sinks import (
+            idempotent_batch_sink,
+        )
+
+        dist = load_dsir_dist(batch.sparkSession, dist_path)
+        scored = dsir_scores_with_dist(
+            batch, dist, id_col=id_col, text_col=text_col,
+            source_col=source_col,
+        )
+        idempotent_batch_sink(scored, out_path, batch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -9933,3 +9933,46 @@ def q_dsir_scores_persisted(spark, sf_dir):
     fitted = dsir_dist(d, target=F.col("source") == "src0", n_buckets=128)
     save_dsir_dist(fitted, path)
     return dsir_scores_with_dist(d, load_dsir_dist(spark, path))
+
+
+@register(
+    "stream_dsir_scores",
+    oracle=ORACLE["dsir_importance_weights"],
+)
+def q_stream_dsir_scores(spark, sf_dir):
+    """STREAMING DSIR scoring, driver-visible
+    (functions/dsir.py:stream_dsir_score_ingest): the dist is fitted
+    offline and persisted, the corpus is drained through a foreachBatch
+    scorer (map-only per batch, exactly-once batch_id-keyed sink), and
+    the landed scores are read back — hash-checked against the SAME
+    oracle as the inline batch query, so batch == stream is what the
+    driver verifies."""
+    from scikit_learn_imputer_spark.functions.dsir import (
+        dsir_dist,
+        save_dsir_dist,
+        stream_dsir_score_ingest,
+    )
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    dist_path = _scratch("dsir_sdist") + "/dist"
+    out = _scratch("dsir_sscores") + "/scores"
+    ck = _scratch("dsir_sck")
+    save_dsir_dist(
+        dsir_dist(docs, target=F.col("source") == "src0", n_buckets=128),
+        dist_path,
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select(*docs.columns)
+    )
+    q = stream_dsir_score_ingest(stream, dist_path, out, ck).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out).select(
+        "doc_id", "source", "n_grams", "score"
+    )

@@ -410,3 +410,47 @@ def test_dsir_dist_scores_unseen_grams(spark, docs):
     got = dsir_scores_with_dist(other, dist).collect()
     assert len(got) == 1
     assert got[0]["n_grams"] == 5  # nothing dropped
+
+
+def test_stream_dsir_scores_match_batch(spark, docs, tmp_path):
+    """Multi-micro-batch streaming scoring == inline batch scoring
+    (stateless map-only per batch, so arrival order is irrelevant)."""
+    from scikit_learn_imputer_spark.functions.dsir import (
+        dsir_dist,
+        dsir_scores,
+        save_dsir_dist,
+        stream_dsir_score_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    dist_path = str(tmp_path / "dist")
+    save_dsir_dist(
+        dsir_dist(docs, target=F.col("source") == "wiki", n_buckets=32),
+        dist_path,
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(*docs.columns)
+    )
+    out = str(tmp_path / "scores")
+    q = stream_dsir_score_ingest(
+        stream, dist_path, out, str(tmp_path / "ck")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["doc_id"], r["n_grams"], r["score"])
+        for r in spark.read.parquet(out).collect()
+    }
+    expect = {
+        (r["doc_id"], r["n_grams"], r["score"])
+        for r in dsir_scores(
+            docs, target=F.col("source") == "wiki", n_buckets=32
+        ).collect()
+    }
+    assert got == expect
