@@ -351,3 +351,92 @@ def stream_dsir_score_ingest(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def doremi_domain_weights(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eta: float = 1.0,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    NeurIPS): one exponentiated-gradient step from the baseline mixture,
+    up-weighting domains with EXCESS loss. The published recipe's
+    proxy-vs-reference loss gap needs two trained transformers; the
+    deterministic, engine-checkable stand-in here is the corpus
+    char-bigram LM's per-domain mean NLL versus the corpus-wide mean
+    NLL (same "harder than average" signal, same update rule):
+
+        excess_d = max(NLL_d - NLL_corpus, 0)
+        w_d ∝ share_d * exp(eta * excess_d),  normalized over domains
+
+    where share_d is the domain's bigram-mass share (the baseline
+    mixture a uniform-over-tokens sampler would realize).
+
+    Exactness: per-domain NLLs aggregate the per-term integer micro-nat
+    sums from functions/lm.py (never re-averaged doubles — per-source
+    means from doubles flip 6th-decimal rounding between engines), and
+    the exp() boost is snapped to integer micro-units before
+    normalization.
+
+    Scale shape: the corpus is touched once by the LM score pass
+    (map-only projection against the broadcast count table); everything
+    after is O(#domains) — two 1-row broadcast normalizer frames,
+    nothing corpus-sized shuffles.
+
+    Returns (source, n_docs, n_bigrams, bigram_share, excess_nll,
+    weight), one row per domain.
+    """
+    from scikit_learn_imputer_spark.functions.lm import bigram_lm_scores
+
+    scores = bigram_lm_scores(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        carry_cols=(source_col,),
+        with_sum_micro=True,
+    )
+    per_src = scores.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.sum("sum_micro").cast("bigint").alias("__s"),
+    )
+    # O(#domains) rows, but its lineage is the full corpus LM pass —
+    # truncate it so the two normalizer aggregates below and the final
+    # projection don't each re-scan the corpus (the dedup/cluster.py
+    # connected-components lesson).
+    per_src = per_src.localCheckpoint(eager=True)
+    z = per_src.agg(
+        F.sum("n_bigrams").cast("double").alias("__n_all"),
+        F.sum("__s").cast("double").alias("__s_all"),
+    )
+    nll_micro = F.round(
+        -F.col("__s").cast("double") / F.col("n_bigrams")
+    ).cast("bigint")
+    nll_all_micro = F.round(-F.col("__s_all") / F.col("__n_all")).cast(
+        "bigint"
+    )
+    excess_micro = F.greatest(nll_micro - nll_all_micro, F.lit(0))
+    boost_micro = F.round(
+        F.exp(F.lit(eta) * excess_micro.cast("double") / 1e6) * 1e6
+    ).cast("bigint")
+    share = F.col("n_bigrams").cast("double") / F.col("__n_all")
+    boosted = per_src.crossJoin(F.broadcast(z)).select(
+        source_col,
+        "n_docs",
+        "n_bigrams",
+        share.alias("__share"),
+        excess_micro.alias("__excess_micro"),
+        (share * boost_micro.cast("double")).alias("__raw"),
+    )
+    norm = boosted.agg(F.sum("__raw").alias("__z_raw"))
+    return boosted.crossJoin(F.broadcast(norm)).select(
+        source_col,
+        "n_docs",
+        "n_bigrams",
+        F.round(F.col("__share"), 6).alias("bigram_share"),
+        F.round(F.col("__excess_micro") / 1e6, 6).alias("excess_nll"),
+        F.round(F.col("__raw") / F.col("__z_raw"), 6).alias("weight"),
+    )

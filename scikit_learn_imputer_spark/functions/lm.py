@@ -64,10 +64,18 @@ def bigram_lm_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_map_entries: int = 65536,
+    carry_cols: tuple = (),
+    with_sum_micro: bool = False,
 ) -> DataFrame:
-    """(id, n_bigrams, lm_score): mean add-one-smoothed bigram log-prob
-    per document (higher = more typical of the corpus; filter the low
-    tail). Documents with < 2 chars produce no row (no bigrams).
+    """(id, *carry_cols, n_bigrams, lm_score): mean add-one-smoothed
+    bigram log-prob per document (higher = more typical of the corpus;
+    filter the low tail). Documents with < 2 chars produce no row (no
+    bigrams). ``carry_cols`` are passed through unchanged (they must be
+    functionally dependent on ``id_col``, e.g. ``source``);
+    ``with_sum_micro`` appends the exact integer micro-nat sum
+    (``sum_micro`` BIGINT) so downstream GROUP aggregates (per-domain
+    mean NLL, DoReMi reweighting) stay exact integer math instead of
+    re-averaging doubles.
 
     Two scoring paths, chosen by observed alphabet size:
 
@@ -130,15 +138,18 @@ def bigram_lm_scores(
         n_bg = F.size(bg).cast("bigint")
         from scikit_learn_imputer_spark.functions.skew import fan_out
 
-        return (
-            fan_out(docs).select(
-                F.col(id_col),
-                n_bg.alias("n_bigrams"),
-                (sm.cast("double") / n_bg / 1e6).alias("lm_score"),
-            )
-            .filter(F.col("n_bigrams") > 0)
-        )
-    return _bigram_lm_scores_join(docs, counts, id_col, text_col)
+        cols = [
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            n_bg.alias("n_bigrams"),
+            (sm.cast("double") / n_bg / 1e6).alias("lm_score"),
+        ]
+        if with_sum_micro:
+            cols.append(sm.alias("sum_micro"))
+        return fan_out(docs).select(*cols).filter(F.col("n_bigrams") > 0)
+    return _bigram_lm_scores_join(
+        docs, counts, id_col, text_col, carry_cols, with_sum_micro
+    )
 
 
 def _bigram_lm_scores_join(
@@ -146,6 +157,8 @@ def _bigram_lm_scores_join(
     counts: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: tuple = (),
+    with_sum_micro: bool = False,
 ) -> DataFrame:
     """Broadcast-join scoring path (see ``bigram_lm_scores``)."""
     prefix = counts.withColumn(
@@ -158,7 +171,9 @@ def _bigram_lm_scores_join(
     from scikit_learn_imputer_spark.functions.skew import fan_out
 
     terms = fan_out(docs).select(
-        F.col(id_col), F.explode(_bigrams(text_col)).alias("bigram")
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.explode(_bigrams(text_col)).alias("bigram"),
     )
     joined = (
         terms.join(F.broadcast(counts), on="bigram", how="left")
@@ -173,18 +188,22 @@ def _bigram_lm_scores_join(
         )
         * 1e6
     ).cast("bigint")
+    out_cols = [
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.col("n_bigrams"),
+        (F.col("sm").cast("double") / F.col("n_bigrams") / 1e6).alias(
+            "lm_score"
+        ),
+    ]
+    if with_sum_micro:
+        out_cols.append(F.col("sm").alias("sum_micro"))
     return (
-        joined.select(id_col, micro.alias("m"))
-        .groupBy(id_col)
+        joined.select(id_col, *carry_cols, micro.alias("m"))
+        .groupBy(id_col, *carry_cols)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum("m").alias("sm"),
         )
-        .select(
-            id_col,
-            "n_bigrams",
-            (F.col("sm").cast("double") / F.col("n_bigrams") / 1e6).alias(
-                "lm_score"
-            ),
-        )
+        .select(*out_cols)
     )

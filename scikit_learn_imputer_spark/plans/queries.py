@@ -9976,3 +9976,268 @@ def q_stream_dsir_scores(spark, sf_dir):
     return spark.read.parquet(out).select(
         "doc_id", "source", "n_grams", "score"
     )
+
+
+@register(
+    "doremi_domain_weights",
+    oracle=r"""
+WITH bg AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, greatest(length(lower(text)) - 1, 0)),
+                               i -> substr(lower(text), CAST(i AS INT), 2))) AS bigram
+  FROM documents
+),
+counts AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+prefix AS (SELECT substr(bigram, 1, 1) AS prefix, sum(c) AS pc
+           FROM counts GROUP BY 1),
+vocab AS (SELECT count(DISTINCT substr(bigram, 2, 1)) AS v FROM counts),
+terms AS (
+  SELECT b.doc_id, b.source,
+         CAST(round(ln((c.c + 1)::DOUBLE / (p.pc + vocab.v)::DOUBLE) * 1e6)
+              AS BIGINT) AS m
+  FROM bg b
+  JOIN counts c USING (bigram)
+  JOIN prefix p ON p.prefix = substr(b.bigram, 1, 1)
+  CROSS JOIN vocab
+),
+per_src AS (
+  SELECT source,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(m) AS BIGINT) AS s
+  FROM terms GROUP BY source
+),
+z AS (SELECT CAST(sum(n_bigrams) AS DOUBLE) AS n_all,
+             CAST(sum(s) AS DOUBLE) AS s_all FROM per_src),
+calc AS (
+  SELECT source, n_docs, n_bigrams,
+         n_bigrams::DOUBLE / z.n_all AS share,
+         greatest(CAST(round(-(s::DOUBLE) / n_bigrams) AS BIGINT)
+                  - CAST(round(-z.s_all / z.n_all) AS BIGINT),
+                  0) AS excess_micro
+  FROM per_src, z
+),
+boosted AS (
+  SELECT source, n_docs, n_bigrams, share, excess_micro,
+         share * CAST(round(exp(excess_micro / 1e6) * 1e6) AS BIGINT)
+           AS raw
+  FROM calc
+),
+norm AS (SELECT sum(raw) AS z_raw FROM boosted)
+SELECT source, n_docs, n_bigrams,
+       round(share, 6) AS bigram_share,
+       round(excess_micro / 1e6, 6) AS excess_nll,
+       round(raw / norm.z_raw, 6) AS weight
+FROM boosted, norm
+ORDER BY source
+""",
+)
+def q_doremi_domain_weights(spark, sf_dir):
+    """DoReMi-style domain reweighting (functions/dsir.py:
+    doremi_domain_weights — Xie et al. 2023, one exponentiated-gradient
+    step from the bigram-mass baseline mixture, boosting domains whose
+    corpus-LM mean NLL exceeds the corpus-wide mean). Completes the
+    mixture family: dsir_* picks DOCUMENTS for a target,
+    doremi_domain_weights re-weights DOMAINS by difficulty,
+    mixture_epoch_plan turns weights into the epoch table a trainer
+    consumes. One corpus LM pass; everything after is O(#domains) with
+    two 1-row broadcast normalizer frames."""
+    from scikit_learn_imputer_spark.functions.dsir import (
+        doremi_domain_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return doremi_domain_weights(d).orderBy("source")
+
+
+_SCALE_FRACS = (0.1, 0.25, 0.5, 1.0)
+
+
+@register(
+    "scaling_law_subsets",
+    oracle=f"""
+WITH u AS (
+  SELECT source,
+         CAST(('0x' || substr(md5('scale:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              AS DOUBLE) / 4294967296.0 AS u,
+         CAST(({_NTOK_SQL}) AS BIGINT) AS n
+  FROM documents
+),
+grid AS (
+  SELECT s.source, f.frac
+  FROM (SELECT DISTINCT source FROM u) s
+  CROSS JOIN (VALUES (0.1), (0.25), (0.5), (1.0)) f(frac)
+),
+per AS (
+  SELECT g.frac, g.source,
+         CAST(count(u.source) AS BIGINT) AS n_docs,
+         CAST(COALESCE(sum(u.n), 0) AS BIGINT) AS n_tokens
+  FROM grid g LEFT JOIN u ON u.source = g.source AND u.u < g.frac
+  GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS full_tokens FROM u GROUP BY source)
+SELECT CAST(per.frac AS DOUBLE) AS frac, per.source, per.n_docs, per.n_tokens,
+       round(per.n_tokens::DOUBLE / tot.full_tokens, 6) AS token_frac
+FROM per JOIN tot USING (source)
+ORDER BY frac, source
+""",
+)
+def q_scaling_law_subsets(spark, sf_dir):
+    """Nested scaling-law subset manifests: deterministic 10/25/50/100%
+    corpus subsets keyed on one salted md5 uniform per document, so the
+    subsets are NESTED by construction (u < 0.1 ⊆ u < 0.25 ⊆ …) — the
+    property a scaling-law sweep needs (each bigger run trains on a
+    strict superset, Kaplan/Chinchilla-style) and rand()-per-run
+    sampling cannot give. Per (fraction, source): docs, token mass, and
+    the achieved fraction of the source's full token mass (sampling is
+    doc-level uniform, so token_frac ≈ frac only when length is
+    independent of the draw — the report shows the designer exactly how
+    far off each slice is). One map-only pass + one O(#sources)
+    conditional aggregate: no per-fraction scans, no range join, the
+    corpus never shuffles."""
+    from scikit_learn_imputer_spark.functions.text import uniform_hash_col
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    n = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, "\\s+")))
+        .cast("bigint")
+    )
+    u = uniform_hash_col(F.concat(F.lit("scale:"), F.col("doc_id")))
+    base = d.select("source", u.alias("__u"), n.alias("__n"))
+    aggs = []
+    for i, f in enumerate(_SCALE_FRACS):
+        hit = F.col("__u") < F.lit(f)
+        aggs += [
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias(f"__d{i}"),
+            F.sum(F.when(hit, F.col("__n")).otherwise(0))
+            .cast("bigint")
+            .alias(f"__t{i}"),
+        ]
+    per_src = base.groupBy("source").agg(
+        *aggs, F.sum("__n").cast("bigint").alias("__full")
+    )
+    stack = ", ".join(
+        f"CAST({f} AS DOUBLE), __d{i}, __t{i}"
+        for i, f in enumerate(_SCALE_FRACS)
+    )
+    return (
+        per_src.select(
+            "source",
+            "__full",
+            F.expr(
+                f"stack({len(_SCALE_FRACS)}, {stack}) AS (frac, n_docs, n_tokens)"
+            ),
+        )
+        .select(
+            "frac",
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("__full"), 6
+            ).alias("token_frac"),
+        )
+        .orderBy("frac", "source")
+    )
+
+
+@register(
+    "split_leakage_audit",
+    oracle=r"""
+WITH u AS (
+  SELECT doc_id, text,
+         CASE WHEN h < 0.98 THEN 'train' WHEN h < 0.99 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, text,
+           CAST(('0x' || substr(md5('holdout:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                AS DOUBLE) / 4294967296.0 AS h
+    FROM documents
+  )
+),
+grams AS (
+  SELECT doc_id, split,
+         unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+           i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                    || w[i+3] || ' ' || w[i+4]))) AS g
+  FROM (SELECT doc_id, split, str_split_regex(trim(text), '\s+') AS w
+        FROM u)
+),
+train_g AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+leaked AS (
+  SELECT DISTINCT doc_id, split FROM grams
+  WHERE split <> 'train' AND g IN (SELECT g FROM train_g)
+),
+ev AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+       FROM u WHERE split <> 'train' GROUP BY split),
+lk AS (SELECT split, CAST(count(*) AS BIGINT) AS n_leaked
+       FROM leaked GROUP BY split)
+SELECT ev.split, ev.n_docs,
+       CAST(COALESCE(lk.n_leaked, 0) AS BIGINT) AS n_leaked,
+       round(CAST(COALESCE(lk.n_leaked, 0) AS DOUBLE) / ev.n_docs, 6)
+         AS leak_rate
+FROM ev LEFT JOIN lk USING (split)
+ORDER BY split
+""",
+)
+def q_split_leakage_audit(spark, sf_dir):
+    """Eval-hygiene audit of the holdout split itself: how many val /
+    test documents share ANY word 5-gram with ANY train document —
+    decontamination turned inward (decontaminate_* scrubs against an
+    EXTERNAL benchmark; this measures train→heldout leakage of the
+    split corpus_holdout_split fixes, same salt, so it audits exactly
+    that assignment). High leak_rate means heldout perplexity is
+    memorization, not generalization. Scale shape: grams collapse to
+    md5 digests immediately (text never shuffles), the train-gram side
+    is corpus-sized so the overlap is a digest-keyed shuffle semi-join
+    (NOT a broadcast — 100-TB train grams don't fit), then two
+    O(#splits) aggregates."""
+    from scikit_learn_imputer_spark.functions.text import (
+        uniform_hash_col,
+        word_ngrams_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    h = uniform_hash_col(F.concat(F.lit("holdout:"), F.col("doc_id")))
+    split = (
+        F.when(h < 0.98, "train").when(h < 0.99, "val").otherwise("test")
+    )
+    base = d.select(F.col("doc_id"), split.alias("split"), "text")
+    grams = base.select(
+        "doc_id",
+        "split",
+        F.explode(word_ngrams_col(F.col("text"), 5)).alias("g"),
+    ).select("doc_id", "split", F.md5("g").alias("g"))
+    train_g = grams.filter(F.col("split") == "train").select("g").distinct()
+    leaked = (
+        grams.filter(F.col("split") != "train")
+        .join(train_g, on="g", how="leftsemi")
+        .select("doc_id", "split")
+        .distinct()
+    )
+    ev = (
+        base.filter(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    lk = leaked.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_leaked")
+    )
+    return (
+        ev.join(lk, on="split", how="left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce(F.col("n_leaked"), F.lit(0))
+            .cast("bigint")
+            .alias("n_leaked"),
+            F.round(
+                F.coalesce(F.col("n_leaked"), F.lit(0)).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("leak_rate"),
+        )
+        .orderBy("split")
+    )

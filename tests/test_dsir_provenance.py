@@ -454,3 +454,61 @@ def test_stream_dsir_scores_match_batch(spark, docs, tmp_path):
         ).collect()
     }
     assert got == expect
+
+
+class TestDoremiDomainWeights:
+    """doremi_domain_weights: one EG step from the bigram-mass baseline
+    — the semantics, not the DuckDB values (test_oracle_parity.py)."""
+
+    @pytest.fixture(scope="class")
+    def weights(self, spark):
+        from scikit_learn_imputer_spark.functions.dsir import (
+            doremi_domain_weights,
+        )
+
+        docs = spark.createDataFrame(DOCS, SCHEMA)
+        rows = doremi_domain_weights(docs).collect()
+        return {r["source"]: r for r in rows}
+
+    def test_weights_normalized_and_positive(self, weights):
+        assert weights  # empty/whitespace docs drop, sources remain
+        total = sum(r["weight"] for r in weights.values())
+        assert total == pytest.approx(1.0, abs=2e-6)
+        assert all(r["weight"] > 0 for r in weights.values())
+
+    def test_excess_nonnegative_and_not_all_boosted(self, weights):
+        ex = {s: r["excess_nll"] for s, r in weights.items()}
+        assert all(v >= 0 for v in ex.values())
+        # the corpus mean sits inside the per-domain spread: at least
+        # one domain is at-or-below average (excess clamps to 0)
+        assert min(ex.values()) == 0
+
+    def test_boost_ratio_monotone_in_excess(self, weights):
+        # the EG step's guarantee is RELATIVE: weight/share (the boost
+        # each domain gets from the baseline mixture, up to the common
+        # normalizer) is strictly increasing in excess loss, and a
+        # zero-excess domain never out-boosts one with excess
+        by_excess = sorted(
+            weights.values(), key=lambda r: r["excess_nll"]
+        )
+        ratios = [r["weight"] / r["bigram_share"] for r in by_excess]
+        assert ratios == sorted(ratios)
+        assert by_excess[0]["excess_nll"] == 0
+        assert ratios[-1] > ratios[0]
+
+    def test_eta_zero_recovers_baseline_shares(self, spark):
+        from scikit_learn_imputer_spark.functions.dsir import (
+            doremi_domain_weights,
+        )
+
+        docs = spark.createDataFrame(DOCS, SCHEMA)
+        for r in doremi_domain_weights(docs, eta=0.0).collect():
+            assert r["weight"] == pytest.approx(
+                r["bigram_share"], abs=2e-6
+            )
+
+    def test_empty_docs_excluded_from_mass(self, weights):
+        # the LM is CHAR-level (no trim, same as the bigram_lm_quality
+        # oracle): doc 9 ("   ") yields space-bigrams and stays; only
+        # doc 8 ("", zero chars) produces no bigrams and drops
+        assert weights["mix"]["n_docs"] == 2

@@ -44,6 +44,8 @@ INTENDED_NON_EQUI = {
     "dsir_importance_weights",     # broadcast 1-row gram-totals frame
     "dsir_resample",               # same 1-row totals broadcast (scoring stage)
     "dsir_selection_drift",        # same, plus a 1-row corpus-total broadcast
+    "doremi_domain_weights",       # two 1-row broadcast normalizer frames
+                                   # over the O(#domains) per-source table
     "semdedup_threshold_curve",    # exact pair-join baseline (same as
                                    # embedding_near_pairs/semdedup_exact)
 }
