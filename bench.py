@@ -164,8 +164,45 @@ def main() -> None:
             F.col("id").alias("doc_id"), F.round("rank", 9).alias("rank")
         )
 
+    def _method_agreement_guarded(s, d):
+        # lexical side carries the same documented stop-gram guard as the
+        # other gram-family entries; the semantic exact join is bench-sized
+        from scikit_learn_imputer_spark.dedup.embedding import (
+            embedding_near_pairs,
+        )
+
+        lex = ngram_jaccard_pairs(
+            load_table(s, d, "documents"), n=3, threshold=0.82, max_df=200
+        ).select("id_a", "id_b", F.lit(1).alias("l"), F.lit(0).alias("s"))
+        sem = embedding_near_pairs(
+            load_table(s, d, "embeddings"), threshold=0.42
+        ).select("id_a", "id_b", F.lit(0).alias("l"), F.lit(1).alias("s"))
+        u = (
+            lex.unionAll(sem)
+            .groupBy("id_a", "id_b")
+            .agg(F.max("l").alias("l"), F.max("s").alias("s"))
+        )
+        denom = F.sum("l") + F.sum("s") - F.sum(F.col("l") * F.col("s"))
+        return u.agg(
+            F.sum("l").cast("bigint").alias("n_lexical"),
+            F.sum("s").cast("bigint").alias("n_semantic"),
+            F.sum(F.col("l") * F.col("s")).cast("bigint").alias("n_both"),
+            (F.sum("l") - F.sum(F.col("l") * F.col("s")))
+            .cast("bigint")
+            .alias("n_lexical_only"),
+            (F.sum("s") - F.sum(F.col("l") * F.col("s")))
+            .cast("bigint")
+            .alias("n_semantic_only"),
+            F.round(
+                F.sum(F.col("l") * F.col("s")).cast("double")
+                / F.when(denom > 0, denom.cast("double")),
+                6,
+            ).alias("pair_jaccard"),
+        )
+
     overrides = {
         "near_dup_pagerank": _pagerank_guarded,
+        "dedup_method_agreement": _method_agreement_guarded,
         "ngram_jaccard_pairs": lambda s, d: ngram_jaccard_pairs(
             load_table(s, d, "documents"), n=3, threshold=0.82, max_df=200
         ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")),

@@ -10143,6 +10143,28 @@ def q_scaling_law_subsets(spark, sf_dir):
     )
 
 
+def _holdout_leaked(base):
+    """Heldout docs sharing ANY word 5-gram digest with ANY train doc,
+    given a (doc_id, split, ..., text) frame: grams collapse to md5
+    digests, the corpus-sized train-gram side drives a digest-keyed
+    shuffle semi-join (never a broadcast). Shared by
+    split_leakage_audit (rates) and eval_set_manifest (exclusion)."""
+    from scikit_learn_imputer_spark.functions.text import word_ngrams_col
+
+    grams = base.select(
+        "doc_id",
+        "split",
+        F.explode(word_ngrams_col(F.col("text"), 5)).alias("g"),
+    ).select("doc_id", "split", F.md5("g").alias("g"))
+    train_g = grams.filter(F.col("split") == "train").select("g").distinct()
+    return (
+        grams.filter(F.col("split") != "train")
+        .join(train_g, on="g", how="leftsemi")
+        .select("doc_id", "split")
+        .distinct()
+    )
+
+
 @register(
     "split_leakage_audit",
     oracle=r"""
@@ -10194,29 +10216,17 @@ def q_split_leakage_audit(spark, sf_dir):
     is corpus-sized so the overlap is a digest-keyed shuffle semi-join
     (NOT a broadcast — 100-TB train grams don't fit), then two
     O(#splits) aggregates."""
-    from scikit_learn_imputer_spark.functions.text import (
-        uniform_hash_col,
-        word_ngrams_col,
-    )
+    from scikit_learn_imputer_spark.functions.text import uniform_hash_col
 
     d = _t(spark, sf_dir, "documents")
     h = uniform_hash_col(F.concat(F.lit("holdout:"), F.col("doc_id")))
     split = (
         F.when(h < 0.98, "train").when(h < 0.99, "val").otherwise("test")
     )
-    base = d.select(F.col("doc_id"), split.alias("split"), "text")
-    grams = base.select(
-        "doc_id",
-        "split",
-        F.explode(word_ngrams_col(F.col("text"), 5)).alias("g"),
-    ).select("doc_id", "split", F.md5("g").alias("g"))
-    train_g = grams.filter(F.col("split") == "train").select("g").distinct()
-    leaked = (
-        grams.filter(F.col("split") != "train")
-        .join(train_g, on="g", how="leftsemi")
-        .select("doc_id", "split")
-        .distinct()
+    base = d.select(
+        F.col("doc_id"), split.alias("split"), "source", "text"
     )
+    leaked = _holdout_leaked(base)
     ev = (
         base.filter(F.col("split") != "train")
         .groupBy("split")
@@ -10241,3 +10251,448 @@ def q_split_leakage_audit(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+@register(
+    "doremi_epoch_plan",
+    oracle=f"""
+WITH dw AS ({{doremi}}),
+t AS (
+  SELECT source,
+         CAST(sum(CAST(({_NTOK_SQL}) AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT t.source, t.n_tokens,
+         CAST(round(dw.weight * 1e6) AS BIGINT) AS w_micro
+  FROM t JOIN dw USING (source)
+),
+z AS (SELECT CAST(sum(w_micro) AS DOUBLE) AS zw,
+             CAST(sum(n_tokens) AS DOUBLE) AS budget FROM w)
+SELECT source, n_tokens,
+       round(w_micro / zw, 9) AS weight,
+       CAST(round(budget * w_micro / zw) AS BIGINT) AS target_tokens,
+       round(budget * w_micro / zw / n_tokens, 6) AS epochs,
+       round(least(budget * w_micro / zw / n_tokens, 4.0), 6) AS capped_epochs,
+       CAST(round(least(budget * w_micro / zw / n_tokens, 4.0) * n_tokens)
+            AS BIGINT) AS achieved_tokens
+FROM w, z
+ORDER BY source
+""",
+)
+def q_doremi_epoch_plan(spark, sf_dir):
+    """The mixture loop CLOSED: mixture_epoch_plan's upsampling table
+    driven by the DoReMi weights instead of arbitrary per-source
+    indices — difficulty-aware epoch planning (harder-than-average
+    domains get more epochs, under the same 4-epoch cap). The learned
+    weight re-enters as its round-6 integer micro-form (round(w*1e6))
+    so both engines renormalize the identical integers. Cost: the one
+    doremi LM pass + two O(#sources) joins + a 1-row budget
+    broadcast."""
+    from scikit_learn_imputer_spark.functions.dsir import (
+        doremi_domain_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t0 = F.trim(F.col("text"))
+    n = (
+        F.when(F.length(t0) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t0, "\\s+")))
+        .cast("bigint")
+    )
+    t = (
+        d.select("source", n.alias("__n"))
+        .groupBy("source")
+        .agg(F.sum("__n").cast("bigint").alias("n_tokens"))
+    )
+    dw = doremi_domain_weights(d).select(
+        "source",
+        F.round(F.col("weight") * 1e6).cast("bigint").alias("__w_micro"),
+    )
+    w = t.join(F.broadcast(dw), on="source")
+    z = w.agg(
+        F.sum("__w_micro").cast("double").alias("__zw"),
+        F.sum("n_tokens").cast("double").alias("__budget"),
+    )
+    target = F.col("__budget") * F.col("__w_micro") / F.col("__zw")
+    epochs = target / F.col("n_tokens")
+    capped = F.least(epochs, F.lit(4.0))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("__w_micro") / F.col("__zw"), 9).alias("weight"),
+            F.round(target).cast("bigint").alias("target_tokens"),
+            F.round(epochs, 6).alias("epochs"),
+            F.round(capped, 6).alias("capped_epochs"),
+            F.round(capped * F.col("n_tokens")).cast("bigint").alias(
+                "achieved_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["doremi_epoch_plan"] = ORACLE["doremi_epoch_plan"].replace(
+    "{doremi}", ORACLE["doremi_domain_weights"]
+)
+
+
+@register(
+    "dedup_method_agreement",
+    oracle=f"""
+WITH lex AS ({{lex}}),
+sem AS ({{sem}}),
+u AS (
+  SELECT id_a, id_b, max(l) AS l, max(s) AS s FROM (
+    SELECT id_a, id_b, 1 AS l, 0 AS s FROM lex
+    UNION ALL
+    SELECT id_a, id_b, 0 AS l, 1 AS s FROM sem
+  ) GROUP BY 1, 2
+)
+SELECT CAST(sum(l) AS BIGINT) AS n_lexical,
+       CAST(sum(s) AS BIGINT) AS n_semantic,
+       CAST(sum(l * s) AS BIGINT) AS n_both,
+       CAST(sum(l) - sum(l * s) AS BIGINT) AS n_lexical_only,
+       CAST(sum(s) - sum(l * s) AS BIGINT) AS n_semantic_only,
+       round(sum(l * s)::DOUBLE
+             / NULLIF(sum(l) + sum(s) - sum(l * s), 0), 6) AS pair_jaccard
+FROM u
+""",
+)
+def q_dedup_method_agreement(spark, sf_dir):
+    """Cross-family dedup audit: do LEXICAL near-dup (char-3-gram
+    Jaccard >= 0.82 over text) and SEMANTIC near-dup (embedding cosine
+    >= 0.42; embeddings row-aligned with documents, vec_id == doc_id)
+    nominate the same pairs? Reports both pair counts, the overlap, and
+    the pair-set Jaccard — the calibration artifact that tells a
+    pipeline designer whether running both stages buys coverage or
+    burns compute twice. Uses each family's ORACLED exact baseline (the
+    banded/clustered paths are their scale stories); the summary is a
+    flag-union + one aggregate, no outer join."""
+    from scikit_learn_imputer_spark.dedup.embedding import (
+        embedding_near_pairs,
+    )
+    from scikit_learn_imputer_spark.dedup.ngram import ngram_jaccard_pairs
+
+    lex = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.82
+    ).select("id_a", "id_b", F.lit(1).alias("l"), F.lit(0).alias("s"))
+    sem = embedding_near_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.42
+    ).select("id_a", "id_b", F.lit(0).alias("l"), F.lit(1).alias("s"))
+    u = (
+        lex.unionAll(sem)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("l").alias("l"), F.max("s").alias("s"))
+    )
+    denom = F.sum("l") + F.sum("s") - F.sum(F.col("l") * F.col("s"))
+    return u.agg(
+        F.sum("l").cast("bigint").alias("n_lexical"),
+        F.sum("s").cast("bigint").alias("n_semantic"),
+        F.sum(F.col("l") * F.col("s")).cast("bigint").alias("n_both"),
+        (F.sum("l") - F.sum(F.col("l") * F.col("s")))
+        .cast("bigint")
+        .alias("n_lexical_only"),
+        (F.sum("s") - F.sum(F.col("l") * F.col("s")))
+        .cast("bigint")
+        .alias("n_semantic_only"),
+        F.round(
+            F.sum(F.col("l") * F.col("s")).cast("double")
+            / F.when(denom > 0, denom.cast("double")),
+            6,
+        ).alias("pair_jaccard"),
+    )
+
+
+ORACLE["dedup_method_agreement"] = (
+    ORACLE["dedup_method_agreement"]
+    .replace("{lex}", ORACLE["ngram_jaccard_pairs"])
+    .replace("{sem}", ORACLE["embedding_near_pairs"])
+)
+
+
+@register(
+    "heavy_hitter_grams",
+    oracle=r"""
+WITH g AS (
+  SELECT source,
+         unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+  FROM (SELECT source, str_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE length(trim(text)) > 0)
+),
+c AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS n
+      FROM g GROUP BY 1, 2),
+tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY source),
+r AS (
+  SELECT source, gram, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, gram) AS rank
+  FROM c
+)
+SELECT r.source, CAST(r.rank AS INTEGER) AS rank, r.gram, r.n,
+       round(r.n::DOUBLE / tot.total, 6) AS share
+FROM r JOIN tot USING (source)
+WHERE r.rank <= 5
+ORDER BY source, rank
+""",
+)
+def q_heavy_hitter_grams(spark, sf_dir):
+    """Per-source heavy-hitter word 3-grams: top-5 by occurrence count
+    with their share of the source's gram mass — the "WHICH source is
+    template spam" drill-down to ngram_novelty_curve's corpus-wide
+    duplicate-mass number (a high top-5 share means boilerplate;
+    remove_boilerplate is the scrubber). Text collapses to (source,
+    gram) counts map-side before any shuffle; the rank window runs on
+    the AGGREGATED count frame (distinct grams, not occurrences),
+    partitioned by source."""
+    from scikit_learn_imputer_spark.functions.text import word_ngrams_col
+
+    d = _t(spark, sf_dir, "documents")
+    g = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "source",
+            F.explode(word_ngrams_col(F.col("text"), 3)).alias("gram"),
+        )
+    )
+    c = g.groupBy("source", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = c.groupBy("source").agg(F.sum("n").cast("bigint").alias("total"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("gram")
+    )
+    return (
+        c.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .join(F.broadcast(tot), on="source")
+        .select(
+            "source",
+            F.col("rank").cast("int").alias("rank"),
+            "gram",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("source", "rank")
+    )
+
+
+@register(
+    "eval_set_manifest",
+    oracle=r"""
+WITH u AS (
+  SELECT doc_id, source, text,
+         CASE WHEN h < 0.98 THEN 'train' WHEN h < 0.99 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, source, text,
+           CAST(('0x' || substr(md5('holdout:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                AS DOUBLE) / 4294967296.0 AS h
+    FROM documents
+  )
+),
+grams AS (
+  SELECT doc_id, split,
+         unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+           i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                    || w[i+3] || ' ' || w[i+4]))) AS g
+  FROM (SELECT doc_id, split, str_split_regex(trim(text), '\s+') AS w
+        FROM u)
+),
+train_g AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+leaked AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE split <> 'train' AND g IN (SELECT g FROM train_g)
+),
+pool AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              AS DOUBLE) / 4294967296.0 AS u2
+  FROM u
+  WHERE split <> 'train' AND doc_id NOT IN (SELECT doc_id FROM leaked)
+)
+SELECT source,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY u2, doc_id)
+            AS INTEGER) AS rank,
+       doc_id
+FROM pool
+QUALIFY rank <= 3
+ORDER BY source, rank
+""",
+)
+def q_eval_set_manifest(spark, sf_dir):
+    """Decontaminated-by-construction eval set: from the heldout pool
+    (the corpus_holdout_split val+test assignment, same salt), EXCLUDE
+    every doc sharing any word 5-gram with train (the split_leakage
+    semi-join), then pick up to 3 docs per source by a second salted
+    md5 uniform — a deterministic, stratified, leakage-free eval
+    manifest any engine reproduces bit-for-bit. The rank window runs on
+    the tiny post-exclusion pool (heldout fraction of the corpus),
+    never corpus-sized."""
+    from scikit_learn_imputer_spark.functions.text import uniform_hash_col
+
+    d = _t(spark, sf_dir, "documents")
+    h = uniform_hash_col(F.concat(F.lit("holdout:"), F.col("doc_id")))
+    split = (
+        F.when(h < 0.98, "train").when(h < 0.99, "val").otherwise("test")
+    )
+    base = d.select(
+        F.col("doc_id"), split.alias("split"), "source", "text"
+    )
+    leaked = _holdout_leaked(base).select("doc_id")
+    u2 = uniform_hash_col(F.concat(F.lit("eval:"), F.col("doc_id")))
+    pool = (
+        base.filter(F.col("split") != "train")
+        .join(leaked, on="doc_id", how="left_anti")
+        .select("doc_id", "source", u2.alias("__u2"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("__u2"), F.col("doc_id"))
+    return (
+        pool.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("source", "rank", "doc_id")
+        .orderBy("source", "rank")
+    )
+
+
+_CORR_SIGS = ("tok", "lm", "q", "dup")
+
+
+def _corr_pairs():
+    return [
+        (a, b)
+        for i, a in enumerate(_CORR_SIGS)
+        for b in _CORR_SIGS[i + 1 :]
+    ]
+
+
+def _corr_sql_formula(a: str, b: str) -> str:
+    """Pearson r from exact integer sums, evaluated in the SAME double
+    expression tree on both engines (no accumulation-order term)."""
+    return (
+        f"(CAST(n AS DOUBLE) * CAST(p_{a}_{b} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        f" / sqrt((CAST(n AS DOUBLE) * CAST(p_{a}_{a} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        f" * (CAST(n AS DOUBLE) * CAST(p_{b}_{b} AS DOUBLE)"
+        f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+    )
+
+
+@register(
+    "quality_signal_corr",
+    oracle=f"""
+WITH lm AS ({{lm}}),
+sig AS (
+  SELECT doc_id,
+         CAST(({_NTOK_SQL}) AS BIGINT) AS tok,
+         CAST(round(({_QSCORE_SQL}) * 1e6) AS BIGINT) AS q,
+         CAST(round((CASE WHEN len(tg) <= 0 THEN 0.0
+               ELSE 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+          END) * 1e6) AS BIGINT) AS dup
+  FROM (
+    SELECT doc_id, text,
+           list_transform(range(1, greatest(len(words) - 1, 1)),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS tg
+    FROM (SELECT doc_id, text,
+                 str_split_regex(trim(text), '\\s+') AS words
+          FROM documents)
+  )
+),
+j AS (SELECT sig.tok, sig.q, sig.dup,
+             CAST(round(lm.lm_score * 1e6) AS BIGINT) AS lm
+      FROM lm JOIN sig USING (doc_id)),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         {", ".join(f"CAST(sum({a}) AS BIGINT) AS s_{a}" for a in _CORR_SIGS)},
+         {", ".join(f"CAST(sum({a} * {b}) AS BIGINT) AS p_{a}_{b}" for a in _CORR_SIGS for b in _CORR_SIGS if _CORR_SIGS.index(a) <= _CORR_SIGS.index(b))}
+  FROM j
+)
+SELECT {", ".join(f"round({_corr_sql_formula(a, b)}, 6) AS corr_{a}_{b}" for a, b in _corr_pairs())}
+FROM m
+""",
+)
+def q_quality_signal_corr(spark, sf_dir):
+    """Quality-signal redundancy matrix: pairwise Pearson correlation
+    between the four cheap per-doc signals every gate in this repo
+    filters on — whitespace token count, corpus-LM mean log-prob,
+    composite quality score, duplicate-trigram ratio. The calibration
+    artifact behind filter DESIGN: two signals correlating near 1 mean
+    the second gate mostly re-rejects the first gate's rejects; near-0
+    means it buys real coverage.
+
+    Engine-exactness: F.corr/corr() accumulate co-moments in
+    partition-order-dependent doubles — at 1e-16 noise a round-6 value
+    sitting on a boundary flips between engines (observed at smoke SF).
+    So signals are snapped to integer MICRO-units, the aggregate
+    computes EXACT integer sums (n, Σx, Σxy — bounded: |lm_micro| ≤
+    ~4e6, so Σx² fits int64 below ~5e5 docs per gate run), and Pearson
+    r is evaluated from those integers in the identical double
+    expression tree on both engines. All four signals come out of ONE
+    map pass (LM scoring is a projection against the broadcast count
+    table; carry_cols threads the rest through), then a single
+    15-sum aggregate — no joins, nothing corpus-sized shuffles. Docs
+    too short to LM-score (< 2 chars) are excluded from every pair,
+    same as the oracle's join."""
+    from scikit_learn_imputer_spark.functions.lm import bigram_lm_scores
+    from scikit_learn_imputer_spark.functions.text import (
+        dup_trigram_ratio_col,
+        quality_score_col,
+        token_count_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pre = d.select(
+        "doc_id",
+        "text",
+        token_count_col(F.col("text")).cast("bigint").alias("__tok"),
+        F.round(quality_score_col(F.col("text")) * 1e6)
+        .cast("bigint")
+        .alias("__q"),
+        F.round(dup_trigram_ratio_col(F.col("text")) * 1e6)
+        .cast("bigint")
+        .alias("__dup"),
+    )
+    scored = bigram_lm_scores(
+        pre, carry_cols=("__tok", "__q", "__dup")
+    ).select(
+        F.col("__tok").alias("tok"),
+        F.round(F.col("lm_score") * 1e6).cast("bigint").alias("lm"),
+        F.col("__q").alias("q"),
+        F.col("__dup").alias("dup"),
+    )
+    sums = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    sums += [
+        F.sum(a).cast("bigint").alias(f"s_{a}") for a in _CORR_SIGS
+    ]
+    seen = set()
+    for a in _CORR_SIGS:
+        for b in _CORR_SIGS:
+            key = tuple(sorted((a, b)))
+            if key in seen:
+                continue
+            seen.add(key)
+            sums.append(
+                F.sum(F.col(a) * F.col(b))
+                .cast("bigint")
+                .alias(f"p_{min(a,b, key=_CORR_SIGS.index)}_{max(a,b, key=_CORR_SIGS.index)}")
+            )
+    m = scored.agg(*sums)
+    return m.select(
+        *[
+            F.round(F.expr(_corr_sql_formula(a, b)), 6).alias(
+                f"corr_{a}_{b}"
+            )
+            for a, b in _corr_pairs()
+        ]
+    )
+
+
+ORACLE["quality_signal_corr"] = ORACLE["quality_signal_corr"].replace(
+    "{lm}", ORACLE["bigram_lm_quality"]
+)

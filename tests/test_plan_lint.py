@@ -46,6 +46,9 @@ INTENDED_NON_EQUI = {
     "dsir_selection_drift",        # same, plus a 1-row corpus-total broadcast
     "doremi_domain_weights",       # two 1-row broadcast normalizer frames
                                    # over the O(#domains) per-source table
+    "doremi_epoch_plan",           # same LM pass + a 1-row budget broadcast
+    "dedup_method_agreement",      # inherits embedding_near_pairs' exact
+                                   # all-pairs baseline (LSH is the scale path)
     "semdedup_threshold_curve",    # exact pair-join baseline (same as
                                    # embedding_near_pairs/semdedup_exact)
 }

@@ -47,3 +47,74 @@ def test_split_leakage_bounds_and_splits(spark, sf_smoke):
     for r in rows:
         assert 0 <= r["n_leaked"] <= r["n_docs"]
         assert abs(r["leak_rate"] - round(r["n_leaked"] / r["n_docs"], 6)) < 1e-9
+
+
+def test_doremi_epoch_plan_invariants(spark, sf_smoke):
+    rows = QUERIES["doremi_epoch_plan"](spark, sf_smoke).collect()
+    assert rows
+    # weights renormalize to 1 over the planned sources
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        assert r["capped_epochs"] <= 4.0
+        assert r["capped_epochs"] <= r["epochs"] + 1e-9
+        assert r["achieved_tokens"] <= r["target_tokens"] or (
+            r["epochs"] <= 4.0
+        )
+    # constant-budget plan: total target mass == corpus mass
+    assert abs(
+        sum(r["target_tokens"] for r in rows)
+        - sum(r["n_tokens"] for r in rows)
+    ) <= len(rows)  # per-source rounding slack
+
+
+def test_dedup_method_agreement_counts_consistent(spark, sf_smoke):
+    r = QUERIES["dedup_method_agreement"](spark, sf_smoke).collect()[0]
+    assert r["n_both"] <= min(r["n_lexical"], r["n_semantic"])
+    assert r["n_lexical_only"] == r["n_lexical"] - r["n_both"]
+    assert r["n_semantic_only"] == r["n_semantic"] - r["n_both"]
+    union = r["n_lexical"] + r["n_semantic"] - r["n_both"]
+    if union:
+        assert abs(r["pair_jaccard"] - round(r["n_both"] / union, 6)) < 1e-9
+    else:
+        assert r["pair_jaccard"] is None
+
+
+def test_heavy_hitter_grams_ranked_and_bounded(spark, sf_smoke):
+    rows = QUERIES["heavy_hitter_grams"](spark, sf_smoke).collect()
+    assert rows
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    for src, rs in by_src.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        # counts non-increasing down the ranks; shares in (0, 1]
+        for a, b in zip(rs, rs[1:]):
+            assert a["n"] >= b["n"]
+        assert sum(r["share"] for r in rs) <= 1.0 + 1e-9
+
+
+def test_eval_set_manifest_stratified_and_leak_free(spark, sf_smoke):
+    rows = QUERIES["eval_set_manifest"](spark, sf_smoke).collect()
+    assert rows  # heldout pool is thin at smoke SF but never empty
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r["rank"])
+    for src, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+    # every picked doc is heldout and unleaked: cross-check against the
+    # leakage audit's own pool arithmetic
+    audit = {
+        r["split"]: r
+        for r in QUERIES["split_leakage_audit"](spark, sf_smoke).collect()
+    }
+    clean_pool = sum(r["n_docs"] - r["n_leaked"] for r in audit.values())
+    assert len(rows) <= clean_pool
+
+
+def test_quality_signal_corr_bounded(spark, sf_smoke):
+    r = QUERIES["quality_signal_corr"](spark, sf_smoke).collect()[0]
+    for k, v in r.asDict().items():
+        assert v is not None and -1.0 <= v <= 1.0, (k, v)
