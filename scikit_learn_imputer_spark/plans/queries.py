@@ -10696,3 +10696,64 @@ def q_quality_signal_corr(spark, sf_dir):
 ORACLE["quality_signal_corr"] = ORACLE["quality_signal_corr"].replace(
     "{lm}", ORACLE["bigram_lm_quality"]
 )
+
+
+@register(
+    "mixture_interleave",
+    oracle=r"""
+WITH u AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('interleave:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              AS DOUBLE) / 4294967296.0 AS u,
+         CAST(substr(source, 4) AS INT) + 1 AS w
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, w,
+         row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS r
+  FROM u
+),
+v AS (SELECT doc_id, source, (r - 0.5) / w AS v FROM r),
+h AS (SELECT * FROM v ORDER BY v, source, doc_id LIMIT 200)
+SELECT CAST(row_number() OVER (ORDER BY v, source, doc_id) AS INTEGER)
+         AS pos,
+       source, doc_id, round(v, 9) AS vtime
+FROM h
+""",
+)
+def q_mixture_interleave(spark, sf_dir):
+    """Deterministic weighted interleave order (stride scheduling, the
+    deficit-round-robin a multi-source training loader follows): each
+    source's docs get a reproducible md5-shuffled within-source rank r,
+    a virtual time v = (r - 0.5) / weight (weights = the
+    mixture_epoch_plan convention, source index + 1), and the global
+    data order is ascending v — so any prefix of the stream realizes
+    each source at its target rate (the interleave property epoch-level
+    plans can't give). Returns the first 200 positions. Scale shape:
+    the rank window shuffles (id, hash) pairs partitioned by source
+    (never text), the global order is TakeOrdered top-k (O(k) per
+    partition, no global sort); the final pos window runs on the
+    200-row head only."""
+    from scikit_learn_imputer_spark.functions.text import uniform_hash_col
+
+    d = _t(spark, sf_dir, "documents")
+    u = uniform_hash_col(F.concat(F.lit("interleave:"), F.col("doc_id")))
+    w_raw = (F.substring("source", 4, 10).cast("int") + 1).cast("double")
+    base = d.select("doc_id", "source", u.alias("__u"), w_raw.alias("__w"))
+    rw = Window.partitionBy("source").orderBy("__u", "doc_id")
+    v = (
+        base.withColumn("__r", F.row_number().over(rw))
+        .select(
+            "doc_id",
+            "source",
+            ((F.col("__r") - 0.5) / F.col("__w")).alias("__v"),
+        )
+    )
+    head = v.orderBy("__v", "source", "doc_id").limit(200)
+    pw = Window.orderBy("__v", "source", "doc_id")
+    return head.select(
+        F.row_number().over(pw).cast("int").alias("pos"),
+        "source",
+        "doc_id",
+        F.round(F.col("__v"), 9).alias("vtime"),
+    )

@@ -118,3 +118,31 @@ def test_quality_signal_corr_bounded(spark, sf_smoke):
     r = QUERIES["quality_signal_corr"](spark, sf_smoke).collect()[0]
     for k, v in r.asDict().items():
         assert v is not None and -1.0 <= v <= 1.0, (k, v)
+
+
+def test_mixture_interleave_order_and_rates(spark, sf_smoke):
+    rows = QUERIES["mixture_interleave"](spark, sf_smoke).collect()
+    assert rows
+    assert [r["pos"] for r in rows] == list(range(1, len(rows) + 1))
+    # virtual time nondecreasing down the schedule
+    for a, b in zip(rows, rows[1:]):
+        assert a["vtime"] <= b["vtime"] + 1e-12
+    # stride property while no source is exhausted: in the prefix up to
+    # virtual time T, each source contributes ~T * weight docs (±1)
+    import collections
+
+    docs = load_table(spark, sf_smoke, "documents")
+    per_src = {
+        r["source"]: r["cnt"]
+        for r in docs.groupBy("source").count().withColumnRenamed(
+            "count", "cnt"
+        ).collect()
+    }
+    weights = {s: int(s[3:]) + 1 for s in per_src}
+    seen = collections.Counter()
+    for r in rows:
+        seen[r["source"]] += 1
+        t = r["vtime"]
+        for s, w in weights.items():
+            if seen[s] < per_src[s]:  # source not exhausted yet
+                assert abs(seen[s] - t * w) <= 1.0 + 1e-6, (s, seen[s], t)
