@@ -10757,3 +10757,149 @@ def q_mixture_interleave(spark, sf_dir):
         "doc_id",
         F.round(F.col("__v"), 9).alias("vtime"),
     )
+
+
+@register(
+    "training_epoch_ledger",
+    oracle=f"""
+WITH t AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(({_NTOK_SQL}) AS BIGINT)) AS BIGINT) AS n_tokens,
+         CAST(substr(source, 4) AS INT) + 1 AS w_raw
+  FROM documents GROUP BY source
+),
+z AS (SELECT CAST(sum(w_raw) AS DOUBLE) AS zw,
+             CAST(sum(n_tokens) AS DOUBLE) AS budget FROM t),
+p AS (
+  SELECT source, n_docs, n_tokens,
+         least(z.budget * w_raw / z.zw / n_tokens, 4.0) AS capped
+  FROM t, z
+),
+pp AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(floor(capped) AS INT) AS full_e,
+         capped - floor(capped) AS frac
+  FROM p
+),
+u AS (
+  SELECT source,
+         CAST(('0x' || substr(md5('scale:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              AS DOUBLE) / 4294967296.0 AS u,
+         CAST(({_NTOK_SQL}) AS BIGINT) AS n
+  FROM documents
+),
+pm AS (
+  SELECT pp.source,
+         CAST(count(*) AS BIGINT) AS pd,
+         CAST(COALESCE(sum(u.n), 0) AS BIGINT) AS pmass
+  FROM u JOIN pp ON u.source = pp.source AND u.u < pp.frac
+  GROUP BY 1
+)
+SELECT * FROM (
+  SELECT pp.source, CAST(g.e AS INT) AS epoch, 'full' AS kind,
+         pp.n_docs, pp.n_tokens AS planned_tokens
+  FROM pp, UNNEST(generate_series(1, pp.full_e)) AS g(e)
+  UNION ALL
+  SELECT pp.source, CAST(pp.full_e + 1 AS INT) AS epoch, 'partial',
+         CAST(COALESCE(pm.pd, 0) AS BIGINT),
+         CAST(COALESCE(pm.pmass, 0) AS BIGINT)
+  FROM pp LEFT JOIN pm USING (source)
+  WHERE pp.frac > 0
+)
+ORDER BY source, epoch
+""",
+)
+def q_training_epoch_ledger(spark, sf_dir):
+    """The epoch plan made EXECUTABLE: mixture_epoch_plan's capped
+    epoch counts expanded into one row per (source, epoch), where each
+    FULL epoch is the whole source and the trailing PARTIAL epoch is a
+    concrete deterministic doc subset — the same salted-uniform
+    threshold as scaling_law_subsets (u('scale:'||doc_id) < frac), so
+    the partial epoch is NESTED under the full source, reproducible
+    everywhere, and its planned token mass is the subset's ACTUAL mass,
+    not frac × total (doc-level sampling never hits the token target
+    exactly; the ledger shows the realized number a trainer loads).
+    Cost: one corpus map pass for the masses, one O(#sources) plan
+    frame with a 1-row budget broadcast, a 20-row broadcast join for
+    the partial threshold — epochs explode on the TINY plan frame, and
+    sequence(1, 0) never fires (full_e >= 1 guard; Spark's descending
+    sequence footgun)."""
+    d = _t(spark, sf_dir, "documents")
+    from scikit_learn_imputer_spark.functions.text import uniform_hash_col
+
+    t0 = F.trim(F.col("text"))
+    n = (
+        F.when(F.length(t0) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t0, "\\s+")))
+        .cast("bigint")
+    )
+    u = uniform_hash_col(F.concat(F.lit("scale:"), F.col("doc_id")))
+    base = d.select("source", n.alias("__n"), u.alias("__u"))
+    per_src = (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "__w", F.substring("source", 4, 10).cast("int") + F.lit(1)
+        )
+    )
+    z = per_src.agg(
+        F.sum("__w").cast("double").alias("__zw"),
+        F.sum("n_tokens").cast("double").alias("__budget"),
+    )
+    capped = F.least(
+        F.col("__budget") * F.col("__w") / F.col("__zw") / F.col("n_tokens"),
+        F.lit(4.0),
+    )
+    plan = (
+        per_src.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.floor(capped).cast("int").alias("__full_e"),
+            (capped - F.floor(capped)).alias("__frac"),
+        )
+    )
+    pm = (
+        base.join(
+            F.broadcast(plan.select("source", "__frac")), on="source"
+        )
+        .filter(F.col("__u") < F.col("__frac"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__pd"),
+            F.sum("__n").cast("bigint").alias("__pmass"),
+        )
+    )
+    fulls = plan.select(
+        "source",
+        F.explode(
+            F.when(
+                F.col("__full_e") >= 1,
+                F.sequence(F.lit(1), F.col("__full_e")),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("epoch"),
+        F.lit("full").alias("kind"),
+        "n_docs",
+        F.col("n_tokens").alias("planned_tokens"),
+    )
+    partials = (
+        plan.filter(F.col("__frac") > 0)
+        .join(pm, on="source", how="left")
+        .select(
+            "source",
+            (F.col("__full_e") + 1).cast("int").alias("epoch"),
+            F.lit("partial").alias("kind"),
+            F.coalesce(F.col("__pd"), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.coalesce(F.col("__pmass"), F.lit(0))
+            .cast("bigint")
+            .alias("planned_tokens"),
+        )
+    )
+    return fulls.unionByName(partials).orderBy("source", "epoch")

@@ -47,6 +47,8 @@ INTENDED_NON_EQUI = {
     "doremi_domain_weights",       # two 1-row broadcast normalizer frames
                                    # over the O(#domains) per-source table
     "doremi_epoch_plan",           # same LM pass + a 1-row budget broadcast
+    "training_epoch_ledger",       # 1-row budget broadcast + 20-row
+                                   # partial-threshold broadcast join
     "dedup_method_agreement",      # inherits embedding_near_pairs' exact
                                    # all-pairs baseline (LSH is the scale path)
     "semdedup_threshold_curve",    # exact pair-join baseline (same as

@@ -146,3 +146,48 @@ def test_mixture_interleave_order_and_rates(spark, sf_smoke):
         for s, w in weights.items():
             if seen[s] < per_src[s]:  # source not exhausted yet
                 assert abs(seen[s] - t * w) <= 1.0 + 1e-6, (s, seen[s], t)
+
+
+def test_training_epoch_ledger_structure(spark, sf_smoke):
+    rows = QUERIES["training_epoch_ledger"](spark, sf_smoke).collect()
+    assert rows
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    for src, rs in by_src.items():
+        rs = sorted(rs, key=lambda r: r["epoch"])
+        # contiguous epochs, at most one trailing partial
+        assert [r["epoch"] for r in rs] == list(range(1, len(rs) + 1))
+        kinds = [r["kind"] for r in rs]
+        assert all(k == "full" for k in kinds[:-1])
+        assert kinds[-1] in ("full", "partial")
+        # a partial epoch is a strict subset of the source
+        fulls = [r for r in rs if r["kind"] == "full"]
+        if fulls and kinds[-1] == "partial":
+            assert rs[-1]["planned_tokens"] <= fulls[0]["planned_tokens"]
+            assert rs[-1]["n_docs"] <= fulls[0]["n_docs"]
+        # epoch cap: never more than 4 full epochs + 1 partial
+        assert len(fulls) <= 4
+
+
+def test_training_epoch_ledger_budget_conserved(spark, sf_smoke):
+    """Exact structural bound against mixture_epoch_plan: the ledger's
+    per-source total is full_epochs × source mass plus a partial-epoch
+    mass in [0, source mass] — doc-level threshold sampling means the
+    partial mass is NOT frac × total (tiny smoke-SF strata deviate by
+    whole documents), but it can never escape the epoch bracket."""
+    ledger = QUERIES["training_epoch_ledger"](spark, sf_smoke).collect()
+    plan = {
+        r["source"]: r
+        for r in QUERIES["mixture_epoch_plan"](spark, sf_smoke).collect()
+    }
+    got = defaultdict(int)
+    for r in ledger:
+        got[r["source"]] += r["planned_tokens"]
+    import math
+
+    for src, p in plan.items():
+        full_e = math.floor(p["capped_epochs"])
+        lo = full_e * p["n_tokens"]
+        hi = lo + (p["n_tokens"] if p["capped_epochs"] > full_e else 0)
+        assert lo <= got[src] <= hi, (src, got[src], lo, hi)
