@@ -200,8 +200,19 @@ def main() -> None:
             ).alias("pair_jaccard"),
         )
 
+    def _pagerank_snapped_guarded(s, d):
+        from scikit_learn_imputer_spark.graph import pagerank_snapped
+
+        pairs = _guarded_edges(s, d)
+        edges = pairs.unionAll(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        ranks = pagerank_snapped(edges, src="id_a", dst="id_b", iters=8)
+        return ranks.select(F.col("id").alias("doc_id"), "rank_micro")
+
     overrides = {
         "near_dup_pagerank": _pagerank_guarded,
+        "near_dup_pagerank_snapped": _pagerank_snapped_guarded,
         "dedup_method_agreement": _method_agreement_guarded,
         "ngram_jaccard_pairs": lambda s, d: ngram_jaccard_pairs(
             load_table(s, d, "documents"), n=3, threshold=0.82, max_df=200

@@ -10903,3 +10903,69 @@ def q_training_epoch_ledger(spark, sf_dir):
         )
     )
     return fulls.unionByName(partials).orderBy("source", "epoch")
+
+
+def _pagerank_snapped_oracle(iters: int = 8, damping: float = 0.85) -> str:
+    """Unrolled integer-micro power iteration (same technique as the
+    bpe_learn_merges unrolled-CTE oracle): one CTE per round, exact
+    BIGINT state, the identical floor-product-division contribution
+    expression the Spark operator uses."""
+    ctes = [
+        f"pairs AS ({_NGRAM_PAIRS_SQL})",
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+        " UNION SELECT id_b, id_a FROM pairs)",
+        "nodes AS (SELECT DISTINCT src AS id FROM edges)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        "deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg"
+        " FROM edges GROUP BY 1)",
+        "r0 AS (SELECT id, CAST(floor(1e6 / nn.n + 0.5) AS BIGINT) AS r"
+        " FROM nodes, nn)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT nodes.id,
+         CAST(floor({1.0 - damping} * 1e6 / nn.n + 0.5) AS BIGINT)
+         + CAST(COALESCE(c.s, 0) AS BIGINT) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS id,
+           CAST(sum(CAST(floor({damping} * CAST(p.r AS DOUBLE) / d.deg)
+                         AS BIGINT)) AS BIGINT) AS s
+    FROM edges e
+    JOIN r{i - 1} p ON p.id = e.src
+    JOIN deg d ON d.id = e.src
+    GROUP BY 1
+  ) c ON c.id = nodes.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id AS doc_id, CAST(r AS BIGINT) AS rank_micro"
+        f" FROM r{iters} ORDER BY doc_id"
+    )
+
+
+@register("near_dup_pagerank_snapped", oracle=_pagerank_snapped_oracle())
+def q_near_dup_pagerank_snapped(spark, sf_dir):
+    """Engine-exact PageRank centrality over the near-dup graph
+    (graph.py:pagerank_snapped): the ORACLED twin of near_dup_pagerank
+    — integer micro-unit rank state makes all 8 power-iteration rounds
+    exact BIGINT arithmetic on both engines, so the driver hash-checks
+    the full iterative fixpoint (the production double-state pagerank
+    stays rows-only-anchored, exactly like minhash_candidates next to
+    its md5 twin). Same per-iteration cost shape: one equi join + one
+    aggregate, hash-partitioned on vertex id."""
+    from scikit_learn_imputer_spark.graph import pagerank_snapped
+
+    pairs = QUERIES["ngram_jaccard_pairs"](spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    ranks = pagerank_snapped(edges, src="id_a", dst="id_b", iters=8)
+    return ranks.select(
+        F.col("id").alias("doc_id"), "rank_micro"
+    ).orderBy("doc_id")

@@ -297,6 +297,48 @@ def test_pagerank_triangle_and_star(spark):
     assert all(abs(got[v] - py[v]) < 1e-9 for v in (1, 2, 3)), (got, py)
 
 
+def test_pagerank_snapped_matches_reference_recurrence(spark):
+    from scikit_learn_imputer_spark.graph import pagerank_snapped
+
+    # same star graph, same recurrence run in exact integer micro-units
+    star = spark.createDataFrame([(1, 2), (3, 2)], ["src", "dst"])
+    got = {
+        r["id"]: r["rank_micro"]
+        for r in pagerank_snapped(star, iters=10).collect()
+    }
+    import math
+
+    n, d = 3, 0.85
+    base = int(math.floor((1 - d) * 1e6 / n + 0.5))
+    py = {v: int(math.floor(1e6 / n + 0.5)) for v in (1, 2, 3)}
+    for _ in range(10):
+        nxt = {}
+        for v in (1, 2, 3):
+            contrib = 0
+            if v == 2:
+                contrib = int(math.floor(d * py[1] / 1)) + int(
+                    math.floor(d * py[3] / 1)
+                )
+            nxt[v] = base + contrib
+        py = nxt
+    assert got == py, (got, py)
+
+    # snapped centrality ORDER agrees with the double-state pagerank
+    from scikit_learn_imputer_spark.graph import pagerank
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 2), (2, 1), (4, 2)], ["src", "dst"]
+    )
+    dbl = {r["id"]: r["rank"] for r in pagerank(chain, iters=8).collect()}
+    snp = {
+        r["id"]: r["rank_micro"]
+        for r in pagerank_snapped(chain, iters=8).collect()
+    }
+    order_dbl = sorted(dbl, key=lambda v: (-dbl[v], v))
+    order_snp = sorted(snp, key=lambda v: (-snp[v], v))
+    assert order_dbl == order_snp
+
+
 def test_minhash_simhash_max_bucket_skew_guard(spark):
     """max_bucket drops every pair from oversized buckets (the LSH skew
     guard): identical docs share all band/chunk buckets, so a guard
