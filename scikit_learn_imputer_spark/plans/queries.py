@@ -10969,3 +10969,52 @@ def q_near_dup_pagerank_snapped(spark, sf_dir):
     return ranks.select(
         F.col("id").alias("doc_id"), "rank_micro"
     ).orderBy("doc_id")
+
+
+@register(
+    "stream_mixture_monitor",
+    oracle=f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(({_NTOK_SQL}) AS BIGINT)) AS BIGINT) AS n_tokens
+FROM documents GROUP BY source ORDER BY source
+""",
+)
+def q_stream_mixture_monitor(spark, sf_dir):
+    """STREAMING mixture monitor, driver-visible
+    (streaming/ingest.py:stream_mixture_monitor_ingest): the corpus is
+    drained through a foreachBatch accountant that lands each batch's
+    per-source (n_docs, n_tokens) delta exactly-once; the read-back sums
+    the deltas into the cumulative realized mixture — hash-checked
+    against the plain batch aggregate, so "monitor total == corpus
+    truth" is what the driver verifies (the same batch==stream contract
+    as stream_dsir_scores). Per batch: one map-side aggregate to
+    O(#sources) rows; no cross-batch state."""
+    from scikit_learn_imputer_spark.sources.tables import load_table
+    from scikit_learn_imputer_spark.streaming.ingest import (
+        stream_mixture_monitor_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = _scratch("mixmon") + "/deltas"
+    ck = _scratch("mixmon_ck")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select(*docs.columns)
+    )
+    q = stream_mixture_monitor_ingest(stream, out, ck).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(out)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -114,3 +114,49 @@ def stream_corpus_ingest(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def stream_mixture_monitor_ingest(
+    docs_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    source_col: str = "source",
+    text_col: str = "text",
+):
+    """Ingest-time mixture monitor: every micro-batch lands its
+    per-source (n_docs, n_tokens) delta via the exactly-once
+    batch_id-keyed sink; reading the sink back and summing gives the
+    CUMULATIVE realized mixture at any point of the ingest — the live
+    dashboard that tells an operator whether arriving data tracks the
+    mixture_epoch_plan targets. Per batch this is one map-side
+    aggregate to O(#sources) rows (nothing document-sized lands), no
+    cross-batch state, so cumulative-read-back == the batch answer
+    exactly — which is what the driver oracle checks."""
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.streaming.sinks import (
+        idempotent_batch_sink,
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        t = F.trim(F.col(text_col))
+        n = (
+            F.when(F.length(t) == 0, F.lit(0))
+            .otherwise(F.size(F.split(t, "\\s+")))
+            .cast("bigint")
+        )
+        delta = (
+            batch.select(F.col(source_col), n.alias("__n"))
+            .groupBy(source_col)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("__n").cast("bigint").alias("n_tokens"),
+            )
+        )
+        idempotent_batch_sink(delta, out_path, batch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -775,3 +775,64 @@ def test_stream_pack_ingest_replay_after_commit_is_skipped(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="seq_len"):
         incremental_pack(batch, store, seq_len=16)
+
+
+def test_stream_mixture_monitor_multibatch_matches_batch(
+    spark, sf_smoke, tmp_path
+):
+    """The monitor's cumulative read-back equals the one-shot batch
+    aggregate even when the corpus arrives as several micro-batches
+    (per-batch deltas are pure map-side partials of a sum)."""
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.sources.tables import load_table
+    from scikit_learn_imputer_spark.streaming.ingest import (
+        stream_mixture_monitor_ingest,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    t = F.trim(F.col("text"))
+    n = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, "\\s+")))
+        .cast("bigint")
+    )
+    want = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in docs.select("source", n.alias("__n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("n_tokens"),
+        )
+        .collect()
+    }
+
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(*docs.columns)
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = stream_mixture_monitor_ingest(stream, out, ck).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    landed = spark.read.parquet(out)
+    # several batches actually landed (the sink is partitioned by batch)
+    n_batches = landed.select("ingest_batch_id").distinct().count()
+    assert n_batches >= 2
+    got = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in landed.groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .collect()
+    }
+    assert got == want
