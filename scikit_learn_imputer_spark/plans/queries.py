@@ -11018,3 +11018,90 @@ def q_stream_mixture_monitor(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "decontam_method_agreement",
+    oracle=f"""
+WITH sw AS ({{word}}),
+st AS ({{tok}}),
+corpus AS (SELECT doc_id FROM documents WHERE doc_id % 100 >= 2),
+u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id NOT IN (SELECT doc_id FROM sw) THEN 1 ELSE 0
+           END AS w,
+         CASE WHEN doc_id NOT IN (SELECT doc_id FROM st) THEN 1 ELSE 0
+           END AS t
+  FROM corpus
+)
+SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+       CAST(sum(w) AS BIGINT) AS n_dropped_word,
+       CAST(sum(t) AS BIGINT) AS n_dropped_token,
+       CAST(sum(w * t) AS BIGINT) AS n_both,
+       CAST(sum(w) - sum(w * t) AS BIGINT) AS n_word_only,
+       CAST(sum(t) - sum(w * t) AS BIGINT) AS n_token_only,
+       round(sum(w * t)::DOUBLE
+             / NULLIF(sum(w) + sum(t) - sum(w * t), 0), 6)
+         AS drop_jaccard
+FROM u
+""",
+)
+def q_decontam_method_agreement(spark, sf_dir):
+    """Decontamination-net comparison, driver-checked: the WORD-space
+    net (any shared word 5-gram with the eval set) versus the
+    TOKEN-space net (any 16 consecutive shared tokenizer ids) on the
+    same corpus/eval split — drop counts, overlap, and drop-set
+    Jaccard. The token n was TUNED to sit at the word baseline's
+    strictness (memory: id-16-gram ≈ word-5-gram on this corpus); this
+    query pins that calibration as a hash-checked artifact instead of a
+    docstring claim, and quantifies how DIFFERENT the two nets are
+    (at sf0.01: word drops 1, token drops 4, overlap 1 — the token net
+    catches fallback-heavy spans the word net misses; the
+    each-misses-some direction is pinned doc-level by
+    test_decontaminate_token_ngrams_vs_word_grams). Cost: the two
+    existing decontamination plans + two doc-keyed join flags + one
+    aggregate."""
+    from scikit_learn_imputer_spark.dedup.exact import (
+        decontaminate_ngram,
+        decontaminate_token_ngrams,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 100 < 2)
+    corpus = d.filter(F.col("doc_id") % 100 >= 2)
+    sw = decontaminate_ngram(corpus, bench, n=5).select("doc_id")
+    st = decontaminate_token_ngrams(corpus, bench, n=16).select("doc_id")
+    u = (
+        corpus.select("doc_id")
+        .join(sw.withColumn("__sw", F.lit(1)), on="doc_id", how="left")
+        .join(st.withColumn("__st", F.lit(1)), on="doc_id", how="left")
+        .select(
+            F.when(F.col("__sw").isNull(), 1).otherwise(0).alias("w"),
+            F.when(F.col("__st").isNull(), 1).otherwise(0).alias("t"),
+        )
+    )
+    denom = F.sum("w") + F.sum("t") - F.sum(F.col("w") * F.col("t"))
+    return u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus"),
+        F.sum("w").cast("bigint").alias("n_dropped_word"),
+        F.sum("t").cast("bigint").alias("n_dropped_token"),
+        F.sum(F.col("w") * F.col("t")).cast("bigint").alias("n_both"),
+        (F.sum("w") - F.sum(F.col("w") * F.col("t")))
+        .cast("bigint")
+        .alias("n_word_only"),
+        (F.sum("t") - F.sum(F.col("w") * F.col("t")))
+        .cast("bigint")
+        .alias("n_token_only"),
+        F.round(
+            F.sum(F.col("w") * F.col("t")).cast("double")
+            / F.when(denom > 0, denom.cast("double")),
+            6,
+        ).alias("drop_jaccard"),
+    )
+
+
+ORACLE["decontam_method_agreement"] = (
+    ORACLE["decontam_method_agreement"]
+    .replace("{word}", ORACLE["decontaminate_ngram_corpus"])
+    .replace("{tok}", ORACLE["decontam_token_ngrams"])
+)

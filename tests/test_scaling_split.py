@@ -191,3 +191,12 @@ def test_training_epoch_ledger_budget_conserved(spark, sf_smoke):
         lo = full_e * p["n_tokens"]
         hi = lo + (p["n_tokens"] if p["capped_epochs"] > full_e else 0)
         assert lo <= got[src] <= hi, (src, got[src], lo, hi)
+
+
+def test_decontam_method_agreement_consistent(spark, sf_smoke):
+    r = QUERIES["decontam_method_agreement"](spark, sf_smoke).collect()[0]
+    assert r["n_both"] <= min(r["n_dropped_word"], r["n_dropped_token"])
+    assert r["n_word_only"] == r["n_dropped_word"] - r["n_both"]
+    assert r["n_token_only"] == r["n_dropped_token"] - r["n_both"]
+    assert r["n_dropped_word"] <= r["n_corpus"]
+    assert r["n_dropped_token"] <= r["n_corpus"]
