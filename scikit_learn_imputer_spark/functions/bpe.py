@@ -320,6 +320,14 @@ def with_bpe_token_counts(
     text_col: str = "text",
     out_col: str = "n_bpe_tokens",
 ) -> DataFrame:
-    """All input columns plus the BPE count — the packing-ready frame."""
+    """All input columns plus the BPE count — the packing-ready frame.
+
+    The Arrow count pass is CPU-bound per row; a small parquet file
+    scans as ONE partition and would serialize it on a single core, so
+    the input gets the fan_out parallelism floor first (no-op whenever
+    the scan already has enough partitions — i.e. always at real
+    corpus scale)."""
+    from scikit_learn_imputer_spark.functions.skew import fan_out
+
     counter = bpe_count_udf(vocab)
-    return df.withColumn(out_col, counter(F.col(text_col)))
+    return fan_out(df).withColumn(out_col, counter(F.col(text_col)))

@@ -147,9 +147,15 @@ def write_training_shards(
     if shard_size < 1:
         raise ValueError(f"shard_size must be >= 1, got {shard_size}")
     shard = F.floor((F.col(position_col) - 1) / shard_size).cast("bigint")
+    # explicit partition count: AQE otherwise coalesces the small keyed
+    # exchange to one task, serializing every shard directory's
+    # committer overhead (see write_tokenized_shards). One shard still
+    # hashes to exactly one partition, so the one-file-per-dir layout
+    # property is unchanged (pinned by the layout test).
+    n_part = shuffled.sparkSession.sparkContext.defaultParallelism
     (
         shuffled.withColumn("shard_id", shard)
-        .repartition("shard_id")
+        .repartition(n_part, "shard_id")
         .sortWithinPartitions("shard_id", position_col)
         .write.mode("overwrite")
         .partitionBy("shard_id")

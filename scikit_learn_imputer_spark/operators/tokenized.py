@@ -58,7 +58,14 @@ def tokenized_sequences(
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     encoder = bpe_encode_udf(vocab)
-    enc = df.select(
+    # the Arrow encode is the expensive per-row stage: give it the
+    # fan_out parallelism floor (a small parquet file scans as ONE
+    # partition and would run the whole encode on a single core; no-op
+    # at real corpus scale, and the shard window below re-shuffles by
+    # shard_col anyway so placement is unaffected)
+    from scikit_learn_imputer_spark.functions.skew import fan_out
+
+    enc = fan_out(df).select(
         F.col(id_col),
         F.col(shard_col),
         encoder(F.col(text_col)).alias("__ids"),
@@ -151,9 +158,16 @@ def write_tokenized_shards(
     if shard_size < 1:
         raise ValueError(f"shard_size must be >= 1, got {shard_size}")
     shard = F.floor(F.col("seq_id") / shard_size).cast("bigint")
+    # explicit partition count: without it AQE coalesces the tiny
+    # keyed exchange to ONE task, which then pays the per-directory
+    # committer overhead for every shard dir serially (98 dirs ≈ 4s at
+    # bench SF); with it the dirs commit in parallel. At cluster scale
+    # the byte sizes prevent the coalesce anyway — this pins the same
+    # plan at toy scale.
+    n_part = seqs.sparkSession.sparkContext.defaultParallelism
     (
         seqs.withColumn("shard_id", shard)
-        .repartition(shard_col, "shard_id")
+        .repartition(n_part, shard_col, "shard_id")
         .sortWithinPartitions(shard_col, "shard_id", "seq_id")
         .write.mode("overwrite")
         .partitionBy(shard_col, "shard_id")
@@ -675,7 +689,11 @@ def rewrite_tokenized_shards_incremental(
         )
         encoder = bpe_encode_udf(vocab)
         counter = bpe_count_udf(vocab)
-        counted = after.select(
+        from scikit_learn_imputer_spark.functions.skew import fan_out
+
+        # the Arrow COUNT pass touches the whole after-corpus: floor its
+        # parallelism (1-partition scans serialize it; no-op at scale)
+        counted = fan_out(after).select(
             F.col(id_col).alias("doc_id"),
             F.col(shard_col).alias("__k"),
             F.col(text_col).alias("__text"),
@@ -726,8 +744,12 @@ def rewrite_tokenized_shards_incremental(
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
+            # explicit count: AQE otherwise coalesces the small keyed
+            # exchange to one task and the per-dir committer overhead
+            # serializes (see write_tokenized_shards)
+            n_part = spark.sparkContext.defaultParallelism
             (
-                out.repartition(shard_col, "shard_id")
+                out.repartition(n_part, shard_col, "shard_id")
                 .sortWithinPartitions(shard_col, "shard_id", "seq_id")
                 .write.mode("overwrite")
                 .partitionBy(shard_col, "shard_id")
