@@ -89,3 +89,80 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    n: int = 5,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """(contained_id, container_id, n_contained, n_container,
+    containment): ASYMMETRIC near-dup — pairs where the smaller
+    document's word-n-gram set is ≥ ``threshold`` covered by the
+    other's (containment(A,B) = |A∩B| / |A|, A the smaller gram set;
+    ties broken toward the smaller id). Catches quote-inclusion and
+    partial copies that symmetric Jaccard structurally misses: a 50-line
+    doc fully embedded in a 5000-line doc has Jaccard ≈ 0.01 but
+    containment 1.0. WORD grams, not char grams — on a shared-vocabulary
+    corpus char-3-gram sets are near-universal and containment goes
+    degenerate (measured: 1367 char pairs vs 25 word pairs at sf0.01).
+
+    Same scale shape as ``ngram_jaccard_pairs``: grams collapse to md5
+    digests (text never shuffles), the pair join is digest-keyed with
+    the same optional ``max_df`` stop-gram guard for the banded/at-scale
+    configuration."""
+    from scikit_learn_imputer_spark.functions.skew import fan_out
+    from scikit_learn_imputer_spark.functions.text import word_ngrams_col
+
+    grams = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.explode(word_ngrams_col(F.col(text_col), n)).alias("g"),
+        )
+        .select(id_col, F.md5("g").alias("g"))
+        .distinct()
+    )
+    if max_df is not None:
+        keep = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("g")
+        )
+        grams = grams.join(keep, on="g", how="left_semi")
+    sizes = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    a = grams.select(F.col(id_col).alias("id_a"), "g")
+    b = grams.select(F.col(id_col).alias("id_b"), "g")
+    inter = (
+        a.join(b, on="g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+    joined = inter.join(sa, "id_a").join(sb, "id_b")
+    small_is_a = F.col("na") <= F.col("nb")
+    cont = F.col("inter").cast("double") / F.least("na", "nb").cast(
+        "double"
+    )
+    return (
+        joined.filter(cont >= threshold)
+        .select(
+            F.when(small_is_a, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("contained_id"),
+            F.when(small_is_a, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("container_id"),
+            F.least("na", "nb").alias("n_contained"),
+            F.greatest("na", "nb").alias("n_container"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )

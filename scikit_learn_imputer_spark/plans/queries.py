@@ -11105,3 +11105,58 @@ ORACLE["decontam_method_agreement"] = (
     .replace("{word}", ORACLE["decontaminate_ngram_corpus"])
     .replace("{tok}", ORACLE["decontam_token_ngrams"])
 )
+
+
+@register(
+    "near_dup_containment",
+    oracle=r"""
+WITH grams AS (
+  SELECT DISTINCT doc_id,
+         md5(g) AS g
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                  || w[i+3] || ' ' || w[i+4])) AS g
+    FROM (SELECT doc_id, str_split_regex(trim(text), '\s+') AS w
+          FROM documents)
+  )
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+          FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS i
+  FROM grams a JOIN grams b USING (g)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS contained_id,
+       CASE WHEN sa.n <= sb.n THEN id_b ELSE id_a END AS container_id,
+       least(sa.n, sb.n) AS n_contained,
+       greatest(sa.n, sb.n) AS n_container,
+       round(i::DOUBLE / least(sa.n, sb.n), 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i::DOUBLE / least(sa.n, sb.n) >= 0.9
+""",
+)
+def q_near_dup_containment(spark, sf_dir):
+    """Asymmetric containment near-dup
+    (dedup/ngram.py:ngram_containment_pairs): pairs where the smaller
+    doc's word-5-gram set is ≥90% inside the other's — the
+    quote-inclusion / partial-copy net symmetric Jaccard structurally
+    misses (a short doc embedded in a long one has Jaccard ≈ 0 but
+    containment 1). Word grams, not char grams: on this
+    shared-vocabulary corpus char-3-gram containment is degenerate
+    (1367 pairs vs 25 at sf0.01). Exact oracle config; the max_df
+    stop-gram guard is the at-scale knob, same as the Jaccard
+    family."""
+    from scikit_learn_imputer_spark.dedup.ngram import (
+        ngram_containment_pairs,
+    )
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), n=5, threshold=0.9
+    ).orderBy("contained_id", "container_id")

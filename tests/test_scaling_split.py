@@ -200,3 +200,29 @@ def test_decontam_method_agreement_consistent(spark, sf_smoke):
     assert r["n_token_only"] == r["n_dropped_token"] - r["n_both"]
     assert r["n_dropped_word"] <= r["n_corpus"]
     assert r["n_dropped_token"] <= r["n_corpus"]
+
+
+def test_near_dup_containment_semantics(spark):
+    """Golden: a short doc fully embedded in a long one has Jaccard ~ 0
+    but containment 1.0 — plus bound/tie-break invariants."""
+    from scikit_learn_imputer_spark.dedup.ngram import (
+        ngram_containment_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, short),
+            (2, filler + " " + short + " " + filler),
+            (3, "totally different words entirely here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = ngram_containment_pairs(docs, n=5, threshold=0.9).collect()
+    got = {(r["contained_id"], r["container_id"]): r for r in rows}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r["containment"] == 1.0
+    assert r["n_contained"] <= r["n_container"]
+    assert not any(k for k in got if 3 in k)
