@@ -2029,40 +2029,48 @@ def _bpe_cte() -> str:
     return f"vocab(v) AS (VALUES {vocab_values_sql()}),\n" + _bpe_count_ctes()
 
 
-def _bpe_learn_parts(k: int) -> tuple[list, list]:
+def _bpe_learn_parts(
+    k: int, prefix: str = "", where: str = ""
+) -> tuple[list, list]:
     """The learn-loop CTE stages and per-rank SELECTs, shared by the
-    merge-table oracle and the learned-vocab count oracle."""
+    merge-table oracle, the learned-vocab count oracle, and (with a
+    ``prefix`` to keep two chains' CTE names disjoint plus a ``where``
+    doc filter) the vocab-drift two-snapshot comparison."""
+    q = prefix
+    extra = f" AND ({where})" if where else ""
     ctes = [
-        r"""w0 AS (
+        rf"""{q}w0 AS (
   SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
     SELECT unnest(str_split_regex(trim(text), '\s+')) AS word
-    FROM documents WHERE length(trim(text)) > 0
+    FROM documents WHERE length(trim(text)) > 0{extra}
   ) WHERE word <> '' GROUP BY word
 )""",
-        "s0 AS (SELECT word, freq, ' ' || array_to_string("
+        f"{q}s0 AS (SELECT word, freq, ' ' || array_to_string("
         "list_transform(range(1, length(word) + 1), i -> word[i]), ' ')"
-        " || ' ' AS sym FROM w0)",
+        f" || ' ' AS sym FROM {q}w0)",
     ]
     sels = []
     for i in range(1, k + 1):
         ctes.append(
-            f"p{i} AS (SELECT pr, CAST(sum(freq) AS BIGINT) AS c FROM ("
+            f"{q}p{i} AS (SELECT pr, CAST(sum(freq) AS BIGINT) AS c FROM ("
             "SELECT freq, unnest(list_transform(range(1, len(s)),"
             " j -> s[j] || ' ' || s[j+1])) AS pr "
-            f"FROM (SELECT freq, str_split_regex(trim(sym), ' ') AS s FROM s{i-1})"
+            f"FROM (SELECT freq, str_split_regex(trim(sym), ' ') AS s FROM {q}s{i-1})"
             ") GROUP BY pr)"
         )
-        ctes.append(f"b{i} AS (SELECT pr, c FROM p{i} ORDER BY c DESC, pr LIMIT 1)")
         ctes.append(
-            f"s{i} AS (SELECT word, freq, "
-            f"replace(replace(sym, ' ' || b{i}.pr || ' ', ' ' || replace(b{i}.pr, ' ', '') || ' '),"
-            f" ' ' || b{i}.pr || ' ', ' ' || replace(b{i}.pr, ' ', '') || ' ') AS sym "
-            f"FROM s{i-1}, b{i})"
+            f"{q}b{i} AS (SELECT pr, c FROM {q}p{i} ORDER BY c DESC, pr LIMIT 1)"
+        )
+        ctes.append(
+            f"{q}s{i} AS (SELECT word, freq, "
+            f"replace(replace(sym, ' ' || {q}b{i}.pr || ' ', ' ' || replace({q}b{i}.pr, ' ', '') || ' '),"
+            f" ' ' || {q}b{i}.pr || ' ', ' ' || replace({q}b{i}.pr, ' ', '') || ' ') AS sym "
+            f"FROM {q}s{i-1}, {q}b{i})"
         )
         sels.append(
             f"SELECT CAST({i} AS INTEGER) AS merge_rank,"
             " split_part(pr, ' ', 1) AS lhs, split_part(pr, ' ', 2) AS rhs,"
-            f" replace(pr, ' ', '') AS merged, c AS pair_freq FROM b{i}"
+            f" replace(pr, ' ', '') AS merged, c AS pair_freq FROM {q}b{i}"
         )
     return ctes, sels
 
@@ -11160,3 +11168,97 @@ def q_near_dup_containment(spark, sf_dir):
     return ngram_containment_pairs(
         _t(spark, sf_dir, "documents"), n=5, threshold=0.9
     ).orderBy("contained_id", "container_id")
+
+
+def _vocab_drift_oracle(k: int = 8) -> str:
+    ctes_a, sels_a = _bpe_learn_parts(k, prefix="a_", where="doc_id % 2 = 0")
+    ctes_b, sels_b = _bpe_learn_parts(k, prefix="b_")
+    ma = "ma AS (" + "\nUNION ALL\n".join(sels_a) + ")"
+    mb = "mb AS (" + "\nUNION ALL\n".join(sels_b) + ")"
+    return (
+        "WITH "
+        + ",\n".join(ctes_a + ctes_b + [ma, mb])
+        + f""",
+flags AS (
+  SELECT merged, max(a) AS a, max(b) AS b FROM (
+    SELECT merged, 1 AS a, 0 AS b FROM ma
+    UNION ALL SELECT merged, 0, 1 FROM mb
+  ) GROUP BY merged
+),
+stats AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n_merges_early,
+         CAST(sum(b) AS BIGINT) AS n_merges_full,
+         CAST(sum(a * b) AS BIGINT) AS n_shared,
+         round(sum(a * b)::DOUBLE
+               / NULLIF(sum(a) + sum(b) - sum(a * b), 0), 6)
+           AS merge_jaccard
+  FROM flags
+),
+fd AS (
+  SELECT CAST(COALESCE(min(r), {k + 1}) AS INTEGER) AS first_divergence
+  FROM (
+    SELECT COALESCE(a.merge_rank, b.merge_rank) AS r
+    FROM ma a FULL OUTER JOIN mb b USING (merge_rank)
+    WHERE a.merged IS DISTINCT FROM b.merged
+  )
+)
+SELECT n_merges_early, n_merges_full, n_shared, merge_jaccard,
+       first_divergence
+FROM stats, fd"""
+    )
+
+
+@register("vocab_drift", oracle=_vocab_drift_oracle(8))
+def q_vocab_drift(spark, sf_dir):
+    """Tokenizer stability across corpus growth: BPE merge tables
+    learned on the EARLY snapshot (doc_id % 2 = 0 — half the ingest)
+    versus the FULL corpus, compared as (a) merge-set overlap (count +
+    Jaccard) and (b) the first merge rank where the ordered tables
+    diverge (rank k+1 = identical through k) — the "can I keep my
+    shipped tokenizer after this ingest?" audit. Both learns share
+    learn_bpe_merges' distributed shape (one word-frequency shuffle
+    each, then vocabulary-sized iterations); the comparison is
+    flag-union + one aggregate over two 8-row merge tables. The oracle
+    unrolls BOTH learn chains (prefixed CTE namespaces) and composes the
+    same comparison — the whole two-snapshot artifact chain is
+    hash-checked."""
+    from scikit_learn_imputer_spark.functions.bpe import learn_bpe_merges
+
+    d = _t(spark, sf_dir, "documents")
+    k = 8
+    ma = learn_bpe_merges(d.filter(F.col("doc_id") % 2 == 0), num_merges=k)
+    mb = learn_bpe_merges(d, num_merges=k)
+    flags = (
+        ma.select("merged", F.lit(1).alias("a"), F.lit(0).alias("b"))
+        .unionAll(mb.select("merged", F.lit(0).alias("a"), F.lit(1).alias("b")))
+        .groupBy("merged")
+        .agg(F.max("a").alias("a"), F.max("b").alias("b"))
+    )
+    denom = F.sum("a") + F.sum("b") - F.sum(F.col("a") * F.col("b"))
+    stats = flags.agg(
+        F.sum("a").cast("bigint").alias("n_merges_early"),
+        F.sum("b").cast("bigint").alias("n_merges_full"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n_shared"),
+        F.round(
+            F.sum(F.col("a") * F.col("b")).cast("double")
+            / F.when(denom > 0, denom.cast("double")),
+            6,
+        ).alias("merge_jaccard"),
+    )
+    fd = (
+        ma.select(F.col("merge_rank").alias("r"), F.col("merged").alias("am"))
+        .join(
+            mb.select(
+                F.col("merge_rank").alias("r"), F.col("merged").alias("bm")
+            ),
+            on="r",
+            how="full",
+        )
+        .filter(~F.col("am").eqNullSafe(F.col("bm")))
+        .agg(
+            F.coalesce(F.min("r"), F.lit(k + 1))
+            .cast("int")
+            .alias("first_divergence")
+        )
+    )
+    return stats.crossJoin(F.broadcast(fd))

@@ -49,6 +49,7 @@ INTENDED_NON_EQUI = {
     "doremi_epoch_plan",           # same LM pass + a 1-row budget broadcast
     "training_epoch_ledger",       # 1-row budget broadcast + 20-row
                                    # partial-threshold broadcast join
+    "vocab_drift",                 # 1-row stats x 1-row divergence frame
     "dedup_method_agreement",      # inherits embedding_near_pairs' exact
                                    # all-pairs baseline (LSH is the scale path)
     "semdedup_threshold_curve",    # exact pair-join baseline (same as

@@ -226,3 +226,31 @@ def test_near_dup_containment_semantics(spark):
     assert r["containment"] == 1.0
     assert r["n_contained"] <= r["n_container"]
     assert not any(k for k in got if 3 in k)
+
+
+def test_vocab_drift_invariants(spark, sf_smoke):
+    r = QUERIES["vocab_drift"](spark, sf_smoke).collect()[0]
+    assert r["n_shared"] <= min(r["n_merges_early"], r["n_merges_full"])
+    assert 1 <= r["first_divergence"] <= 9
+    if r["first_divergence"] == 9:
+        # identical ordered tables through k=8 implies identical sets
+        assert r["n_shared"] == r["n_merges_early"] == r["n_merges_full"]
+
+
+def test_vocab_drift_identical_corpus_no_drift(spark):
+    """Early == full corpus (all doc_id even) -> zero drift."""
+    from scikit_learn_imputer_spark.plans.queries import QUERIES as Q
+    import os, tempfile, shutil
+
+    docs = spark.createDataFrame(
+        [(2 * i, f"aa bb aa bb cc dd w{i % 3}") for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    tmp = tempfile.mkdtemp()
+    try:
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        r = Q["vocab_drift"](spark, tmp).collect()[0]
+        assert r["first_divergence"] == 9
+        assert r["merge_jaccard"] == 1.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
