@@ -11262,3 +11262,86 @@ def q_vocab_drift(spark, sf_dir):
         )
     )
     return stats.crossJoin(F.broadcast(fd))
+
+
+@register(
+    "gram_df_spectrum",
+    oracle=r"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(len(text) - 2, 0))) AS i
+        FROM documents)
+),
+df AS (SELECT gram, CAST(count(*) AS BIGINT) AS df
+       FROM grams GROUP BY gram),
+b AS (
+  -- bit-length bucketing, NOT floor(log2(df)): log of an exact power
+  -- of 2 is a 1-ulp cross-engine coin flip under floor()
+  SELECT CAST(length(bin(df)) - 1 AS INTEGER) AS bucket,
+         df, df * (df - 1) / 2 AS pairs
+  FROM df
+),
+agg AS (
+  SELECT bucket,
+         CAST(power(2, bucket) AS BIGINT) AS df_lo,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(df) AS BIGINT) AS total_df,
+         CAST(sum(pairs) AS BIGINT) AS pair_work
+  FROM b GROUP BY bucket
+),
+tot AS (SELECT CAST(sum(pair_work) AS DOUBLE) AS z FROM agg)
+SELECT bucket, df_lo, n_grams, total_df, pair_work,
+       round(pair_work / tot.z, 6) AS pair_work_share
+FROM agg, tot
+ORDER BY bucket
+""",
+)
+def q_gram_df_spectrum(spark, sf_dir):
+    """The max_df calibration artifact: char-3-gram document-frequency
+    spectrum in power-of-2 buckets, with each bucket's share of the
+    EXACT candidate-pair work (Σ df·(df−1)/2 — the row count the
+    all-pairs gram join must stream). This is the run-before-you-join
+    planning read that justifies the gram family's stop-gram guard: on
+    the dense corpus the top df bucket carries essentially all pair
+    work while holding few grams, so cutting at max_df trades almost no
+    recall mass for orders-of-magnitude less join work (the documented
+    bench override; lsh_bucket_skew is the banded-join sibling). One
+    distinct-gram aggregate + one O(#buckets) aggregate + a 1-row total
+    broadcast; document text collapses to grams map-side."""
+    from scikit_learn_imputer_spark.dedup.ngram import char_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    df = char_ngrams(d, 3).groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    # bit-length bucketing (exact integer logic on both engines; a
+    # float floor(log2) flips at exact powers of 2)
+    b = df.select(
+        (F.length(F.bin(F.col("df"))) - 1).cast("int").alias("bucket"),
+        "df",
+        (F.col("df") * (F.col("df") - 1) / 2).cast("bigint").alias("pairs"),
+    )
+    agg = b.groupBy("bucket").agg(
+        F.pow(F.lit(2.0), F.col("bucket").cast("double"))
+        .cast("bigint")
+        .alias("df_lo"),
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum("df").cast("bigint").alias("total_df"),
+        F.sum("pairs").cast("bigint").alias("pair_work"),
+    )
+    tot = agg.agg(F.sum("pair_work").cast("double").alias("__z"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "df_lo",
+            "n_grams",
+            "total_df",
+            "pair_work",
+            F.round(F.col("pair_work") / F.col("__z"), 6).alias(
+                "pair_work_share"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -50,6 +50,7 @@ INTENDED_NON_EQUI = {
     "training_epoch_ledger",       # 1-row budget broadcast + 20-row
                                    # partial-threshold broadcast join
     "vocab_drift",                 # 1-row stats x 1-row divergence frame
+    "gram_df_spectrum",            # 1-row pair-work total broadcast
     "dedup_method_agreement",      # inherits embedding_near_pairs' exact
                                    # all-pairs baseline (LSH is the scale path)
     "semdedup_threshold_curve",    # exact pair-join baseline (same as

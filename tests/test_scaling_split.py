@@ -254,3 +254,18 @@ def test_vocab_drift_identical_corpus_no_drift(spark):
         assert r["merge_jaccard"] == 1.0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_gram_df_spectrum_reconciles(spark, sf_smoke):
+    rows = QUERIES["gram_df_spectrum"](spark, sf_smoke).collect()
+    assert rows
+    from scikit_learn_imputer_spark.dedup.ngram import char_ngrams
+
+    docs = load_table(spark, sf_smoke, "documents")
+    n_distinct = char_ngrams(docs, 3).select("gram").distinct().count()
+    assert sum(r["n_grams"] for r in rows) == n_distinct
+    assert abs(sum(r["pair_work_share"] for r in rows) - 1.0) < 1e-5
+    for r in rows:
+        # df_lo is the bucket's true lower bound: 2^bucket
+        assert r["df_lo"] == 2 ** r["bucket"]
+        assert r["pair_work"] >= 0
