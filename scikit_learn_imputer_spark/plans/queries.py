@@ -11345,3 +11345,43 @@ def q_gram_df_spectrum(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "containment_survivors",
+    oracle=f"""
+WITH pairs AS ({{cont}}),
+dropped AS (SELECT DISTINCT contained_id FROM pairs)
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT contained_id FROM dropped)
+ORDER BY doc_id
+""",
+)
+def q_containment_survivors(spark, sf_dir):
+    """The containment net as a DEDUP ACTION: drop every document whose
+    word-5-gram set is ≥90% contained in some other document (the
+    embedded quote / partial copy keeps only its container — RefinedWeb
+    treats these as boilerplate inclusions, not independent mass). A
+    container that is itself contained elsewhere still drops: the
+    survivor set is exactly the docs never ≥90%-covered by another —
+    deterministic with no cluster resolution needed, because
+    containment is directional. One anti-join on the pair frame's
+    contained ids."""
+    from scikit_learn_imputer_spark.dedup.ngram import (
+        ngram_containment_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    dropped = ngram_containment_pairs(d, n=5, threshold=0.9).select(
+        F.col("contained_id").alias("doc_id")
+    ).distinct()
+    return (
+        d.join(dropped, on="doc_id", how="left_anti")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["containment_survivors"] = ORACLE["containment_survivors"].replace(
+    "{cont}", ORACLE["near_dup_containment"]
+)

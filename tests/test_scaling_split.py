@@ -269,3 +269,15 @@ def test_gram_df_spectrum_reconciles(spark, sf_smoke):
         # df_lo is the bucket's true lower bound: 2^bucket
         assert r["df_lo"] == 2 ** r["bucket"]
         assert r["pair_work"] >= 0
+
+
+def test_containment_survivors_drop_exactly_contained(spark, sf_smoke):
+    pairs = QUERIES["near_dup_containment"](spark, sf_smoke).collect()
+    dropped = {r["contained_id"] for r in pairs}
+    surv = {
+        r["doc_id"]
+        for r in QUERIES["containment_survivors"](spark, sf_smoke).collect()
+    }
+    total = load_table(spark, sf_smoke, "documents").count()
+    assert surv.isdisjoint(dropped)
+    assert len(surv) == total - len(dropped)
