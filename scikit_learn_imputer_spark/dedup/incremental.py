@@ -551,3 +551,57 @@ def dedup_store_stats(
         spark.sparkContext.parallelize(rows, 1),
         "store string, metric string, value bigint",
     )
+
+
+def delete_from_fingerprint_store(
+    spark: SparkSession,
+    store_path: str,
+    deleted_docs: DataFrame,
+    retained_docs: DataFrame,
+    text_col: str = "text",
+) -> None:
+    """Takedown propagation into the exact-dedup store: purge the
+    fingerprints of ``deleted_docs`` so the store stops testifying to
+    content the corpus no longer holds. Without this a takedown leaves
+    the deleted docs' hashes in dedup history and a RE-SUBMISSION of
+    the same content is silently rejected as a duplicate — the store
+    would enforce a deletion as a permanent ban, which is the wrong
+    contract for right-to-be-forgotten.
+
+    Shared-content guard: a fingerprint carried by BOTH a deleted and a
+    retained document stays (the retained doc still legitimately holds
+    that content; purging it would let a new exact duplicate of LIVE
+    content slip in). Rewrite is atomic via the compaction sibling
+    protocol (``_compact_swap`` / ``recover_compaction``)."""
+    deleted_fps = (
+        deleted_docs.select(
+            fingerprint_col(F.col(text_col)).alias("fingerprint")
+        ).distinct()
+    )
+    retained_fps = (
+        retained_docs.select(
+            fingerprint_col(F.col(text_col)).alias("fingerprint")
+        ).distinct()
+    )
+    purge = deleted_fps.join(retained_fps, on="fingerprint", how="left_anti")
+    store = spark.read.parquet(store_path)
+    kept = store.join(purge, on="fingerprint", how="left_anti")
+    _compact_swap(spark, kept, store_path)
+
+
+def delete_from_signature_store(
+    spark: SparkSession,
+    store_path: str,
+    deleted_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> None:
+    """Takedown propagation into the NEAR-dedup store: drop every
+    (doc_id, band, bucket) row of the deleted documents — their band
+    buckets must stop attracting candidate pairs (and a re-submission
+    must not collide with its own ghost). The signature store keys rows
+    by doc_id, so no shared-content guard is needed; rewrite is atomic
+    via the compaction sibling protocol."""
+    ids = deleted_ids.select(F.col(id_col).alias("doc_id")).distinct()
+    store = spark.read.parquet(store_path)
+    kept = store.join(F.broadcast(ids), on="doc_id", how="left_anti")
+    _compact_swap(spark, kept, store_path)

@@ -11385,3 +11385,130 @@ def q_containment_survivors(spark, sf_dir):
 ORACLE["containment_survivors"] = ORACLE["containment_survivors"].replace(
     "{cont}", ORACLE["near_dup_containment"]
 )
+
+
+@register(
+    "takedown_certificate",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, text,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         substr(md5('takedown:' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+           AS deleted
+  FROM documents
+),
+del_fp AS (SELECT DISTINCT fp FROM d WHERE deleted),
+ret_fp AS (SELECT DISTINCT fp FROM d WHERE NOT deleted),
+purge AS (SELECT fp FROM del_fp WHERE fp NOT IN (SELECT fp FROM ret_fp)),
+shared AS (SELECT fp FROM del_fp WHERE fp IN (SELECT fp FROM ret_fp)),
+counts AS (
+  SELECT CAST(count(DISTINCT fp) AS BIGINT) AS fp_all,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN deleted THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_deleted
+  FROM d
+)
+SELECT 'fingerprint' AS artifact,
+       fp_all AS rows_before,
+       fp_all - (SELECT CAST(count(*) AS BIGINT) FROM purge) AS rows_after,
+       CAST(0 AS BIGINT) AS deleted_refs_after,
+       (SELECT CAST(count(*) AS BIGINT) FROM shared) AS shared_kept
+FROM counts
+UNION ALL
+SELECT 'signature',
+       n_docs * 2,
+       (n_docs - n_deleted) * 2,
+       CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM counts
+ORDER BY artifact
+""",
+)
+def q_takedown_certificate(spark, sf_dir):
+    """Right-to-be-forgotten CERTIFICATE over the dedup stores: build
+    both persisted stores on the full corpus, apply a seeded takedown
+    (md5('takedown:'||id) first hex = '0', ~1/16 of docs) with
+    delete_from_fingerprint_store / delete_from_signature_store
+    (dedup/incremental.py — atomic compaction-sibling rewrites), then
+    READ THE STORES BACK and report, per artifact: rows before/after,
+    the count of deleted docs' entries still present (the certified
+    zero — counted from disk, predicted relationally by the oracle),
+    and the shared-content fingerprints deliberately RETAINED (content
+    a surviving doc still holds; purging those would let a new exact
+    duplicate of live content slip in). Closes the takedown loop the
+    round-8 deletion work opened: corpus (repack_after_delete), shards
+    (tokenized_incremental_rewrite), offsets
+    (adjust_offsets_after_delete), and now dedup HISTORY all propagate
+    deletions — and the functional consequence (a purged doc
+    re-submits successfully; a banned ghost would reject it) is pinned
+    by test. bands=2 signature config keeps the certificate's store
+    rows doc-countable."""
+    from scikit_learn_imputer_spark.dedup.incremental import (
+        build_fingerprint_store,
+        build_signature_store,
+        delete_from_fingerprint_store,
+        delete_from_signature_store,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    deleted = docs.filter(
+        F.md5(
+            F.concat(F.lit("takedown:"), F.col("doc_id").cast("string"))
+        ).substr(1, 1)
+        == "0"
+    )
+    retained = docs.filter(
+        F.md5(
+            F.concat(F.lit("takedown:"), F.col("doc_id").cast("string"))
+        ).substr(1, 1)
+        != "0"
+    )
+    fpath = _scratch("tdc_fp")
+    spath = _scratch("tdc_sig")
+    build_fingerprint_store(docs, fpath)
+    build_signature_store(
+        docs, spath, num_hashes=_MINHASH_K, bands=2, shingle=5, hasher="md5"
+    )
+    fp_before = spark.read.parquet(fpath).count()
+    sig_before = spark.read.parquet(spath).count()
+    delete_from_fingerprint_store(spark, fpath, deleted, retained)
+    delete_from_signature_store(spark, spath, deleted)
+    fp_store_after = spark.read.parquet(fpath)
+    sig_store_after = spark.read.parquet(spath)
+    from scikit_learn_imputer_spark.functions.text import fingerprint_col
+
+    del_fp = deleted.select(
+        fingerprint_col(F.col("text")).alias("fingerprint")
+    ).distinct()
+    ret_fp = retained.select(
+        fingerprint_col(F.col("text")).alias("fingerprint")
+    ).distinct()
+    purge = del_fp.join(ret_fp, on="fingerprint", how="left_anti")
+    shared = del_fp.join(ret_fp, on="fingerprint", how="left_semi")
+    fp_refs_after = fp_store_after.join(
+        purge, on="fingerprint", how="left_semi"
+    ).count()
+    sig_refs_after = sig_store_after.join(
+        deleted.select("doc_id"), on="doc_id", how="left_semi"
+    ).count()
+    rows = [
+        (
+            "fingerprint",
+            fp_before,
+            fp_store_after.count(),
+            fp_refs_after,
+            shared.count(),
+        ),
+        (
+            "signature",
+            sig_before,
+            sig_store_after.count(),
+            sig_refs_after,
+            0,
+        ),
+    ]
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "artifact string, rows_before bigint, rows_after bigint, "
+        "deleted_refs_after bigint, shared_kept bigint",
+    ).orderBy("artifact")

@@ -281,3 +281,56 @@ def test_containment_survivors_drop_exactly_contained(spark, sf_smoke):
     total = load_table(spark, sf_smoke, "documents").count()
     assert surv.isdisjoint(dropped)
     assert len(surv) == total - len(dropped)
+
+
+def test_store_purge_allows_resubmission(spark, sf_smoke, tmp_path):
+    """THE functional point of takedown propagation into dedup history:
+    after the purge, a deleted doc re-submits successfully; before the
+    purge its own ghost fingerprint rejects it."""
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.dedup.incremental import (
+        build_fingerprint_store,
+        delete_from_fingerprint_store,
+        incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    victim = docs.orderBy("doc_id").limit(1)
+    retained = docs.join(
+        victim.select("doc_id"), on="doc_id", how="left_anti"
+    )
+    store = str(tmp_path / "fp")
+    build_fingerprint_store(docs, store)
+    # ghost rejects the re-submission
+    assert incremental_dedup(victim, store).count() == 0
+    delete_from_fingerprint_store(spark, store, victim, retained)
+    # purged: the same content is accepted again
+    assert incremental_dedup(victim, store).count() == 1
+
+
+def test_store_purge_keeps_shared_content_fingerprint(spark, tmp_path):
+    """A fingerprint held by BOTH a deleted and a retained doc must
+    survive the purge (live content keeps its dedup protection)."""
+    from scikit_learn_imputer_spark.dedup.incremental import (
+        build_fingerprint_store,
+        delete_from_fingerprint_store,
+        incremental_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "shared text body"), (2, "shared text body"), (3, "other")],
+        "doc_id bigint, text string",
+    )
+    deleted = docs.filter("doc_id = 1")
+    retained = docs.filter("doc_id != 1")
+    store = str(tmp_path / "fp")
+    build_fingerprint_store(docs, store)
+    delete_from_fingerprint_store(spark, store, deleted, retained)
+    # doc 2 still holds the content: a NEW duplicate must stay rejected
+    dup = spark.createDataFrame(
+        [(9, "shared text body")], "doc_id bigint, text string"
+    )
+    assert incremental_dedup(dup, store).count() == 0
+    # genuinely-deleted content is gone
+    assert spark.read.parquet(store).count() == 2
