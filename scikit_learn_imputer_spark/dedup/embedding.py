@@ -228,3 +228,60 @@ def semdedup_survivors(
         )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.select(id_col).join(dropped, id_col, "left_anti")
+
+
+def semantic_decontam_flags(
+    df: DataFrame,
+    threshold: float = 0.38,
+    salt: str = "holdout:",
+    train_cut: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic decontamination: flag TRAIN documents whose embedding
+    lies within ``threshold`` cosine of ANY heldout (val/test) document —
+    the embedding-space complement of the word-gram `decontaminate_*`
+    family (paraphrased benchmark leakage that shares no exact n-gram).
+    Split membership is the engine's standard salted-md5 assignment
+    (same salt/cuts as corpus_holdout_split, so this audits exactly that
+    split). Returns one row per flagged train vector: ``n_eval_hits``
+    and its worst-case ``max_cosine``.
+
+    Scale shape: the EVAL side is broadcast — eval/benchmark sets are
+    fixed-size in practice (thousands of documents; the testdata split
+    fraction stands in), so the non-equi cosine join is a broadcast
+    nested-loop over a bounded side and the train corpus streams through
+    map-side, linear at 100 TB. Norms are computed once per vector
+    before the join; max/count aggregate per train id is
+    order-independent (no float-sum drift)."""
+    from scikit_learn_imputer_spark.functions.skew import fan_out
+    from scikit_learn_imputer_spark.functions.text import uniform_hash_col
+
+    h = uniform_hash_col(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    tagged = df.withColumn("__h", h)
+    tr = (
+        fan_out(tagged.filter(F.col("__h") < train_cut))
+        .select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__va"),
+        )
+        .withColumn("__na", norm(F.col("__va")))
+    )
+    ev = (
+        tagged.filter(F.col("__h") >= train_cut)
+        .select(
+            F.col(vec_col).cast("array<double>").alias("__vb"),
+        )
+        .withColumn("__nb", norm(F.col("__vb")))
+    )
+    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .select(id_col, cos.alias("__c"))
+        .filter(F.col("__c") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_hits"),
+            F.round(F.max("__c"), 6).alias("max_cosine"),
+        )
+    )

@@ -202,3 +202,103 @@ def write_training_shards_manifest(
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def dataloader_assignment(
+    shuffled: DataFrame,
+    shard_size: int,
+    num_workers: int,
+    position_col: str = "position",
+) -> DataFrame:
+    """Data-parallel reader plan: shards round-robin onto ``num_workers``
+    loader ranks (``worker_id = shard_id % num_workers`` — the standard
+    DDP assignment, contiguous permutation ranges striped across ranks
+    so every rank samples the whole shuffled order, not a prefix). One
+    row per worker: shard count, sequence count, shard-id range, and
+    each rank's share of the epoch — the imbalance a trainer pads or
+    drops to. Aggregation shape: the per-shard manifest (O(#shards))
+    collapses to O(num_workers) rows; the share window runs over that
+    tiny worker frame only."""
+    if num_workers < 1:
+        raise ValueError(f"num_workers must be >= 1, got {num_workers}")
+    shards = training_shards(shuffled, shard_size, position_col)
+    per = shards.groupBy(
+        (F.col("shard_id") % num_workers).cast("bigint").alias("worker_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.sum("n_sequences").cast("bigint").alias("n_sequences"),
+        F.min("shard_id").cast("bigint").alias("first_shard"),
+        F.max("shard_id").cast("bigint").alias("last_shard"),
+    )
+    # O(num_workers) frame: this global window ranks WORKERS, not data
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "worker_id",
+        "n_shards",
+        "n_sequences",
+        "first_shard",
+        "last_shard",
+        F.round(
+            F.col("n_sequences").cast("double")
+            / F.sum("n_sequences").over(wall),
+            6,
+        ).alias("seq_share"),
+    )
+
+
+def shuffle_dispersion(
+    shuffled: DataFrame,
+    source_col: str = "source",
+    position_col: str = "position",
+) -> DataFrame:
+    """Mixing-quality audit of the seeded shuffle: did same-source
+    sequences actually disperse? Counts adjacent position pairs that
+    share a source and compares against the expectation for a uniform
+    random permutation (P[adjacent same-source] = Σ nᵢ(nᵢ−1) / (N(N−1)));
+    a mixing_ratio well above 1 means the \"shuffle\" left source runs a
+    curriculum-sensitive trainer would feel. Adjacency is an EQUI join
+    of the frame against itself shifted by one position (shuffles on the
+    position key, no global-order window); expectations come from exact
+    integer sums, divided in the identical double expression on both
+    engines. One summary row."""
+    a = shuffled.select(
+        F.col(position_col).alias("__p"), F.col(source_col).alias("__sa")
+    )
+    b = shuffled.select(
+        (F.col(position_col) - 1).cast("long").alias("__p"),
+        F.col(source_col).alias("__sb"),
+    )
+    adj = a.join(b, "__p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_adjacent"),
+        F.sum((F.col("__sa") == F.col("__sb")).cast("int"))
+        .cast("bigint")
+        .alias("n_same_source"),
+    )
+    per_src = shuffled.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    exp = per_src.agg(
+        F.sum(F.col("__n") * (F.col("__n") - 1))
+        .cast("bigint")
+        .alias("same_pairs"),
+        F.sum("__n").cast("bigint").alias("n_sequences"),
+    )
+    # two 1-row frames meet on a literal equi key (a crossJoin would trip
+    # the plan lint; the hash join is equivalent and one row each side)
+    joined = adj.withColumn("__j", F.lit(1)).join(
+        exp.withColumn("__j", F.lit(1)), "__j"
+    )
+    observed = F.col("n_same_source").cast("double") / F.col("n_adjacent")
+    expected = F.col("same_pairs").cast("double") / (
+        F.col("n_sequences").cast("double") * (F.col("n_sequences") - 1)
+    )
+    return joined.select(
+        "n_sequences",
+        "n_adjacent",
+        "n_same_source",
+        F.round(observed, 6).alias("observed_rate"),
+        F.round(expected, 6).alias("expected_rate"),
+        F.round(observed / expected, 6).alias("mixing_ratio"),
+    )

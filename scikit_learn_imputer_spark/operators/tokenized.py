@@ -456,6 +456,12 @@ def incremental_tokenized_slices(
         F.col(shard_col),
         encoder(F.col(text_col)).alias("__ids"),
     ).withColumn("__n", F.size("__ids").cast("bigint"))
+    # materialize ONCE: enc feeds both the incremental_pack lineage and
+    # the placement re-join, and the caller actions slices and packed
+    # separately — without this the Arrow encode re-runs per consumer
+    # (ADVICE r8). localCheckpoint truncates lineage and its blocks are
+    # reclaimed by the context cleaner; sized O(micro-batch tokens).
+    enc = enc.localCheckpoint(eager=True)
     packed = incremental_pack(
         enc, store_path, seq_len, id_col, text_col="__ids",
         shard_col=shard_col, token_count_col="__n",
@@ -573,9 +579,13 @@ def _shard_boundaries(
     counter = bpe_count_udf(vocab)
 
     def counted(df: DataFrame) -> DataFrame:
+        # explicit string cast: the boundary frame is rebuilt downstream
+        # with a hardcoded `__k string` schema and compared against
+        # partition DIRECTORY names — a non-string shard_col must not
+        # reach either silently typed (ADVICE r8)
         c = df.select(
             F.col(id_col).alias("doc_id"),
-            F.col(shard_col).alias("__k"),
+            F.col(shard_col).cast("string").alias("__k"),
             counter(F.col(text_col)).cast("bigint").alias("__n"),
         )
         w = (
@@ -695,7 +705,9 @@ def rewrite_tokenized_shards_incremental(
         # parallelism (1-partition scans serialize it; no-op at scale)
         counted = fan_out(after).select(
             F.col(id_col).alias("doc_id"),
-            F.col(shard_col).alias("__k"),
+            # same string cast as _shard_boundaries — the broadcast join
+            # against bk (`__k string`) must not rely on implicit casts
+            F.col(shard_col).cast("string").alias("__k"),
             F.col(text_col).alias("__text"),
             counter(F.col(text_col)).cast("bigint").alias("__n"),
         )
@@ -765,11 +777,27 @@ def rewrite_tokenized_shards_incremental(
     # truncate: delete shard dirs past B's last shard (and keys gone)
     root = path[len("file:"):] if path.startswith("file:") else path
     if os.path.isdir(root):
+        from urllib.parse import unquote
+
         for kdir in os.listdir(root):
             if not kdir.startswith(f"{shard_col}="):
                 continue
-            key = kdir[len(shard_col) + 1:]
-            total = boundary.get(key, (None, 0))[1]
+            # Spark Hive-escapes partition values in directory names
+            # (':' -> '%3A', null -> __HIVE_DEFAULT_PARTITION__);
+            # unescape before the boundary lookup, and REFUSE to treat
+            # an unknown key as empty — defaulting to total=0 would
+            # delete every shard of a live key (ADVICE r8, medium)
+            raw = kdir[len(shard_col) + 1:]
+            key = (
+                None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+            )
+            if key not in boundary:
+                raise RuntimeError(
+                    f"shard directory {kdir!r} at {root} does not match any "
+                    f"{shard_col} key in either corpus snapshot; refusing to "
+                    "truncate a layout the boundary computation never saw"
+                )
+            total = boundary[key][1]
             n_seqs = -(-total // seq_len) if total else 0
             last_shard = (n_seqs - 1) // shard_size if n_seqs else -1
             for sdir in os.listdir(os.path.join(root, kdir)):
@@ -789,3 +817,138 @@ def rewrite_tokenized_shards_incremental(
             ):
                 shutil.rmtree(os.path.join(root, kdir))
     return manifest
+
+
+def sequence_fingerprints(
+    df: DataFrame,
+    vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Post-packing exact dedup — in TOKEN space, the representation a
+    trainer actually repeats: every materialized training sequence gets
+    an md5 fingerprint of its id payload, duplicate fingerprints group,
+    and the lexicographically-first (shard, seq_id) member keeps. Packing
+    can manufacture duplicate sequences out of distinct documents
+    (repeated boilerplate runs aligning on sequence boundaries), which
+    document-level dedup by construction cannot see — this is the last
+    dedup gate before the loader.
+
+    Returns one row per sequence: ``(shard, seq_id, n_ids, fingerprint,
+    n_copies, is_kept)``. Shuffle shape: ids collapse to a 16-byte
+    digest map-side; the group/keeper join is digest-keyed
+    (min(struct)) — the exact_dup_groups shape, never an id shuffle."""
+    seqs = tokenized_sequences(
+        df, vocab, seq_len, id_col, text_col, shard_col
+    ).select(
+        shard_col,
+        "seq_id",
+        "n_ids",
+        F.md5(
+            F.concat_ws(
+                " ", F.transform("token_ids", lambda x: x.cast("string"))
+            )
+        ).alias("fingerprint"),
+    )
+    groups = seqs.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min(
+            F.struct(F.col(shard_col).alias("__s"), F.col("seq_id").alias("__q"))
+        ).alias("__keep"),
+    )
+    return seqs.join(groups, "fingerprint").select(
+        shard_col,
+        "seq_id",
+        "n_ids",
+        "fingerprint",
+        "n_copies",
+        (
+            (F.col("__keep.__s") == F.col(shard_col))
+            & (F.col("__keep.__q") == F.col("seq_id"))
+        ).alias("is_kept"),
+    )
+
+
+def sequence_holdout_taint(
+    df: DataFrame,
+    vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB,
+    seq_len: int = 512,
+    salt: str = "holdout:",
+    train_cut: float = 0.98,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Eval-hygiene audit of the PACKING stage: if the whole corpus is
+    naively packed (holdout docs never physically removed before
+    chunking — a real pipeline-ordering bug), which training sequences
+    carry heldout (val/test) tokens, and how much mass? Split membership
+    is the standard salted-md5 assignment (same salt/cut as
+    corpus_holdout_split, so this audits that split's interaction with
+    pack_sequences). Counts-only dataflow — the sequence_doc_spans chain
+    with a split tag: one shard window over token counts, a bounded
+    (doc, seq) explode, then per-source aggregates. Returns one row per
+    shard key: total sequences, tainted sequences, heldout token mass,
+    and the tainted-sequence rate."""
+    from scikit_learn_imputer_spark.functions.bpe import with_bpe_token_counts
+    from scikit_learn_imputer_spark.functions.text import uniform_hash_col
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    h = uniform_hash_col(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    counts = (
+        with_bpe_token_counts(
+            df.select(id_col, shard_col, text_col), vocab, text_col
+        )
+        .select(
+            id_col,
+            shard_col,
+            F.col("n_bpe_tokens").alias("__n"),
+            (h >= train_cut).cast("int").alias("__held"),
+        )
+    )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = counts.withColumn(
+        "__cum",
+        F.coalesce(F.sum("__n").over(w), F.lit(0).cast("bigint")),
+    ).filter(F.col("__n") > 0)
+    first_seq = F.floor(F.col("__cum") / seq_len)
+    last_seq = F.floor((F.col("__cum") + F.col("__n") - 1) / seq_len)
+    spans = placed.select(
+        shard_col,
+        "__n",
+        "__cum",
+        "__held",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    overlap = F.least(
+        (F.col("seq_id") + 1) * seq_len, F.col("__cum") + F.col("__n")
+    ) - F.greatest(F.col("seq_id") * seq_len, F.col("__cum"))
+    per_seq = spans.groupBy(shard_col, "seq_id").agg(
+        F.sum(overlap * F.col("__held")).cast("bigint").alias("__held_mass")
+    )
+    return (
+        per_seq.groupBy(shard_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+            F.sum((F.col("__held_mass") > 0).cast("int"))
+            .cast("bigint")
+            .alias("n_tainted_seqs"),
+            F.sum("__held_mass").cast("bigint").alias("heldout_token_mass"),
+        )
+        .select(
+            shard_col,
+            "n_seqs",
+            "n_tainted_seqs",
+            "heldout_token_mass",
+            F.round(
+                F.col("n_tainted_seqs").cast("double") / F.col("n_seqs"), 6
+            ).alias("seq_taint_rate"),
+        )
+    )

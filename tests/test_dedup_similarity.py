@@ -1020,8 +1020,12 @@ def test_compaction_cleans_tmp_and_recovers_from_crash(spark, tmp_path):
     assert recover_compaction(spark, fstore) is False
 
     # Simulate the crash window: the good copy sits in the sibling and
-    # the store itself was lost mid-overwrite.
+    # the store itself was lost mid-overwrite. A real sibling carries
+    # _compact_swap's OWN completion marker (not the committer's
+    # _SUCCESS, which deployments can disable — ADVICE r8).
     shutil.copytree(fstore, tmp)
+    with open(os.path.join(tmp, "_COMPACT_SWAP_OK"), "w") as fh:
+        fh.write("ok")
     shutil.rmtree(fstore)
     assert recover_compaction(spark, fstore) is True
     assert not os.path.exists(tmp)
@@ -1176,9 +1180,12 @@ def test_dedup_paragraphs_removes_corpus_duplicated_lines(spark):
 
 
 def test_recover_compaction_partial_sibling_is_discarded(spark, tmp_path):
-    """ADVICE r7: a crash DURING the sibling write leaves a partial
-    sibling (no _SUCCESS) while the store is still good; recovery must
-    keep the store and delete the sibling, never restore from it."""
+    """ADVICE r7/r8: a crash DURING the sibling write leaves a partial
+    sibling (no _COMPACT_SWAP_OK marker — _compact_swap writes its own
+    marker rather than relying on the committer's _SUCCESS, which
+    mapreduce.fileoutputcommitter.marksuccessfuljobs=false disables)
+    while the store is still good; recovery must keep the store and
+    delete the sibling, never restore from it."""
     import os
     import shutil
 

@@ -836,3 +836,52 @@ def test_stream_mixture_monitor_multibatch_matches_batch(
         .collect()
     }
     assert got == want
+
+
+def test_stream_dedup_ingest_quality_override(spark, tmp_path):
+    """ADVICE r8: stream_dedup_ingest must pass the `quality` column
+    override through to incremental_dedup — the streaming 'quality'
+    path was locked to the default q_score. A custom score column picks
+    a within-batch survivor min-id never would."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.dedup.incremental import (
+        build_fingerprint_store,
+        stream_dedup_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # 1 and 3 are exact duplicates; the custom score column ranks 3 above
+    # 1 (min-id AND default q_score would both keep 1 — identical text).
+    rows = [
+        (1, "alpha document", 0.1),
+        (2, "beta document", 0.5),
+        (3, "alpha document", 0.9),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "score": pa.array([r[2] for r in rows], type=pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(src / "b0.parquet"))
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    build_fingerprint_store(empty, store)
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = stream_dedup_ingest(
+        stream, store, out, cp, keep="quality", quality=F.col("score")
+    ).start()
+    q.awaitTermination(120)
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [2, 3]

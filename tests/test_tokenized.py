@@ -351,3 +351,97 @@ def test_incremental_rewrite_no_change_is_noop(spark, tmp_path):
     assert man["a"]["first_rewritten_shard"] is None
     assert man["a"]["deleted_shards"] == []
     assert _file_inventory(path) == inv
+
+
+def test_incremental_rewrite_hive_escaped_shard_key(spark, tmp_path):
+    """ADVICE r8 (medium): shard keys with Hive-escaped characters
+    (':' -> '%3A' in the partition directory name) must survive the
+    truncation walk. The old dir-name parse missed the boundary dict and
+    defaulted total=0, deleting every shard of a LIVE key."""
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        rewrite_tokenized_shards_incremental,
+    )
+
+    rows = [
+        (i, "cc:web/2024", f"doc number {i} query table value")
+        for i in range(1, 20)
+    ] + [(i, "plain", f"other {i} source row") for i in range(100, 108)]
+    A = spark.createDataFrame(rows, SCHEMA)
+    path = str(tmp_path / "shards")
+    write_tokenized_shards(
+        tokenized_sequences(A, seq_len=8), path, shard_size=2
+    )
+    # the directory really is escaped — the precondition of the bug
+    escaped = [
+        d for d in os.listdir(path) if d.startswith("source=cc%3Aweb")
+    ]
+    assert escaped, os.listdir(path)
+
+    # identical snapshots: nothing may be rewritten and NOTHING deleted
+    inv = _file_inventory(path)
+    man = rewrite_tokenized_shards_incremental(
+        A, A, path, shard_size=2, seq_len=8
+    )
+    assert man["cc:web/2024"]["first_rewritten_shard"] is None
+    assert man["cc:web/2024"]["deleted_shards"] == []
+    assert _file_inventory(path) == inv
+
+    # a real mutation on the escaped key still round-trips
+    B = spark.createDataFrame(
+        [r for r in rows if not (r[1].startswith("cc") and r[0] > 10)],
+        SCHEMA,
+    )
+    rewrite_tokenized_shards_incremental(A, B, path, shard_size=2, seq_len=8)
+    assert _seqs_map(_read_back(spark, path)) == _seqs_map(
+        tokenized_sequences(B, seq_len=8)
+    )
+
+
+def test_incremental_rewrite_refuses_foreign_shard_dir(spark, tmp_path):
+    """A shard-key directory the boundary computation never saw must
+    raise, never be silently truncated (ADVICE r8)."""
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        rewrite_tokenized_shards_incremental,
+    )
+
+    rows = [(i, "a", f"doc number {i} query") for i in range(1, 12)]
+    A = spark.createDataFrame(rows, SCHEMA)
+    path = str(tmp_path / "shards")
+    write_tokenized_shards(
+        tokenized_sequences(A, seq_len=8), path, shard_size=2
+    )
+    os.makedirs(os.path.join(path, "source=foreign", "shard_id=0"))
+    with pytest.raises(RuntimeError, match="foreign"):
+        rewrite_tokenized_shards_incremental(
+            A, A, path, shard_size=2, seq_len=8
+        )
+
+
+def test_incremental_slices_encode_runs_once(spark, tmp_path):
+    """ADVICE r8: incremental_tokenized_slices must materialize the
+    Arrow encode ONCE per micro-batch — the returned slices/packed
+    lineages must not carry a Python UDF stage that each consumer
+    re-executes. localCheckpoint truncates the lineage, so neither
+    returned plan may contain an Arrow eval node."""
+    from scikit_learn_imputer_spark.operators.chunking import (
+        build_offset_store,
+    )
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        assemble_tokenized_sequences,
+        incremental_tokenized_slices,
+    )
+
+    batch = spark.createDataFrame(ROWS, SCHEMA)
+    store = str(tmp_path / "offsets")
+    build_offset_store(batch.limit(0), store, seq_len=7)
+    slices, packed = incremental_tokenized_slices(batch, store, seq_len=7)
+    for df in (slices, packed):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    # and the output is still correct (batch == assembled slices)
+    got = {
+        (r["source"], r["seq_id"]): list(r["token_ids"])
+        for r in assemble_tokenized_sequences(slices).collect()
+    }
+    want = _seqs_map(tokenized_sequences(batch, seq_len=7))
+    assert got == want
