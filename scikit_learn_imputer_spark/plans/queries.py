@@ -11512,3 +11512,346 @@ def q_takedown_certificate(spark, sf_dir):
         "artifact string, rows_before bigint, rows_after bigint, "
         "deleted_refs_after bigint, shared_kept bigint",
     ).orderBy("artifact")
+
+
+@register(
+    "shuffle_dispersion",
+    oracle="""
+WITH s AS ({shuf}),
+adj AS (
+  SELECT source AS sa, lag(source) OVER (ORDER BY position) AS sb FROM s
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_adjacent,
+         CAST(sum(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_same_source
+  FROM adj WHERE sb IS NOT NULL
+),
+e AS (
+  SELECT CAST(sum(n * (n - 1)) AS BIGINT) AS same_pairs,
+         CAST(sum(n) AS BIGINT) AS n_sequences
+  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM s GROUP BY source)
+)
+SELECT n_sequences, n_adjacent, n_same_source,
+       round(CAST(n_same_source AS DOUBLE) / n_adjacent, 6) AS observed_rate,
+       round(CAST(same_pairs AS DOUBLE)
+             / (CAST(n_sequences AS DOUBLE) * (n_sequences - 1)), 6)
+         AS expected_rate,
+       round((CAST(n_same_source AS DOUBLE) / n_adjacent)
+             / (CAST(same_pairs AS DOUBLE)
+                / (CAST(n_sequences AS DOUBLE) * (n_sequences - 1))), 6)
+         AS mixing_ratio
+FROM a, e
+""",
+)
+def q_shuffle_dispersion(spark, sf_dir):
+    """Mixing-quality audit of the seeded shuffle
+    (operators/shuffle.py:shuffle_dispersion): the rate of ADJACENT
+    positions sharing a source vs the uniform-permutation expectation
+    Σnᵢ(nᵢ−1)/(N(N−1)) — the ops check that the md5 permutation actually
+    dispersed source runs before a trainer consumes them (mixing_ratio
+    ≈ 1 = mixed; >> 1 = residual curriculum). Adjacency is an equi
+    self-join on position+1 (no global-order window over data); all
+    rates derive from exact integer counts in the identical double
+    expression tree on both engines. One summary row."""
+    from scikit_learn_imputer_spark.operators.chunking import pack_sequences
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        shuffle_dispersion,
+        shuffle_sequences,
+    )
+
+    packed = pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+    return shuffle_dispersion(shuffle_sequences(packed, seed=42))
+
+
+ORACLE["shuffle_dispersion"] = ORACLE["shuffle_dispersion"].replace(
+    "{shuf}", ORACLE["shuffle_sequences"]
+)
+
+
+@register(
+    "dataloader_assignment",
+    oracle="""
+WITH sh AS ({shards}),
+per AS (
+  SELECT CAST(shard_id % 4 AS BIGINT) AS worker_id,
+         CAST(count(*) AS BIGINT) AS n_shards,
+         CAST(sum(n_sequences) AS BIGINT) AS n_sequences,
+         CAST(min(shard_id) AS BIGINT) AS first_shard,
+         CAST(max(shard_id) AS BIGINT) AS last_shard
+  FROM sh GROUP BY 1
+)
+SELECT worker_id, n_shards, n_sequences, first_shard, last_shard,
+       round(CAST(n_sequences AS DOUBLE)
+             / CAST(sum(n_sequences) OVER () AS DOUBLE), 6) AS seq_share
+FROM per
+""",
+)
+def q_dataloader_assignment(spark, sf_dir):
+    """Data-parallel reader plan (operators/shuffle.py:
+    dataloader_assignment): training shards striped round-robin onto 4
+    loader ranks (worker_id = shard_id % 4, the standard DDP
+    assignment), one row per rank with shard/sequence counts, shard-id
+    range, and its share of the epoch — the imbalance a trainer pads or
+    drops to. The per-shard manifest collapses to O(workers) rows; the
+    share window ranks that tiny worker frame only."""
+    from scikit_learn_imputer_spark.operators.chunking import pack_sequences
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        dataloader_assignment,
+        shuffle_sequences,
+    )
+
+    packed = pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+    return dataloader_assignment(
+        shuffle_sequences(packed, seed=42), shard_size=16, num_workers=4
+    )
+
+
+ORACLE["dataloader_assignment"] = ORACLE["dataloader_assignment"].replace(
+    "{shards}", ORACLE["training_shards"]
+)
+
+
+@register(
+    "semantic_decontam",
+    oracle="""
+WITH s AS (
+  SELECT vec_id, embedding,
+         CAST(('0x' || substr(md5('holdout:' || CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT
+              AS DOUBLE) / 4294967296.0 AS h
+  FROM embeddings
+),
+tr AS (SELECT vec_id, embedding FROM s WHERE h < 0.98),
+ev AS (SELECT embedding FROM s WHERE h >= 0.98),
+p AS (
+  SELECT a.vec_id,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+           AS c
+  FROM tr a JOIN ev b ON true
+)
+SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+       round(max(c), 6) AS max_cosine
+FROM p WHERE c >= 0.38
+GROUP BY vec_id
+""",
+)
+def q_semantic_decontam(spark, sf_dir):
+    """Semantic decontamination (dedup/embedding.py:
+    semantic_decontam_flags): TRAIN documents whose embedding lies
+    within cosine 0.38 of ANY heldout (val/test) document — the
+    embedding-space complement of the word-gram decontaminate_* family,
+    catching paraphrased benchmark leakage that shares no exact n-gram.
+    Split membership is the standard salted-md5 holdout assignment.
+    Scale shape: the eval side is broadcast (eval sets are fixed-size
+    in practice; the split fraction stands in), so the train corpus
+    streams map-side through a broadcast cosine join — linear at
+    100 TB, never all-pairs. Threshold 0.38 is calibrated non-vacuous
+    at every testdata SF (3/3/88 flags at sf0.001/0.01/0.1)."""
+    from scikit_learn_imputer_spark.dedup.embedding import (
+        semantic_decontam_flags,
+    )
+
+    return semantic_decontam_flags(
+        _t(spark, sf_dir, "embeddings"), threshold=0.38
+    )
+
+
+@register(
+    "sequence_holdout_taint",
+    oracle=f"""
+WITH RECURSIVE {_bpe_cte()},
+u AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || substr(md5('holdout:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                   AS DOUBLE) / 4294967296.0 >= 0.98 THEN 1 ELSE 0 END AS held
+  FROM documents
+),
+c AS (
+  SELECT b.doc_id, b.source, b.n_bpe_tokens, u.held,
+         CAST(coalesce(sum(b.n_bpe_tokens) OVER (PARTITION BY b.source ORDER BY b.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM bcounts b JOIN u USING (doc_id)
+),
+sp AS (
+  SELECT source, n_bpe_tokens AS n, cum_prev, held,
+         unnest(generate_series(cum_prev // 512, (cum_prev + n_bpe_tokens - 1) // 512))
+           AS sq
+  FROM c WHERE n_bpe_tokens > 0
+),
+per AS (
+  SELECT source, sq,
+         CAST(sum((least((sq + 1) * 512, cum_prev + n)
+                   - greatest(sq * 512, cum_prev)) * held) AS BIGINT) AS hm
+  FROM sp GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(CASE WHEN hm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tainted_seqs,
+       CAST(sum(hm) AS BIGINT) AS heldout_token_mass,
+       round(CAST(sum(CASE WHEN hm > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS seq_taint_rate
+FROM per GROUP BY source
+""",
+)
+def q_sequence_holdout_taint(spark, sf_dir):
+    """Eval hygiene at the PACKING stage (operators/tokenized.py:
+    sequence_holdout_taint): if the corpus is naively packed with
+    holdout docs still in place (a real pipeline-ordering bug —
+    split AFTER chunking), which training sequences carry heldout
+    tokens and how much mass, per source. Counts-only dataflow (the
+    sequence_doc_spans chain with a split tag): one shard window over
+    BPE token counts, a bounded (doc, seq) explode, two aggregates —
+    document text and ids never shuffle."""
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        sequence_holdout_taint,
+    )
+
+    return sequence_holdout_taint(_t(spark, sf_dir, "documents"), seq_len=512)
+
+
+@register(
+    "sequence_fingerprints",
+    oracle=f"""
+WITH RECURSIVE {_bpe_encode_ctes()},
+{_tokenized_seq_sql(512)},
+fp AS (SELECT source, seq_id, n_ids, md5(ids) AS fingerprint FROM tseqs)
+SELECT source, seq_id, n_ids, fingerprint,
+       CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_copies,
+       (row_number() OVER (PARTITION BY fingerprint ORDER BY source, seq_id)) = 1
+         AS is_kept
+FROM fp
+""",
+)
+def q_sequence_fingerprints(spark, sf_dir):
+    """Post-packing exact dedup in TOKEN space (operators/tokenized.py:
+    sequence_fingerprints): every materialized training sequence gets an
+    md5 fingerprint of its id payload; duplicate fingerprints group and
+    the lexicographically-first (source, seq_id) keeps. Packing can
+    manufacture duplicate sequences out of distinct documents (aligned
+    boilerplate runs) that document-level dedup cannot see — the last
+    dedup gate before the loader. Ids collapse to a 16-byte digest
+    map-side; the keeper join is digest-keyed min(struct), the
+    exact_dup_groups shape."""
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        sequence_fingerprints,
+    )
+
+    return sequence_fingerprints(_t(spark, sf_dir, "documents"), seq_len=512)
+
+
+@register(
+    "minhash_calibration",
+    oracle=f"""
+WITH cands AS ({{cands}}),
+grams AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(len(text) - 4, 0))) AS i
+        FROM documents)
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
+  FROM cands c
+  JOIN grams ga ON ga.doc_id = c.id_a
+  JOIN grams gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+  GROUP BY c.id_a, c.id_b
+),
+jm AS (
+  SELECT CAST(round(c.est_jaccard * {_MINHASH_K}) AS BIGINT) AS n_hash_agree,
+         CAST(round(CAST(coalesce(i.i, 0) AS DOUBLE)
+              / (sa.n + sb.n - coalesce(i.i, 0)) * 1e6) AS BIGINT) AS jmicro
+  FROM cands c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+),
+g AS (
+  SELECT n_hash_agree, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(jmicro) AS DOUBLE) / count(*) / 1e6 AS mj
+  FROM jm GROUP BY n_hash_agree
+)
+SELECT n_hash_agree, n_pairs,
+       round(mj, 6) AS mean_true_jaccard,
+       round(1 - (1 - mj * mj * mj * mj) * (1 - mj * mj * mj * mj), 6)
+         AS detect_prob_at_mean
+FROM g
+""",
+)
+def q_minhash_calibration(spark, sf_dir):
+    """MinHash estimator calibration — the S-curve read off real data:
+    candidate pairs bucketed by raw signature agreement (n_hash_agree
+    of K=8), each bucket's TRUE mean 5-char-shingle Jaccard (exact,
+    integer-micro-snapped so the mean is exact integer arithmetic until
+    one division), and the analytic banded detection probability
+    1−(1−j^r)^b evaluated at that mean (r=4 rows, b=2 bands; expanded
+    as multiplication, not pow — pow can differ by an ulp across
+    engines). Tells the operator whether the configured (b, r) sits on
+    the steep part of the curve for THIS corpus's similarity
+    population. Exact Jaccard is computed only on candidate pairs (the
+    precision-audit shape), never all-pairs."""
+    from scikit_learn_imputer_spark.dedup.minhash import minhash_candidate_pairs
+    from scikit_learn_imputer_spark.dedup.ngram import char_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    cands = minhash_candidate_pairs(
+        d,
+        num_hashes=_MINHASH_K,
+        bands=_MINHASH_K // 4,
+        shingle=5,
+        hasher="md5",
+        max_bucket=2**31,
+    ).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("est_jaccard") * _MINHASH_K)
+        .cast("bigint")
+        .alias("n_hash_agree"),
+    )
+    grams = char_ngrams(d, 5)
+    sizes = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ga = grams.select(F.col("doc_id").alias("id_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("id_b"), "gram")
+    inter = (
+        cands.select("id_a", "id_b")
+        .join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    j = F.coalesce(F.col("i"), F.lit(0)).cast("double") / (
+        F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))
+    )
+    jm = (
+        cands.join(inter, ["id_a", "id_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "n_hash_agree",
+            F.round(j * 1e6).cast("bigint").alias("jmicro"),
+        )
+    )
+    mj = F.sum("jmicro").cast("double") / F.count(F.lit(1)) / 1e6
+    m4 = mj * mj * mj * mj
+    return jm.groupBy("n_hash_agree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(mj, 6).alias("mean_true_jaccard"),
+        F.round(1 - (1 - m4) * (1 - m4), 6).alias("detect_prob_at_mean"),
+    )
+
+
+ORACLE["minhash_calibration"] = ORACLE["minhash_calibration"].replace(
+    "{cands}", _minhash_candidates_oracle_sql()
+)
