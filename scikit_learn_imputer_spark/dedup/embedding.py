@@ -237,42 +237,61 @@ def semantic_decontam_flags(
     train_cut: float = 0.98,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    eval_df: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic decontamination: flag TRAIN documents whose embedding
-    lies within ``threshold`` cosine of ANY heldout (val/test) document —
+    lies within ``threshold`` cosine of ANY benchmark/eval document —
     the embedding-space complement of the word-gram `decontaminate_*`
     family (paraphrased benchmark leakage that shares no exact n-gram).
-    Split membership is the engine's standard salted-md5 assignment
-    (same salt/cuts as corpus_holdout_split, so this audits exactly that
-    split). Returns one row per flagged train vector: ``n_eval_hits``
-    and its worst-case ``max_cosine``.
+
+    ``eval_df`` (a frame carrying ``vec_col``) is the real deployment
+    shape: an EXTERNAL fixed-size benchmark table, decontaminated
+    against the FULL corpus ``df`` — the broadcast-bounded claim below
+    is then structural, not an assumption about a split fraction
+    (ADVICE r9). When ``eval_df`` is None, eval membership falls back
+    to the engine's standard salted-md5 holdout assignment (same
+    salt/cuts as corpus_holdout_split, so it audits exactly that split)
+    and train is the split complement. Returns one row per flagged
+    train vector: ``n_eval_hits`` and its worst-case ``max_cosine``.
 
     Scale shape: the EVAL side is broadcast — eval/benchmark sets are
-    fixed-size in practice (thousands of documents; the testdata split
-    fraction stands in), so the non-equi cosine join is a broadcast
-    nested-loop over a bounded side and the train corpus streams through
-    map-side, linear at 100 TB. Norms are computed once per vector
-    before the join; max/count aggregate per train id is
-    order-independent (no float-sum drift)."""
+    fixed-size in practice (thousands of documents), so the non-equi
+    cosine join is a broadcast nested-loop over a bounded side and the
+    train corpus streams through map-side, linear at 100 TB. Norms are
+    computed once per vector before the join; zero-norm (all-zero)
+    vectors are filtered on BOTH sides before the division (ADVICE r9:
+    non-ANSI Spark division by zero yields NULL, silently dropping the
+    row, while IEEE engines yield inf/NaN — guard rather than diverge).
+    Max/count aggregate per train id is order-independent (no
+    float-sum drift)."""
     from scikit_learn_imputer_spark.functions.skew import fan_out
     from scikit_learn_imputer_spark.functions.text import uniform_hash_col
 
-    h = uniform_hash_col(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    tagged = df.withColumn("__h", h)
+    if eval_df is None:
+        h = uniform_hash_col(
+            F.concat(F.lit(salt), F.col(id_col).cast("string"))
+        )
+        tagged = df.withColumn("__h", h)
+        train_src = tagged.filter(F.col("__h") < train_cut)
+        eval_src = tagged.filter(F.col("__h") >= train_cut)
+    else:
+        train_src = df
+        eval_src = eval_df
     tr = (
-        fan_out(tagged.filter(F.col("__h") < train_cut))
+        fan_out(train_src)
         .select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("__va"),
         )
         .withColumn("__na", norm(F.col("__va")))
+        .filter(F.col("__na") > 0)
     )
     ev = (
-        tagged.filter(F.col("__h") >= train_cut)
-        .select(
+        eval_src.select(
             F.col(vec_col).cast("array<double>").alias("__vb"),
         )
         .withColumn("__nb", norm(F.col("__vb")))
+        .filter(F.col("__nb") > 0)
     )
     cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (

@@ -439,6 +439,14 @@ def _compact_swap(spark: SparkSession, compacted: DataFrame, store_path: str) ->
     spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
     import shutil
 
+    # Marker FIRST, then the tree (ADVICE r9): a crash mid-rmtree must
+    # leave a marker-LESS partial sibling (correctly discarded by
+    # recovery), never a marker-BEARING one that recovery would restore
+    # over the freshly-overwritten good store.
+    try:
+        os.remove(os.path.join(tmp, _COMPACT_MARKER))
+    except FileNotFoundError:
+        pass
     shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -466,6 +474,13 @@ def recover_compaction(spark: SparkSession, store_path: str) -> bool:
         shutil.rmtree(tmp, ignore_errors=True)
         return False
     spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
+    # Same ordering discipline as _compact_swap (ADVICE r9): drop the
+    # marker before deleting parquet parts so a crash mid-cleanup leaves
+    # a sibling recovery will discard, not restore.
+    try:
+        os.remove(os.path.join(tmp, _COMPACT_MARKER))
+    except FileNotFoundError:
+        pass
     shutil.rmtree(tmp, ignore_errors=True)
     return True
 

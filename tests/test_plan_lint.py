@@ -55,6 +55,16 @@ INTENDED_NON_EQUI = {
                                    # all-pairs baseline (LSH is the scale path)
     "semdedup_threshold_curve",    # exact pair-join baseline (same as
                                    # embedding_near_pairs/semdedup_exact)
+    "semantic_decontam",           # cosine-threshold join IS the design:
+                                   # bounded eval side broadcast, train
+                                   # streams map-side (linear in corpus)
+    "semantic_decontam_eval",      # same, with the bound structural —
+                                   # an explicit 16-row benchmark frame
+    "shuffle_dispersion",          # two 1-row aggregate scalars meet on a
+                                   # constant-folded key (minmax_scale
+                                   # precedent; 1 row x 1 row)
+    "pack_shuffle_dispersion",     # same 1-row scalar meet, doc-level
+                                   # dispersion over the shuffled pack
 }
 
 HEAVY_BUILD = {
