@@ -460,3 +460,174 @@ def epoch_seed_independence(
             & (F.col("__maxb") == F.col("n_items"))
         ).alias("perm_b_total"),
     )
+
+
+def pack_mixing_histogram(
+    placed: DataFrame,
+    seq_len: int,
+    source_col: str = "source",
+) -> DataFrame:
+    """Sequence-granularity proof of mixed packing: over a
+    ``pack_shuffled_sequences`` placement, count for every training
+    sequence the documents overlapping it (straddlers included — a doc
+    spans ``seq_id .. seq_id + (seq_offset + n_tokens − 1) // seq_len``)
+    and how many DISTINCT sources those docs come from, then histogram
+    sequences by source count. Under shuffle-before-pack a multi-doc
+    sequence almost always mixes sources; under naive per-source packing
+    every sequence reads n_sources = 1 — this is the audit that shows
+    the difference where a trainer feels it, inside single sequences
+    (``shuffle_dispersion`` shows it across adjacent positions).
+
+    Cost shape: the explode is bounded (one row per (doc, overlapped
+    sequence) — total rows = n_docs + n_straddle_extras), aggregates are
+    exact integers, output is O(max sources per sequence) rows."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    last_seq = (
+        F.col("seq_id")
+        + F.floor((F.col("seq_offset") + F.col("n_tokens") - 1) / seq_len)
+    ).cast("bigint")
+    spans = placed.filter(F.col("n_tokens") > 0).select(
+        source_col,
+        F.explode(F.sequence(F.col("seq_id"), last_seq)).alias("__seq"),
+    )
+    per_seq = spans.groupBy("__seq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nd"),
+        F.countDistinct(source_col).cast("bigint").alias("n_sources"),
+    )
+    return per_seq.groupBy("n_sources").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sequences"),
+        F.sum("__nd").cast("bigint").alias("n_docs"),
+    )
+
+
+def loader_resume_state(
+    shuffled: DataFrame,
+    shard_size: int,
+    num_workers: int,
+    global_step: int,
+    position_col: str = "position",
+) -> DataFrame:
+    """Crash-resume plan for the data-parallel loader: after
+    ``global_step`` lockstep optimizer steps (each step consumes ONE
+    sequence per worker rank), where does every rank resume? Each
+    worker's stream is its round-robin shards (``shard_id %
+    num_workers``) in shard order, sequences in position order within a
+    shard — so the resume point is pure integer arithmetic over the
+    O(#shards) manifest: the first shard whose cumulative count exceeds
+    the steps consumed, plus the offset inside it. One row per worker:
+    ``consumed`` (capped at the rank's total — ranks can run dry when
+    shards % workers ≠ 0), ``resume_shard`` / ``resume_offset`` /
+    ``resume_position`` (−1 when exhausted) and the ``exhausted`` flag
+    a trainer pads or drops on.
+
+    Everything runs on the training_shards manifest — O(#shards) rows;
+    the corpus itself is never re-read to recover a loader."""
+    if global_step < 0:
+        raise ValueError(f"global_step must be >= 0, got {global_step}")
+    if num_workers < 1:
+        raise ValueError(f"num_workers must be >= 1, got {num_workers}")
+    s = F.lit(global_step).cast("bigint")
+    shards = training_shards(shuffled, shard_size, position_col)
+    per = shards.withColumn(
+        "worker_id", (F.col("shard_id") % num_workers).cast("bigint")
+    )
+    # O(#shards) frame: the window cumulates each worker's manifest rows
+    w = (
+        Window.partitionBy("worker_id")
+        .orderBy("shard_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pl = per.withColumn(
+        "__cum",
+        F.coalesce(F.sum("n_sequences").over(w), F.lit(0).cast("bigint")),
+    )
+    tot = pl.groupBy("worker_id").agg(
+        F.sum("n_sequences").cast("bigint").alias("__total")
+    )
+    hit = pl.filter(
+        (F.col("__cum") <= s) & (s < F.col("__cum") + F.col("n_sequences"))
+    ).select(
+        "worker_id",
+        F.col("shard_id").alias("__rs"),
+        (s - F.col("__cum")).cast("bigint").alias("__ro"),
+        (F.col("first_position") + (s - F.col("__cum")))
+        .cast("bigint")
+        .alias("__rp"),
+    )
+    return tot.join(hit, "worker_id", "left").select(
+        "worker_id",
+        F.least(s, F.col("__total")).cast("bigint").alias("consumed"),
+        F.coalesce(F.col("__rs"), F.lit(-1).cast("bigint")).alias(
+            "resume_shard"
+        ),
+        F.coalesce(F.col("__ro"), F.lit(-1).cast("bigint")).alias(
+            "resume_offset"
+        ),
+        F.coalesce(F.col("__rp"), F.lit(-1).cast("bigint")).alias(
+            "resume_position"
+        ),
+        (F.col("__total") <= s).alias("exhausted"),
+    )
+
+
+def epoch_source_fairness(
+    df: DataFrame,
+    key_cols: list[str],
+    source_col: str = "source",
+    base_seed: int = 100,
+    epochs: int = 3,
+) -> DataFrame:
+    """Positional-fairness audit across epoch permutations: for each
+    (epoch, source), the sum of positions the source's docs landed on vs
+    the uniform expectation n_src·(N+1)/2 — a fairness_ratio of 1 means
+    the epoch's permutation places that source uniformly across the run;
+    ≪1 means its docs cluster early (the trainer over-weights it during
+    warmup), ≫1 late. Complements `shuffle_dispersion` (adjacent-pair
+    view) and `pack_mixing_histogram` (within-sequence view) with the
+    GLOBAL position-bias view, and proves it holds for EVERY epoch seed
+    (`base_seed + e`, the per-epoch derivation `epoch_seed_independence`
+    audits pairwise).
+
+    Exact integers end-to-end: sum_pos and n_docs aggregate per (epoch,
+    source); N comes from a window over the O(epochs·sources) aggregate
+    frame; the ratio 2·sum_pos / (n·(N+1)) is evaluated in the identical
+    double expression on both engines. Cost: ``epochs`` passes over the
+    narrow (key, source) projection — each a bucketed global rank, no
+    single-partition window."""
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    per_epoch = []
+    for e in range(epochs):
+        shuf = seeded_global_shuffle(
+            df.select(*key_cols, source_col),
+            key_cols,
+            seed=base_seed + e,
+            position_col="__pos",
+        )
+        per_epoch.append(
+            shuf.groupBy(source_col).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("__pos").cast("bigint").alias("sum_pos"),
+            ).select(F.lit(e).cast("bigint").alias("epoch"), source_col,
+                     "n_docs", "sum_pos")
+        )
+    u = per_epoch[0]
+    for p in per_epoch[1:]:
+        u = u.unionByName(p)
+    # O(epochs x sources) frame: this window totals the tiny aggregate,
+    # not data
+    wep = Window.partitionBy("epoch").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_total = F.sum("n_docs").over(wep)
+    ratio = (F.lit(2.0) * F.col("sum_pos").cast("double")) / (
+        F.col("n_docs").cast("double") * (n_total.cast("double") + F.lit(1.0))
+    )
+    return u.select(
+        "epoch",
+        source_col,
+        "n_docs",
+        "sum_pos",
+        F.round(ratio, 6).alias("fairness_ratio"),
+    )

@@ -12106,3 +12106,320 @@ def q_epoch_seed_independence(spark, sf_dir):
     return epoch_seed_independence(
         _t(spark, sf_dir, "documents"), ["doc_id"], seed_a=11, seed_b=12
     )
+
+
+@register(
+    "pack_mixing_histogram",
+    oracle="""
+WITH p AS ({pack}),
+sp AS (
+  SELECT source,
+         unnest(generate_series(seq_id,
+                seq_id + (seq_offset + n_tokens - 1) // 512)) AS seq
+  FROM p WHERE n_tokens > 0
+),
+per AS (
+  SELECT seq, CAST(count(*) AS BIGINT) AS nd,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM sp GROUP BY seq
+)
+SELECT n_sources,
+       CAST(count(*) AS BIGINT) AS n_sequences,
+       CAST(sum(nd) AS BIGINT) AS n_docs
+FROM per GROUP BY n_sources
+""",
+)
+def q_pack_mixing_histogram(spark, sf_dir):
+    """Sequence-granularity mixing proof (operators/shuffle.py:
+    pack_mixing_histogram): histogram of training sequences by the
+    number of DISTINCT sources among the documents overlapping each
+    sequence (straddlers included), over the shuffle-before-pack
+    placement. Naive per-source packing reads n_sources = 1 for every
+    sequence; the shuffled pack shows multi-source sequences wherever a
+    sequence holds >1 doc — the curriculum difference a trainer feels
+    INSIDE single sequences, complementing pack_shuffle_dispersion's
+    adjacent-position view. Bounded explode (docs + straddle extras),
+    exact-integer aggregates."""
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        pack_mixing_histogram,
+        pack_shuffled_sequences,
+    )
+
+    placed = pack_shuffled_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=512, seed=7
+    )
+    return pack_mixing_histogram(placed, seq_len=512)
+
+
+ORACLE["pack_mixing_histogram"] = ORACLE["pack_mixing_histogram"].replace(
+    "{pack}", ORACLE["pack_shuffled_sequences"]
+)
+
+
+@register(
+    "loader_resume_state",
+    oracle="""
+WITH sh AS ({shards}),
+per AS (
+  SELECT shard_id, n_sequences, first_position,
+         CAST(shard_id % 4 AS BIGINT) AS worker_id,
+         CAST(coalesce(sum(n_sequences) OVER (
+              PARTITION BY shard_id % 4 ORDER BY shard_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_prev
+  FROM sh
+),
+tot AS (
+  SELECT worker_id, CAST(sum(n_sequences) AS BIGINT) AS total
+  FROM per GROUP BY worker_id
+),
+hit AS (
+  SELECT worker_id, shard_id, cum_prev, first_position
+  FROM per WHERE cum_prev <= 7 AND 7 < cum_prev + n_sequences
+)
+SELECT t.worker_id,
+       CAST(least(7, total) AS BIGINT) AS consumed,
+       CAST(coalesce(h.shard_id, -1) AS BIGINT) AS resume_shard,
+       CAST(coalesce(7 - h.cum_prev, -1) AS BIGINT) AS resume_offset,
+       CAST(coalesce(h.first_position + (7 - h.cum_prev), -1) AS BIGINT)
+         AS resume_position,
+       total <= 7 AS exhausted
+FROM tot t LEFT JOIN hit h USING (worker_id)
+""",
+)
+def q_loader_resume_state(spark, sf_dir):
+    """Loader crash-resume plan (operators/shuffle.py:
+    loader_resume_state): after 7 lockstep steps (one sequence per rank
+    per step), the exact (shard, offset, global position) each of 4
+    worker ranks resumes at — pure integer arithmetic over the
+    O(#shards) training_shards manifest (round-robin shards in id
+    order, sequences in position order within a shard); the corpus is
+    never re-read to recover a loader. Ranks whose stream ran dry
+    report −1 pointers and exhausted = true (covered at literal scale
+    by test; at testdata SFs every rank is mid-stream at step 7)."""
+    from scikit_learn_imputer_spark.operators.chunking import pack_sequences
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        loader_resume_state,
+        shuffle_sequences,
+    )
+
+    packed = pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+    return loader_resume_state(
+        shuffle_sequences(packed, seed=42),
+        shard_size=16,
+        num_workers=4,
+        global_step=7,
+    )
+
+
+ORACLE["loader_resume_state"] = ORACLE["loader_resume_state"].replace(
+    "{shards}", ORACLE["training_shards"]
+)
+
+
+@register(
+    "epoch_source_fairness",
+    oracle=r"""
+WITH d AS (SELECT doc_id, source FROM documents),
+ranked AS (
+  SELECT 0 AS e, source,
+         CAST(row_number() OVER (
+           ORDER BY md5('100:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS pos
+  FROM d
+  UNION ALL
+  SELECT 1, source,
+         CAST(row_number() OVER (
+           ORDER BY md5('101:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT)
+  FROM d
+  UNION ALL
+  SELECT 2, source,
+         CAST(row_number() OVER (
+           ORDER BY md5('102:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT)
+  FROM d
+),
+agg AS (
+  SELECT CAST(e AS BIGINT) AS epoch, source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(pos) AS BIGINT) AS sum_pos
+  FROM ranked GROUP BY e, source
+)
+SELECT epoch, source, n_docs, sum_pos,
+       round((2.0 * CAST(sum_pos AS DOUBLE))
+             / (CAST(n_docs AS DOUBLE)
+                * (CAST(sum(n_docs) OVER (PARTITION BY epoch) AS DOUBLE)
+                   + 1.0)), 6) AS fairness_ratio
+FROM agg
+""",
+)
+def q_epoch_source_fairness(spark, sf_dir):
+    """Global position-bias audit per epoch (operators/shuffle.py:
+    epoch_source_fairness): for each of 3 epoch seeds (100+e), the sum
+    of permutation positions each source's docs received vs the uniform
+    expectation n·(N+1)/2 — fairness_ratio 1 means no source is
+    systematically front- or back-loaded in any epoch's training order
+    (≪1 = trainer over-weights it during warmup). Completes the shuffle
+    audit triad: dispersion (adjacent pairs), mixing histogram (within
+    sequence), fairness (global position). Exact-integer sums; the only
+    global window totals the O(epochs x sources) aggregate frame."""
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        epoch_source_fairness,
+    )
+
+    return epoch_source_fairness(
+        _t(spark, sf_dir, "documents"), ["doc_id"], base_seed=100, epochs=3
+    )
+
+
+@register(
+    "mixture_shuffled_pack_audit",
+    oracle=r"""
+WITH m AS ({mix}),
+k AS (
+  SELECT doc_id, source, n_tokens,
+         md5('7:' || CAST(doc_id AS VARCHAR)) AS kk
+  FROM m
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY kk, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_prev
+  FROM k
+),
+p AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(cum_prev // 512 AS BIGINT) AS seq_id,
+         CAST(cum_prev % 512 AS BIGINT) AS seq_offset
+  FROM c
+),
+sp AS (
+  SELECT source,
+         unnest(generate_series(seq_id,
+                seq_id + (seq_offset + n_tokens - 1) // 512)) AS seq
+  FROM p WHERE n_tokens > 0
+),
+tch AS (
+  SELECT source, CAST(count(DISTINCT seq) AS BIGINT) AS n_seqs_touched
+  FROM sp GROUP BY source
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS kept_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+         CAST(sum(CASE WHEN seq_offset + n_tokens > 512 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_straddles
+  FROM p GROUP BY source
+),
+tgt AS (
+  SELECT source,
+         round(pow(n_s, 0.7) / sum(pow(n_s, 0.7)) OVER (), 6)
+           AS target_share
+  FROM (
+    SELECT source,
+           CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(str_split_regex(trim(text), '\s+')) END) AS DOUBLE)
+             AS n_s
+    FROM documents GROUP BY source
+  )
+)
+SELECT a.source, kept_docs, kept_tokens, n_straddles,
+       coalesce(n_seqs_touched, 0) AS n_seqs_touched,
+       round(CAST(kept_tokens AS DOUBLE)
+             / CAST(sum(kept_tokens) OVER () AS DOUBLE), 6)
+         AS achieved_share,
+       target_share
+FROM agg a
+LEFT JOIN tch USING (source)
+JOIN tgt USING (source)
+""",
+)
+def q_mixture_shuffled_pack_audit(spark, sf_dir):
+    """End-to-end mixture → shuffle → pack audit: temperature-sample
+    the corpus (tau=0.7 token-budget Bernoulli —
+    temperature_mixture_sample's exact semantics, reused), place the
+    survivors with pack_shuffled_sequences, and report per source:
+    kept docs/tokens, straddle count, distinct sequences touched, and
+    the ACHIEVED token share of the packed stream against the
+    temperature-target share pow(n_s,0.7)/Z — the one-look go/no-go
+    that the sampled, shuffled, packed stream actually carries the
+    mixture the plan promised. Shares derive from exact integer token
+    sums (identical double division both engines); target shares round
+    the pow expression at 6 decimals on both engines
+    (temperature_mixture_sample precedent). Inherits that query's
+    intended 1-row normalizer broadcast; everything after the sample is
+    O(#sources) aggregate frames plus the bounded span explode."""
+    from scikit_learn_imputer_spark.functions.text import token_count_col
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        pack_shuffled_sequences,
+    )
+
+    surv = q_temperature_mixture_sample(spark, sf_dir)
+    placed = pack_shuffled_sequences(
+        surv, seq_len=512, seed=7, token_count_col="n_tokens"
+    )
+    spans = placed.filter(F.col("n_tokens") > 0).select(
+        "source",
+        F.explode(
+            F.sequence(
+                F.col("seq_id"),
+                (
+                    F.col("seq_id")
+                    + F.floor(
+                        (F.col("seq_offset") + F.col("n_tokens") - 1) / 512
+                    )
+                ).cast("bigint"),
+            )
+        ).alias("__seq"),
+    )
+    touched = spans.groupBy("source").agg(
+        F.countDistinct("__seq").cast("bigint").alias("n_seqs_touched")
+    )
+    agg = placed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
+        F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+        F.sum(F.col("straddles").cast("int"))
+        .cast("bigint")
+        .alias("n_straddles"),
+    )
+    totals = _t(spark, sf_dir, "documents").groupBy("source").agg(
+        F.sum(token_count_col(F.col("text")).cast("bigint"))
+        .cast("double")
+        .alias("__n_s")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tgt = totals.select(
+        "source",
+        F.round(
+            F.pow("__n_s", F.lit(0.7)) / F.sum(F.pow("__n_s", F.lit(0.7))).over(wall),
+            6,
+        ).alias("target_share"),
+    )
+    return (
+        agg.join(touched, "source", "left")
+        .join(tgt, "source")
+        .select(
+            "source",
+            "kept_docs",
+            "kept_tokens",
+            "n_straddles",
+            F.coalesce(F.col("n_seqs_touched"), F.lit(0).cast("bigint")).alias(
+                "n_seqs_touched"
+            ),
+            F.round(
+                F.col("kept_tokens").cast("double")
+                / F.sum("kept_tokens").over(wall).cast("double"),
+                6,
+            ).alias("achieved_share"),
+            "target_share",
+        )
+    )
+
+
+ORACLE["mixture_shuffled_pack_audit"] = ORACLE[
+    "mixture_shuffled_pack_audit"
+].replace("{mix}", ORACLE["temperature_mixture_sample"])

@@ -65,6 +65,9 @@ INTENDED_NON_EQUI = {
                                    # precedent; 1 row x 1 row)
     "pack_shuffle_dispersion",     # same 1-row scalar meet, doc-level
                                    # dispersion over the shuffled pack
+    "mixture_shuffled_pack_audit", # inherits temperature_mixture_sample's
+                                   # 1-row normalizer broadcast (sample
+                                   # stage reused verbatim)
 }
 
 HEAVY_BUILD = {

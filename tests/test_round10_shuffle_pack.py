@@ -5,6 +5,7 @@ the md5 permutation + concat-and-cut placement."""
 import hashlib
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _brute_place(rows, seed, seq_len):
@@ -161,3 +162,168 @@ def test_pack_sequences_id_bucket_width_is_byte_identical(spark, sf_correct):
 
     with _pytest.raises(ValueError):
         pack_sequences(sparse, seq_len=5, id_bucket_width=0)
+
+
+def test_pack_mixing_histogram_separates_shuffled_from_curriculum(spark):
+    """Naive per-source packing -> every sequence n_sources = 1; the
+    shuffled pack -> multi-doc sequences mix sources. Exact counts
+    pinned against a brute force of the placement."""
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        pack_mixing_histogram,
+        pack_shuffled_sequences,
+    )
+
+    rows = [(i, f"s{i % 4}", "a b c") for i in range(1, 41)]  # 3 tokens each
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    placed = pack_shuffled_sequences(df, seq_len=6, seed=5)
+    got = {
+        r["n_sources"]: (r["n_sequences"], r["n_docs"])
+        for r in pack_mixing_histogram(placed, seq_len=6).collect()
+    }
+    # brute force from the placement itself
+    spans = {}
+    for r in placed.collect():
+        first, last = r["seq_id"], r["seq_id"] + (r["seq_offset"] + r["n_tokens"] - 1) // 6
+        for s in range(first, last + 1):
+            spans.setdefault(s, []).append(r["source"])
+    want = {}
+    for srcs in spans.values():
+        k = len(set(srcs))
+        n_seq, n_docs = want.get(k, (0, 0))
+        want[k] = (n_seq + 1, n_docs + len(srcs))
+    assert got == want
+    assert any(k > 1 for k in got)  # the shuffle actually mixes
+    # curriculum twin: positions in (source, doc_id) order -> no mixing
+    # beyond source boundaries; with 40 docs x 3 tokens in 4 sources of
+    # 30 tokens each (seq_len 6 divides 30), every sequence is pure
+    from pyspark.sql import Window as W
+
+    cur = (
+        df.withColumn(
+            "position",
+            F.row_number().over(W.orderBy("source", "doc_id")).cast("long"),
+        )
+        .withColumn("n_tokens", F.lit(3).cast("bigint"))
+        .withColumn("__cum", (F.col("position") - 1) * 3)
+        .select(
+            "doc_id",
+            "source",
+            "position",
+            "n_tokens",
+            (F.col("__cum") / 6).cast("bigint").alias("seq_id"),
+            (F.col("__cum") % 6).cast("bigint").alias("seq_offset"),
+            F.lit(False).alias("straddles"),
+        )
+    )
+    pure = {
+        r["n_sources"]: r["n_sequences"]
+        for r in pack_mixing_histogram(cur, seq_len=6).collect()
+    }
+    assert pure == {1: 20}
+
+
+def test_loader_resume_state_mid_stream_and_exhausted(spark):
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        loader_resume_state,
+        seeded_global_shuffle,
+    )
+
+    df = spark.createDataFrame(
+        [(f"s{i}", i) for i in range(37)], ["source", "seq_id"]
+    )
+    sh = seeded_global_shuffle(df, ["source", "seq_id"], seed=1)
+    # shards: 0..3 with (10,10,10,7) sequences; workers: w0 {0,3}=17,
+    # w1 {1}=10, w2 {2}=10 (positions are contiguous ranges per shard)
+    got = {
+        r["worker_id"]: (
+            r["consumed"],
+            r["resume_shard"],
+            r["resume_offset"],
+            r["resume_position"],
+            r["exhausted"],
+        )
+        for r in loader_resume_state(
+            sh, shard_size=10, num_workers=3, global_step=12
+        ).collect()
+    }
+    assert got == {
+        0: (12, 3, 2, 33, False),   # into shard 3 (positions 31-37)
+        1: (10, -1, -1, -1, True),  # ran dry at its 10
+        2: (10, -1, -1, -1, True),
+    }
+    fresh = {
+        r["worker_id"]: (r["consumed"], r["resume_shard"], r["resume_offset"])
+        for r in loader_resume_state(
+            sh, shard_size=10, num_workers=3, global_step=0
+        ).collect()
+    }
+    assert fresh == {0: (0, 0, 0), 1: (0, 1, 0), 2: (0, 2, 0)}
+    with pytest.raises(ValueError):
+        loader_resume_state(sh, 10, 3, -1)
+    with pytest.raises(ValueError):
+        loader_resume_state(sh, 10, 0, 1)
+
+
+def test_epoch_source_fairness_flags_front_loaded_source(spark):
+    """Fairness ratios from real epoch shuffles match a python brute
+    force and hover near 1; a hand-built front-loaded 'permutation'
+    (one source occupying positions 1..n) reads ratio << 1 for it."""
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        epoch_source_fairness,
+    )
+
+    n = 120
+    rows = [(i, f"s{i % 3}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = {
+        (r["epoch"], r["source"]): (r["n_docs"], r["sum_pos"], r["fairness_ratio"])
+        for r in epoch_source_fairness(
+            df, ["doc_id"], base_seed=100, epochs=2
+        ).collect()
+    }
+    assert len(got) == 6
+    for e in (0, 1):
+        order = sorted(
+            rows,
+            key=lambda r: (
+                hashlib.md5(f"{100 + e}:{r[0]}".encode()).hexdigest(),
+                r[0],
+            ),
+        )
+        sums = {}
+        for pos, (_, src) in enumerate(order, start=1):
+            sums[src] = sums.get(src, 0) + pos
+        for src in ("s0", "s1", "s2"):
+            nd, sp, fr = got[(e, src)]
+            assert nd == 40 and sp == sums[src]
+            want = 2.0 * sp / (40 * (n + 1))
+            assert abs(fr - want) < 1e-6
+            assert 0.7 < fr < 1.3  # a real shuffle is near-fair
+    # totality: each epoch's positions sum to n(n+1)/2
+    for e in (0, 1):
+        assert sum(got[(e, s)][1] for s in ("s0", "s1", "s2")) == n * (n + 1) // 2
+
+
+def test_mixture_shuffled_pack_audit_shares(spark, sf_smoke):
+    """The end-to-end audit's internal consistency on real testdata:
+    shares sum to 1, achieved tracks target within the Bernoulli noise
+    of the sample, straddles/touched are sane."""
+    from scikit_learn_imputer_spark.plans.queries import QUERIES
+
+    rows = QUERIES["mixture_shuffled_pack_audit"](spark, sf_smoke).collect()
+    assert len(rows) > 1
+    ach = sum(r["achieved_share"] for r in rows)
+    tgt = sum(r["target_share"] for r in rows)
+    # achieved shares are over KEPT tokens -> sum to 1 exactly; target
+    # shares cover ALL corpus sources, so the reported (surviving-
+    # source) rows can sum slightly below 1 when a source drew zero
+    # Bernoulli keeps
+    assert abs(ach - 1.0) < 1e-4
+    assert 0.85 < tgt <= 1.0001
+    for r in rows:
+        assert r["kept_docs"] > 0 and r["kept_tokens"] > 0
+        assert 0 <= r["n_straddles"] <= r["kept_docs"]
+        assert r["n_seqs_touched"] >= 1
+        # budget 5000 tokens over the sf0.001 corpus: the sampler evens
+        # shares hard; packed stream must not drift grossly from target
+        assert abs(r["achieved_share"] - r["target_share"]) < 0.25
