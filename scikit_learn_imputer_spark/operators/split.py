@@ -100,3 +100,68 @@ def split_modulo(
     shuffle, identical in Spark and any ANSI SQL oracle."""
     cond = (F.expr(key_expr) % modulus).isin(list(test_remainders))
     return df.filter(~cond), df.filter(cond)
+
+
+def stratified_quality_sample(
+    df: DataFrame,
+    salt: str = "strat:",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Quality-stratified deterministic sampling (the FineWeb-style
+    bucket-and-downsample step): score every document with the shared
+    composite quality score, bucket into PER-SOURCE deciles against
+    broadcast percentile thresholds, and keep each doc with probability
+    ``decile²/100`` (1% of the worst decile → 100% of the best) via the
+    engine's deterministic md5-uniform draw. Per-source deciles mean
+    every source contributes its best documents rather than the corpus
+    head crowding out small sources — the stratification real pipelines
+    use before mixing.
+
+    Returns one row per document: ``(id, source, n_tokens, decile,
+    kept)`` — composable with the mixture/pack chains. Scale shape: the
+    only non-map ops are one per-source 9-value percentile aggregate
+    (O(#sources) broadcast back) and the final equi join on source;
+    scores are rounded to 6 decimals BEFORE the percentile so both
+    engines bucket identical inputs (lm_score_deciles precedent); the
+    keep decision is a pure function of (id, decile) — partitioning-
+    independent, reproducible anywhere."""
+    from scikit_learn_imputer_spark.functions.text import (
+        quality_score_col,
+        token_count_col,
+        uniform_hash_col,
+    )
+
+    base = df.select(
+        id_col,
+        source_col,
+        token_count_col(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        F.round(quality_score_col(F.col(text_col)), 6).alias("__s"),
+    )
+    thr = base.groupBy(source_col).agg(
+        F.percentile(
+            "__s", F.array(*[F.lit(q / 10.0) for q in range(1, 10)])
+        ).alias("__ts")
+    )
+    decile = (
+        F.lit(1) + F.size(F.filter("__ts", lambda t: F.col("__s") >= t))
+    ).cast("int")
+    u = uniform_hash_col(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    )
+    return (
+        base.join(F.broadcast(thr), source_col)
+        .withColumn("decile", decile)
+        .select(
+            id_col,
+            source_col,
+            "n_tokens",
+            "decile",
+            (
+                u
+                < (F.col("decile") * F.col("decile")).cast("double")
+                / F.lit(100.0)
+            ).alias("kept"),
+        )
+    )

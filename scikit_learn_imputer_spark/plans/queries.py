@@ -12423,3 +12423,67 @@ def q_mixture_shuffled_pack_audit(spark, sf_dir):
 ORACLE["mixture_shuffled_pack_audit"] = ORACLE[
     "mixture_shuffled_pack_audit"
 ].replace("{mix}", ORACLE["temperature_mixture_sample"])
+
+
+@register(
+    "stratified_quality_sample",
+    oracle="""
+WITH tqx AS ({tq}),
+base AS (
+  SELECT d.doc_id, d.source, t.q_tokens AS n_tokens, t.q_score AS s
+  FROM documents d JOIN tqx t USING (doc_id)
+),
+thr AS (
+  SELECT source,
+         quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+           AS ts
+  FROM base GROUP BY source
+),
+b AS (
+  SELECT base.source, base.n_tokens,
+         CAST(1 + len(list_filter(thr.ts, t -> base.s >= t)) AS INTEGER)
+           AS decile,
+         CAST(('0x' || substr(md5('strat:' || CAST(base.doc_id AS VARCHAR)),
+              1, 8))::UBIGINT AS DOUBLE) / 4294967296.0 AS u
+  FROM base JOIN thr USING (source)
+)
+SELECT source, decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN u < (decile * decile) / 100.0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS kept_docs,
+       CAST(coalesce(sum(CASE WHEN u < (decile * decile) / 100.0
+                          THEN n_tokens END), 0) AS BIGINT) AS kept_tokens
+FROM b GROUP BY source, decile
+""",
+)
+def q_stratified_quality_sample(spark, sf_dir):
+    """Quality-stratified sampling report (operators/split.py:
+    stratified_quality_sample): documents bucket into PER-SOURCE quality
+    deciles (composite score rounded to 6 decimals, broadcast
+    percentile thresholds — lm_score_deciles precedent) and keep with
+    probability decile²/100 via the deterministic md5 draw — the
+    FineWeb-style bucket-and-downsample stage, stratified per source so
+    small sources contribute their best docs instead of being crowded
+    out by the corpus head. Reports per (source, decile): docs, kept
+    docs, kept token mass. The only non-map ops are the O(#sources)
+    percentile aggregate (broadcast back) and one equi join."""
+    from scikit_learn_imputer_spark.operators.split import (
+        stratified_quality_sample,
+    )
+
+    s = stratified_quality_sample(_t(spark, sf_dir, "documents"))
+    return s.groupBy("source", "decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("kept_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("kept"), F.col("n_tokens"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+
+
+ORACLE["stratified_quality_sample"] = ORACLE[
+    "stratified_quality_sample"
+].replace("{tq}", ORACLE["text_quality"])

@@ -334,3 +334,41 @@ def test_store_purge_keeps_shared_content_fingerprint(spark, tmp_path):
     assert incremental_dedup(dup, store).count() == 0
     # genuinely-deleted content is gone
     assert spark.read.parquet(store).count() == 2
+
+
+def test_stratified_quality_sample_decile_and_keep_contract(spark, sf_smoke):
+    """Round-10 sampler: per-source deciles are balanced, the keep
+    decision is exactly u(md5) < decile^2/100 per row, and the result is
+    partitioning-independent."""
+    import hashlib
+
+    from scikit_learn_imputer_spark.operators.split import (
+        stratified_quality_sample,
+    )
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    out = stratified_quality_sample(docs).collect()
+    assert len(out) == docs.count()
+    per = {}
+    for r in out:
+        assert 1 <= r["decile"] <= 10
+        u = int(
+            hashlib.md5(f"strat:{r['doc_id']}".encode()).hexdigest()[:8], 16
+        ) / 4294967296.0
+        assert r["kept"] == (u < r["decile"] ** 2 / 100.0)
+        per.setdefault((r["source"], r["decile"]), 0)
+        per[(r["source"], r["decile"])] += 1
+    # decile balance: within each source, max/min decile occupancy is
+    # bounded (quantile_cont splits near-evenly; ties can skew a bit)
+    srcs = {s for s, _ in per}
+    for s in srcs:
+        sizes = [per.get((s, d), 0) for d in range(1, 11)]
+        assert all(v > 0 for v in sizes)
+        assert max(sizes) <= 3 * min(sizes)
+    # partitioning independence
+    again = {
+        r["doc_id"]: (r["decile"], r["kept"])
+        for r in stratified_quality_sample(docs.repartition(16)).collect()
+    }
+    assert again == {r["doc_id"]: (r["decile"], r["kept"]) for r in out}
