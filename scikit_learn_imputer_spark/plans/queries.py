@@ -12487,3 +12487,241 @@ def q_stratified_quality_sample(spark, sf_dir):
 ORACLE["stratified_quality_sample"] = ORACLE[
     "stratified_quality_sample"
 ].replace("{tq}", ORACLE["text_quality"])
+
+
+@register(
+    "training_loader_funnel",
+    oracle="""
+WITH tqx AS ({tq}),
+base AS (
+  SELECT d.doc_id, d.source, t.q_tokens AS n_tokens, t.q_score AS s
+  FROM documents d JOIN tqx t USING (doc_id)
+),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n_tokens) AS BIGINT) AS nt
+  FROM base
+),
+thr AS (
+  SELECT source,
+         quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+           AS ts
+  FROM base GROUP BY source
+),
+sk AS (
+  SELECT base.doc_id, base.source, base.n_tokens,
+         CAST(1 + len(list_filter(thr.ts, t -> base.s >= t)) AS INTEGER)
+           AS decile,
+         CAST(('0x' || substr(md5('strat:' || CAST(base.doc_id AS VARCHAR)),
+              1, 8))::UBIGINT AS DOUBLE) / 4294967296.0 AS u
+  FROM base JOIN thr USING (source)
+),
+kept AS (
+  SELECT doc_id, source, n_tokens FROM sk
+  WHERE u < (decile * decile) / 100.0
+),
+strat AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS nt
+  FROM kept
+),
+ns AS (
+  SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS n_s
+  FROM kept GROUP BY source
+),
+rates AS (
+  SELECT source,
+         round(least(1.0, 5000.0 * (pow(n_s, 0.7)
+               / sum(pow(n_s, 0.7)) OVER ()) / n_s), 6) AS r
+  FROM ns
+),
+mix AS (
+  SELECT k.doc_id, k.n_tokens
+  FROM kept k JOIN rates USING (source)
+  WHERE CAST(('0x' || substr(md5('mix:' || CAST(k.doc_id AS VARCHAR)),
+       1, 8))::UBIGINT AS DOUBLE) / 4294967296.0 < r
+),
+ma AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS nt
+  FROM mix
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage_order, 'corpus' AS stage,
+         nd AS n_docs, nt AS n_tokens, CAST(0 AS BIGINT) AS n_units
+  FROM corpus
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'stratified', nd, nt, CAST(0 AS BIGINT)
+  FROM strat
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'mixture', nd, nt, CAST(0 AS BIGINT) FROM ma
+  UNION ALL
+  SELECT CAST(4 AS BIGINT), 'sequences', CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT),
+         CAST(CASE WHEN nt > 0 THEN (nt - 1) // 512 + 1 ELSE 0 END
+           AS BIGINT)
+  FROM ma
+  UNION ALL
+  SELECT CAST(5 AS BIGINT), 'shards', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(CASE WHEN nt > 0 THEN ((nt - 1) // 512) // 16 + 1 ELSE 0 END
+           AS BIGINT)
+  FROM ma
+  UNION ALL
+  SELECT CAST(6 AS BIGINT), 'workers', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(least(4, CASE WHEN nt > 0 THEN ((nt - 1) // 512) // 16 + 1
+                       ELSE 0 END) AS BIGINT)
+  FROM ma
+)
+ORDER BY stage_order
+""",
+)
+def q_training_loader_funnel(spark, sf_dir):
+    """The loader-side funnel capstone in ONE lazy plan: corpus →
+    quality-stratified sample (per-source deciles, keep decile²/100) →
+    temperature mixture over the SURVIVORS (tau=0.7, 5k-token budget,
+    md5 Bernoulli) → 512-token sequences → 16-sequence shards → 4
+    loader ranks. One row per stage with exact-integer doc/token/unit
+    counts — the go/no-go table a training run reads before touching
+    the corpus, complementing filter_waterfall (which funnels the
+    CLEANING gates) with the SAMPLING/LOADER side. Unit counts for
+    sequences/shards/workers are closed-form integer arithmetic on the
+    surviving token mass (concat-and-cut packs the global stream
+    contiguously); mixture rates round the pow expression at 6 decimals
+    on both engines (temperature_mixture_sample precedent). Stage
+    aggregates union — no scalar-frame joins; per-source frames are
+    O(#sources)."""
+    from scikit_learn_imputer_spark.functions.text import (
+        token_count_col,
+        uniform_hash_col,
+    )
+    from scikit_learn_imputer_spark.operators.split import (
+        stratified_quality_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    s = stratified_quality_sample(docs)
+    kept = s.filter(F.col("kept")).select("doc_id", "source", "n_tokens")
+    per_src = kept.groupBy("source").agg(
+        F.sum("n_tokens").cast("double").alias("__n_s")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_s = F.pow("__n_s", F.lit(0.7))
+    rates = per_src.select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(5000.0) * (w_s / F.sum(w_s).over(wall)) / F.col("__n_s"),
+            ),
+            6,
+        ).alias("__r"),
+    )
+    u2 = uniform_hash_col(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+    )
+    mix = (
+        kept.join(F.broadcast(rates), "source")
+        .filter(u2 < F.col("__r"))
+        .select("doc_id", "n_tokens")
+    )
+
+    def row(agg_df, order, stage, units=None):
+        return agg_df.select(
+            F.lit(order).cast("bigint").alias("stage_order"),
+            F.lit(stage).alias("stage"),
+            (F.lit(0).cast("bigint") if units is not None else F.col("nd"))
+            .alias("n_docs"),
+            (F.lit(0).cast("bigint") if units is not None else F.col("nt"))
+            .alias("n_tokens"),
+            (units if units is not None else F.lit(0).cast("bigint"))
+            .alias("n_units"),
+        )
+
+    def agg(df):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("nd"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("nt"),
+        )
+
+    corpus = agg(
+        docs.select(
+            F.col("doc_id"),
+            token_count_col(F.col("text")).cast("bigint").alias("n_tokens"),
+        )
+    )
+    strat = agg(kept)
+    ma = agg(mix)
+    n_seqs = F.when(
+        F.col("nt") > 0, F.floor((F.col("nt") - 1) / 512) + 1
+    ).otherwise(F.lit(0)).cast("bigint")
+    n_shards = F.when(
+        F.col("nt") > 0,
+        F.floor(F.floor((F.col("nt") - 1) / 512) / 16) + 1,
+    ).otherwise(F.lit(0)).cast("bigint")
+    parts = [
+        row(corpus, 1, "corpus"),
+        row(strat, 2, "stratified"),
+        row(ma, 3, "mixture"),
+        row(ma, 4, "sequences", n_seqs),
+        row(ma, 5, "shards", n_shards),
+        row(ma, 6, "workers", F.least(F.lit(4).cast("bigint"), n_shards)),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("stage_order")
+
+
+ORACLE["training_loader_funnel"] = ORACLE["training_loader_funnel"].replace(
+    "{tq}", ORACLE["text_quality"]
+)
+
+
+@register(
+    "sequence_dedup_manifest",
+    oracle="""
+WITH f AS ({fp})
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(CASE WHEN is_kept THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dropped,
+       CAST(coalesce(sum(CASE WHEN NOT is_kept THEN n_ids END), 0)
+         AS BIGINT) AS dropped_token_mass,
+       CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_unique
+FROM f GROUP BY source
+""",
+)
+def q_sequence_dedup_manifest(spark, sf_dir):
+    """ACTION accounting for the token-space dedup gate
+    (sequence_fingerprints → what a rewrite would drop): per shard, the
+    materialized sequence count, how many sequences the digest-keyed
+    keeper rule drops, the exact duplicate TOKEN mass a trainer stops
+    repeating, and the distinct-fingerprint count the shard collapses
+    to — the numbers that size an incremental shard rewrite
+    (rewrite_tokenized_shards_incremental's counts-only boundary)
+    before touching any shard file. Pure aggregate over the
+    fingerprints frame; the duplicate detection itself never shuffles
+    ids (16-byte digests only)."""
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        sequence_fingerprints,
+    )
+
+    fps = sequence_fingerprints(_t(spark, sf_dir, "documents"), seq_len=512)
+    return fps.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+        F.sum(F.when(F.col("is_kept"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_kept"), F.col("n_ids"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("dropped_token_mass"),
+        F.countDistinct("fingerprint").cast("bigint").alias("n_unique"),
+    )
+
+
+ORACLE["sequence_dedup_manifest"] = ORACLE["sequence_dedup_manifest"].replace(
+    "{fp}", ORACLE["sequence_fingerprints"]
+)

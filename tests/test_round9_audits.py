@@ -308,3 +308,49 @@ def test_compact_swap_crash_mid_cleanup_leaves_discardable_sibling(
         r["fingerprint"] for r in spark.read.parquet(fstore).collect()
     )
     assert got == want  # the good store was never touched
+
+
+def test_sequence_dedup_manifest_counts_dropped_mass(spark):
+    """Round-10: the action manifest over sequence_fingerprints — the
+    same manufactured-duplicate corpus as above, aggregated to the
+    per-shard drop/token-mass numbers a shard rewrite would act on."""
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        sequence_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (20, "p q", "src_e"),
+            (21, "r s", "src_e"),
+            (30, "p", "src_f"),
+            (31, "q r s", "src_f"),
+            (40, "z z z z", "src_g"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    from pyspark.sql import functions as F
+
+    fps = sequence_fingerprints(docs, seq_len=2)
+    got = {
+        r["source"]: (r["n_seqs"], r["n_dropped"], r["dropped_token_mass"],
+                      r["n_unique"])
+        for r in fps.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+            F.sum(F.when(F.col("is_kept"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.coalesce(
+                F.sum(F.when(~F.col("is_kept"), F.col("n_ids"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("dropped_token_mass"),
+            F.countDistinct("fingerprint").cast("bigint").alias("n_unique"),
+        )
+        .collect()
+    }
+    assert got == {
+        "src_e": (2, 0, 0, 2),   # the keepers
+        "src_f": (2, 2, 4, 2),   # both sequences are cross-shard dups
+        "src_g": (2, 1, 2, 1),   # within-shard manufactured repeat
+    }

@@ -372,3 +372,30 @@ def test_stratified_quality_sample_decile_and_keep_contract(spark, sf_smoke):
         for r in stratified_quality_sample(docs.repartition(16)).collect()
     }
     assert again == {r["doc_id"]: (r["decile"], r["kept"]) for r in out}
+
+
+def test_training_loader_funnel_stage_consistency(spark, sf_smoke):
+    """Round-10 funnel capstone: stages shrink monotonically and the
+    sequence/shard/worker units follow exactly from the mixture row's
+    token mass (concat-and-cut closed form)."""
+    from scikit_learn_imputer_spark.plans.queries import QUERIES
+
+    rows = {
+        r["stage"]: (r["stage_order"], r["n_docs"], r["n_tokens"], r["n_units"])
+        for r in QUERIES["training_loader_funnel"](spark, sf_smoke).collect()
+    }
+    assert set(rows) == {
+        "corpus", "stratified", "mixture", "sequences", "shards", "workers"
+    }
+    c, s, m = rows["corpus"], rows["stratified"], rows["mixture"]
+    assert c[1] >= s[1] >= m[1] > 0
+    assert c[2] >= s[2] >= m[2] > 0
+    nt = m[2]
+    n_seqs = (nt - 1) // 512 + 1
+    n_shards = (n_seqs - 1) // 16 + 1
+    assert rows["sequences"][3] == n_seqs
+    assert rows["shards"][3] == n_shards
+    assert rows["workers"][3] == min(4, n_shards)
+    # the stratified stage actually filters (keep rates < 1 for low
+    # deciles) and the mixture stage actually filters further
+    assert s[1] < c[1] and m[1] < s[1]
