@@ -12489,6 +12489,95 @@ ORACLE["stratified_quality_sample"] = ORACLE[
 ].replace("{tq}", ORACLE["text_quality"])
 
 
+def _loader_funnel_rows(spark, sf_dir, budget):
+    """Shared construction for training_loader_funnel and the budget
+    sweep: the 6 exact-integer stage rows for one mixture token
+    budget (see q_training_loader_funnel for the full design
+    notes)."""
+    from scikit_learn_imputer_spark.functions.text import (
+        token_count_col,
+        uniform_hash_col,
+    )
+    from scikit_learn_imputer_spark.operators.split import (
+        stratified_quality_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    s = stratified_quality_sample(docs)
+    kept = s.filter(F.col("kept")).select("doc_id", "source", "n_tokens")
+    per_src = kept.groupBy("source").agg(
+        F.sum("n_tokens").cast("double").alias("__n_s")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_s = F.pow("__n_s", F.lit(0.7))
+    rates = per_src.select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget)) * (w_s / F.sum(w_s).over(wall)) / F.col("__n_s"),
+            ),
+            6,
+        ).alias("__r"),
+    )
+    u2 = uniform_hash_col(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+    )
+    mix = (
+        kept.join(F.broadcast(rates), "source")
+        .filter(u2 < F.col("__r"))
+        .select("doc_id", "n_tokens")
+    )
+
+    def row(agg_df, order, stage, units=None):
+        return agg_df.select(
+            F.lit(order).cast("bigint").alias("stage_order"),
+            F.lit(stage).alias("stage"),
+            (F.lit(0).cast("bigint") if units is not None else F.col("nd"))
+            .alias("n_docs"),
+            (F.lit(0).cast("bigint") if units is not None else F.col("nt"))
+            .alias("n_tokens"),
+            (units if units is not None else F.lit(0).cast("bigint"))
+            .alias("n_units"),
+        )
+
+    def agg(df):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("nd"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("nt"),
+        )
+
+    corpus = agg(
+        docs.select(
+            F.col("doc_id"),
+            token_count_col(F.col("text")).cast("bigint").alias("n_tokens"),
+        )
+    )
+    strat = agg(kept)
+    ma = agg(mix)
+    n_seqs = F.when(
+        F.col("nt") > 0, F.floor((F.col("nt") - 1) / 512) + 1
+    ).otherwise(F.lit(0)).cast("bigint")
+    n_shards = F.when(
+        F.col("nt") > 0,
+        F.floor(F.floor((F.col("nt") - 1) / 512) / 16) + 1,
+    ).otherwise(F.lit(0)).cast("bigint")
+    parts = [
+        row(corpus, 1, "corpus"),
+        row(strat, 2, "stratified"),
+        row(ma, 3, "mixture"),
+        row(ma, 4, "sequences", n_seqs),
+        row(ma, 5, "shards", n_shards),
+        row(ma, 6, "workers", F.least(F.lit(4).cast("bigint"), n_shards)),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("stage_order")
+
+
 @register(
     "training_loader_funnel",
     oracle="""
@@ -12589,88 +12678,7 @@ def q_training_loader_funnel(spark, sf_dir):
     on both engines (temperature_mixture_sample precedent). Stage
     aggregates union — no scalar-frame joins; per-source frames are
     O(#sources)."""
-    from scikit_learn_imputer_spark.functions.text import (
-        token_count_col,
-        uniform_hash_col,
-    )
-    from scikit_learn_imputer_spark.operators.split import (
-        stratified_quality_sample,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    s = stratified_quality_sample(docs)
-    kept = s.filter(F.col("kept")).select("doc_id", "source", "n_tokens")
-    per_src = kept.groupBy("source").agg(
-        F.sum("n_tokens").cast("double").alias("__n_s")
-    )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    w_s = F.pow("__n_s", F.lit(0.7))
-    rates = per_src.select(
-        "source",
-        F.round(
-            F.least(
-                F.lit(1.0),
-                F.lit(5000.0) * (w_s / F.sum(w_s).over(wall)) / F.col("__n_s"),
-            ),
-            6,
-        ).alias("__r"),
-    )
-    u2 = uniform_hash_col(
-        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
-    )
-    mix = (
-        kept.join(F.broadcast(rates), "source")
-        .filter(u2 < F.col("__r"))
-        .select("doc_id", "n_tokens")
-    )
-
-    def row(agg_df, order, stage, units=None):
-        return agg_df.select(
-            F.lit(order).cast("bigint").alias("stage_order"),
-            F.lit(stage).alias("stage"),
-            (F.lit(0).cast("bigint") if units is not None else F.col("nd"))
-            .alias("n_docs"),
-            (F.lit(0).cast("bigint") if units is not None else F.col("nt"))
-            .alias("n_tokens"),
-            (units if units is not None else F.lit(0).cast("bigint"))
-            .alias("n_units"),
-        )
-
-    def agg(df):
-        return df.agg(
-            F.count(F.lit(1)).cast("bigint").alias("nd"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("nt"),
-        )
-
-    corpus = agg(
-        docs.select(
-            F.col("doc_id"),
-            token_count_col(F.col("text")).cast("bigint").alias("n_tokens"),
-        )
-    )
-    strat = agg(kept)
-    ma = agg(mix)
-    n_seqs = F.when(
-        F.col("nt") > 0, F.floor((F.col("nt") - 1) / 512) + 1
-    ).otherwise(F.lit(0)).cast("bigint")
-    n_shards = F.when(
-        F.col("nt") > 0,
-        F.floor(F.floor((F.col("nt") - 1) / 512) / 16) + 1,
-    ).otherwise(F.lit(0)).cast("bigint")
-    parts = [
-        row(corpus, 1, "corpus"),
-        row(strat, 2, "stratified"),
-        row(ma, 3, "mixture"),
-        row(ma, 4, "sequences", n_seqs),
-        row(ma, 5, "shards", n_shards),
-        row(ma, 6, "workers", F.least(F.lit(4).cast("bigint"), n_shards)),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("stage_order")
+    return _loader_funnel_rows(spark, sf_dir, 5000.0)
 
 
 ORACLE["training_loader_funnel"] = ORACLE["training_loader_funnel"].replace(
@@ -12724,4 +12732,56 @@ def q_sequence_dedup_manifest(spark, sf_dir):
 
 ORACLE["sequence_dedup_manifest"] = ORACLE["sequence_dedup_manifest"].replace(
     "{fp}", ORACLE["sequence_fingerprints"]
+)
+
+
+@register(
+    "funnel_budget_sweep",
+    oracle="""
+SELECT * FROM (
+  SELECT CAST(2000 AS BIGINT) AS budget, * FROM ({f2000})
+  UNION ALL
+  SELECT CAST(5000 AS BIGINT), * FROM ({f5000})
+  UNION ALL
+  SELECT CAST(20000 AS BIGINT), * FROM ({f20000})
+)
+ORDER BY budget, stage_order
+""",
+)
+def q_funnel_budget_sweep(spark, sf_dir):
+    """Token-budget calibration curve for the loader funnel (the
+    threshold-sweep pattern of semdedup_threshold_curve /
+    ngram_novelty_curve applied to SAMPLING): the full
+    corpus→stratified→mixture→sequences→shards→workers funnel evaluated
+    at 2k/5k/20k-token mixture budgets in one plan — how many docs,
+    tokens, sequences and shards each budget buys, and where the budget
+    saturates (rates hit 1.0 and the mixture stage stops filtering).
+    The corpus and stratified stages repeat per budget by construction
+    (they are budget-independent anchors that make each sweep row
+    self-contained). 18 exact-integer rows; the stratified scan is the
+    only corpus-sized work per branch and Catalyst shares nothing
+    across branches it can't prove equal — at 100 TB you'd cache the
+    stratified frame once; at bench scale the three passes are
+    cheaper than a cache materialization."""
+    parts = []
+    for b in (2000, 5000, 20000):
+        parts.append(
+            _loader_funnel_rows(spark, sf_dir, float(b)).withColumn(
+                "budget", F.lit(b).cast("bigint")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "budget", "stage_order", "stage", "n_docs", "n_tokens", "n_units"
+    ).orderBy("budget", "stage_order")
+
+
+_fo = ORACLE["training_loader_funnel"]
+ORACLE["funnel_budget_sweep"] = (
+    ORACLE["funnel_budget_sweep"]
+    .replace("{f2000}", _fo.replace("5000.0", "2000.0"))
+    .replace("{f5000}", _fo)
+    .replace("{f20000}", _fo.replace("5000.0", "20000.0"))
 )

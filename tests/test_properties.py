@@ -549,3 +549,49 @@ def test_dedup_paragraphs_matches_sequential_reference(spark, docs, min_count):
         min_count=min_count,
     )
     assert all(r["n_paragraphs_removed"] == 0 for r in again.collect())
+
+
+@given(
+    counts=st.lists(st.integers(0, 9), min_size=1, max_size=30),
+    seq_len=st.integers(1, 7),
+    seed=st.integers(0, 3),
+)
+@SETTINGS
+def test_pack_shuffled_sequences_property_matches_python(
+    spark, counts, seq_len, seed
+):
+    """Round-10 property: for arbitrary token counts (zeros included),
+    seq_len and seed, the shuffled pack equals the pure-python
+    md5-order concat-and-cut — positions total, token mass conserved,
+    placement exact."""
+    import hashlib
+
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        pack_shuffled_sequences,
+    )
+
+    rows = [(i, f"s{i % 2}", n) for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n bigint")
+    got = {
+        r["doc_id"]: (r["position"], r["seq_id"], r["seq_offset"],
+                      r["straddles"])
+        for r in pack_shuffled_sequences(
+            df, seq_len=seq_len, seed=seed, token_count_col="n"
+        ).collect()
+    }
+    order = sorted(
+        rows,
+        key=lambda r: (hashlib.md5(f"{seed}:{r[0]}".encode()).hexdigest(), r[0]),
+    )
+    cum = 0
+    want = {}
+    for pos, (did, _, n) in enumerate(order, start=1):
+        want[did] = (
+            pos,
+            cum // seq_len,
+            cum % seq_len,
+            (cum % seq_len + n) > seq_len,
+        )
+        cum += n
+    assert got == want
+    assert sorted(p for p, *_ in got.values()) == list(range(1, len(counts) + 1))

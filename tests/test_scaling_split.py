@@ -399,3 +399,29 @@ def test_training_loader_funnel_stage_consistency(spark, sf_smoke):
     # the stratified stage actually filters (keep rates < 1 for low
     # deciles) and the mixture stage actually filters further
     assert s[1] < c[1] and m[1] < s[1]
+
+
+def test_funnel_budget_sweep_monotone_in_budget(spark, sf_smoke):
+    """Round-10 sweep: budget-independent stages repeat identically per
+    branch; the mixture stage grows monotonically with budget and the
+    downstream unit counts follow the closed form."""
+    from scikit_learn_imputer_spark.plans.queries import QUERIES
+
+    rows = {
+        (r["budget"], r["stage"]): (r["n_docs"], r["n_tokens"], r["n_units"])
+        for r in QUERIES["funnel_budget_sweep"](spark, sf_smoke).collect()
+    }
+    budgets = (2000, 5000, 20000)
+    assert len(rows) == 18
+    for stage in ("corpus", "stratified"):
+        vals = {rows[(b, stage)] for b in budgets}
+        assert len(vals) == 1  # budget-independent anchors
+    mix = [rows[(b, "mixture")] for b in budgets]
+    assert mix[0][0] <= mix[1][0] <= mix[2][0]
+    assert mix[0][1] <= mix[1][1] <= mix[2][1]
+    assert mix[0][1] < mix[2][1]  # the sweep actually moves
+    for b in budgets:
+        nt = rows[(b, "mixture")][1]
+        n_seqs = (nt - 1) // 512 + 1 if nt else 0
+        assert rows[(b, "sequences")][2] == n_seqs
+        assert rows[(b, "shards")][2] == ((n_seqs - 1) // 16 + 1 if n_seqs else 0)
