@@ -264,22 +264,54 @@ def main() -> None:
         print(f"bench: warmup FAILED: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    # Per-entry variance record (VERDICT r10 #8): every entry always logs
+    # its start offset from suite start — a contention window (the r9
+    # incident: one alphabetical stretch uniformly 4-7x) shows up as a
+    # contiguous t0 band, machine-detectable without a re-run. Set
+    # SPARK_GRAFT_BENCH_REPS>1 for per-entry min/median over n reps (the
+    # reported timing is then the MEDIAN; min bounds the noise floor).
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+    spread: dict[str, dict[str, float]] = {}
     total = 0.0
+    suite_t0 = time.time()
     # Alphabetical order sequences the IVF phases: ann_ivf_build <
     # ann_ivf_index_save < ann_ivf_persisted_topk < ann_ivf_topk — the
     # index is built, then saved, before either probe entry runs.
-    for name in sorted(set(QUERIES) | {"ann_ivf_build", "ann_ivf_index_save"}):
+    names = sorted(set(QUERIES) | {"ann_ivf_build", "ann_ivf_index_save"})
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the suite (scale-proof runs
+    # bench a 20-query subset at sf1); unknown names fail loudly.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        want = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = sorted(set(want) - set(names))
+        assert not unknown, f"SPARK_GRAFT_BENCH_ONLY unknown: {unknown}"
+        names = [n for n in names if n in set(want)]
+    for name in names:
         fn = overrides.get(name) or QUERIES[name]
-        start = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # record failures, keep benching
+        t_off = round(time.time() - suite_t0, 3)
+        samples: list[float] = []
+        failed = False
+        for _ in range(reps):
+            start = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # record failures, keep benching
+                failed = True
+                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                break
+            samples.append(time.time() - start)
+        if failed:
             timings[name] = -1.0
-            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            spread[name] = {"t0": t_off, "reps": float(len(samples))}
             continue
-        elapsed = round(time.time() - start, 3)
+        samples.sort()
+        elapsed = round(samples[len(samples) // 2], 3)  # median (=only, n=1)
         timings[name] = elapsed
+        spread[name] = {"t0": t_off, "reps": float(reps)}
+        if reps > 1:
+            spread[name]["min"] = round(samples[0], 3)
+            spread[name]["max"] = round(samples[-1], 3)
         total += elapsed
         print(f"bench: {name} {elapsed}s", file=sys.stderr)
 
@@ -294,10 +326,14 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "sf": sf_val,
     }
+    out_name = "BENCH_FULL.json" if not only else (
+        os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_SUBSET.json")
+    )
     try:
-        with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+        with open(os.path.join(here, out_name), "w") as fh:
             json.dump(full, fh, indent=1, sort_keys=True)
     except OSError:
         pass

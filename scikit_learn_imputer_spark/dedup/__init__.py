@@ -15,6 +15,7 @@ from scikit_learn_imputer_spark.dedup.exact import (
 )
 from scikit_learn_imputer_spark.dedup.ngram import char_ngrams, ngram_jaccard_pairs
 from scikit_learn_imputer_spark.dedup.minhash import minhash_signatures, minhash_candidate_pairs
+from scikit_learn_imputer_spark.dedup.phash import phash_near_pairs, phash_signatures
 from scikit_learn_imputer_spark.dedup.simhash import simhash_signatures, simhash_near_pairs
 from scikit_learn_imputer_spark.dedup.spans import (
     boilerplate_grams,
@@ -80,6 +81,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_candidate_pairs",
+    "phash_signatures",
+    "phash_near_pairs",
     "simhash_signatures",
     "simhash_near_pairs",
     "boilerplate_grams",

@@ -92,15 +92,45 @@ def simhash_near_pairs(
     # aggregate. One row per doc (MEMORY_AND_DISK, spills at scale).
     sigs = simhash_signatures(df, id_col, text_col, hasher=hasher).persist()
     sigs.count()
+    return banded_hamming_pairs(
+        sigs,
+        id_col=id_col,
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+        bits=BITS,
+        chunks=CHUNKS,
+    )
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    bits: int = BITS,
+    chunks: int = CHUNKS,
+) -> DataFrame:
+    """Generic pigeonhole banding for ANY BIGINT fingerprint column
+    (SimHash, pHash, …): split the ``bits``-bit signature into
+    ``chunks`` equal chunks — two signatures within Hamming distance
+    d < chunks must agree on at least one chunk, so pairs only form
+    inside shared chunk buckets (sub-quadratic) yet the ≤ max_hamming
+    result is EXACT. ``max_bucket`` drops degenerate buckets (the
+    MinHash skew-guard pattern); pass 2**31 for the oracle-exact
+    variant. Callers persist ``sigs`` if it is expensive to recompute
+    (it feeds chunks+1 consumers)."""
+    chunk_bits = bits // chunks
     chunk_frames = []
-    for c in range(CHUNKS):
-        chunk = F.shiftright(F.col("simhash"), c * CHUNK_BITS).bitwiseAND(
-            F.lit((1 << CHUNK_BITS) - 1)
+    for c in range(chunks):
+        chunk = F.shiftright(F.col(sig_col), c * chunk_bits).bitwiseAND(
+            F.lit((1 << chunk_bits) - 1)
         )
         chunk_frames.append(
             sigs.select(
                 F.col(id_col),
-                F.col("simhash"),
+                F.col(sig_col),
                 F.lit(c).alias("chunk"),
                 chunk.alias("bucket"),
             )
@@ -115,10 +145,10 @@ def simhash_near_pairs(
         how="left_semi",
     )
     left = banded.select(
-        "chunk", "bucket", F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a")
+        "chunk", "bucket", F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a")
     )
     right = banded.select(
-        "chunk", "bucket", F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b")
+        "chunk", "bucket", F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b")
     )
     return (
         left.join(right, on=["chunk", "bucket"])

@@ -631,3 +631,85 @@ def epoch_source_fairness(
         "sum_pos",
         F.round(ratio, 6).alias("fairness_ratio"),
     )
+
+
+def shuffled_sequence_doc_spans(
+    df: DataFrame,
+    seq_len: int = 1024,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    token_count_col: str | None = None,
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Document-boundary span manifest for the SHUFFLED pack (VERDICT
+    r10 #3): per training sequence of ``pack_shuffled_sequences``, the
+    ordered ``doc_id:start:len`` list a trainer needs to reset attention
+    at document boundaries (or mask cross-doc tokens) inside packed
+    sequences — the loader-completeness twin of
+    ``operators/tokenized.py:sequence_doc_spans``, which covers only the
+    id-ordered per-source pack. Spans are in the SAME token units and
+    placement the shuffled concat-and-cut stream is cut by, so they
+    index directly into its sequences.
+
+    Returns ``(seq_id, n_docs, n_sources, spans)`` — ``n_sources`` > 1
+    on interior sequences is the per-sequence proof the shuffle mixes
+    sources (pack_mixing_histogram's granularity, with the offsets a
+    loss mask actually consumes). Scale shape: reuses the bucketed
+    placement (only global window is over the O(16^bucket_chars)
+    totals frame); the per-(doc, seq) explode is bounded by
+    ceil(n_tokens/seq_len)+1 rows per doc; one (seq) aggregate carries
+    O(docs-in-sequence) short strings. Zero-token docs occupy no span.
+    """
+    placed = pack_shuffled_sequences(
+        df,
+        seq_len=seq_len,
+        seed=seed,
+        id_col=id_col,
+        text_col=text_col,
+        source_col=source_col,
+        token_count_col=token_count_col,
+        bucket_chars=bucket_chars,
+    )
+    base = placed.filter(F.col("n_tokens") > 0).select(
+        id_col,
+        source_col,
+        "n_tokens",
+        (F.col("seq_id") * seq_len + F.col("seq_offset")).alias("__cum"),
+        F.col("seq_id").alias("__first"),
+    )
+    last_seq = F.floor(
+        (F.col("__cum") + F.col("n_tokens") - 1) / seq_len
+    ).cast("bigint")
+    spans = base.select(
+        id_col,
+        source_col,
+        "n_tokens",
+        "__cum",
+        F.explode(F.sequence(F.col("__first"), last_seq)).alias("seq_id"),
+    )
+    g_start = F.greatest(F.col("seq_id") * seq_len, F.col("__cum"))
+    g_end = F.least(
+        (F.col("seq_id") + 1) * seq_len, F.col("__cum") + F.col("n_tokens")
+    )
+    rows = spans.select(
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        source_col,
+        g_start.alias("__g"),
+        F.concat_ws(
+            ":",
+            F.col(id_col).cast("string"),
+            (g_start - F.col("seq_id") * seq_len).cast("string"),
+            (g_end - g_start).cast("string"),
+        ).alias("__span"),
+    )
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("__g", "__span"))),
+        lambda s: s["__span"],
+    )
+    return rows.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(source_col).cast("bigint").alias("n_sources"),
+        F.array_join(ordered, " ").alias("spans"),
+    )

@@ -211,6 +211,114 @@ def write_tokenized_shards_readback(
     )
 
 
+def shard_content_digests(
+    back: DataFrame,
+    shard_col: str = "source",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """Per-(shard_col, shard_id) content digest of a tokenized-shard
+    frame: sequence count, token count, and an ORDER-KEYED md5 over the
+    space-joined id strings concatenated by '|' in seq_id order — the
+    ``tokenized_incremental_rewrite`` oracle digest, so any reordering,
+    truncation, or bit flip in any sequence's ids changes the digest.
+    One groupBy; the payload per shard row is O(shard bytes) only
+    transiently inside the aggregate."""
+    ids_str = F.concat_ws(
+        " ", F.transform(ids_col, lambda x: x.cast("string"))
+    )
+    rows = back.select(
+        F.col(shard_col).cast("string").alias(shard_col),
+        F.col("shard_id").cast("bigint").alias("shard_id"),
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        F.col("n_ids").cast("bigint").alias("n_ids"),
+        ids_str.alias("__ids"),
+    )
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("seq_id", "__ids"))),
+        lambda s: s["__ids"],
+    )
+    return rows.groupBy(shard_col, "shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+        F.sum("n_ids").cast("bigint").alias("n_ids"),
+        F.md5(F.array_join(ordered, "|")).alias("ids_md5"),
+    )
+
+
+def write_tokenized_shards_with_manifest(
+    seqs: DataFrame,
+    path: str,
+    shard_size: int,
+    shard_col: str = "source",
+) -> None:
+    """``write_tokenized_shards`` plus a checksummed shard manifest
+    (VERDICT r10 #5): after the shards land, read them BACK from disk
+    and write the per-shard content digests to ``<path>/_manifest`` —
+    so the manifest certifies the bytes that actually hit storage, not
+    the plan that produced them. The underscore prefix hides the
+    manifest from Spark's recursive parquet reader, so
+    ``spark.read.parquet(path)`` still returns only sequence rows.
+    ``shard_integrity_audit`` recomputes and diffs before a training
+    run touches the data. Manifest is O(#shards) rows."""
+    spark = seqs.sparkSession
+    write_tokenized_shards(seqs, path, shard_size, shard_col)
+    manifest = shard_content_digests(spark.read.parquet(path), shard_col)
+    manifest.repartition(1).write.mode("overwrite").parquet(
+        path + "/_manifest"
+    )
+
+
+def shard_integrity_audit(
+    spark,
+    path: str,
+    shard_col: str = "source",
+) -> DataFrame:
+    """Detect corrupted / truncated / missing / stray tokenized shards
+    BEFORE a training run (VERDICT r10 #5): recompute every shard's
+    order-keyed content digest from the files on disk and diff against
+    the checksummed manifest ``write_tokenized_shards_with_manifest``
+    wrote. One row per shard key seen on either side:
+    ``(shard, shard_id, n_seqs, n_ids, expected_md5, actual_md5,
+    status)`` with status ∈ ok / digest_mismatch / missing_shard
+    (manifest row with no surviving data) / unexpected_shard (data with
+    no manifest row). Distributed recompute (one groupBy over the shard
+    scan) + an O(#shards) equi full-outer join — nothing driver-side."""
+    manifest = spark.read.parquet(path + "/_manifest").select(
+        F.col(shard_col).cast("string").alias(shard_col),
+        F.col("shard_id").cast("bigint").alias("shard_id"),
+        F.col("n_seqs").alias("m_seqs"),
+        F.col("n_ids").alias("m_ids"),
+        F.col("ids_md5").alias("expected_md5"),
+    )
+    actual = shard_content_digests(
+        spark.read.parquet(path), shard_col
+    ).select(
+        shard_col,
+        "shard_id",
+        F.col("n_seqs").alias("a_seqs"),
+        F.col("n_ids").alias("a_ids"),
+        F.col("ids_md5").alias("actual_md5"),
+    )
+    joined = manifest.join(actual, [shard_col, "shard_id"], "full_outer")
+    status = (
+        F.when(F.col("expected_md5").isNull(), F.lit("unexpected_shard"))
+        .when(F.col("actual_md5").isNull(), F.lit("missing_shard"))
+        .when(
+            F.col("expected_md5") != F.col("actual_md5"),
+            F.lit("digest_mismatch"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return joined.select(
+        shard_col,
+        "shard_id",
+        F.coalesce(F.col("m_seqs"), F.lit(0)).cast("bigint").alias("n_seqs"),
+        F.coalesce(F.col("m_ids"), F.lit(0)).cast("bigint").alias("n_ids"),
+        "expected_md5",
+        "actual_md5",
+        status.alias("status"),
+    )
+
+
 def sequence_doc_spans(
     df: DataFrame,
     vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB,

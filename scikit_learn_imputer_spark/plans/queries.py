@@ -12491,9 +12491,19 @@ ORACLE["stratified_quality_sample"] = ORACLE[
 
 def _loader_funnel_rows(spark, sf_dir, budget):
     """Shared construction for training_loader_funnel and the budget
-    sweep: the 6 exact-integer stage rows for one mixture token
+    sweep: the 7 exact-integer stage rows for one mixture token
     budget (see q_training_loader_funnel for the full design
-    notes)."""
+    notes). VERDICT r10 #6: the token-id decontamination gate
+    (decontaminate_token_ngrams, the 16-id-gram net) threads between
+    the stratified sample and the mixture, so the funnel reports the
+    eval-contamination mass removed before any budget is spent —
+    benchmark members themselves (doc_id % 100 < 2) and every
+    stratified survivor sharing a 16-id-gram with them drop here. The
+    Arrow encode runs over the stratified SURVIVORS only (plus the
+    bounded benchmark side), not the corpus."""
+    from scikit_learn_imputer_spark.dedup.exact import (
+        decontaminate_token_ngrams,
+    )
     from scikit_learn_imputer_spark.functions.text import (
         token_count_col,
         uniform_hash_col,
@@ -12505,7 +12515,15 @@ def _loader_funnel_rows(spark, sf_dir, budget):
     docs = _t(spark, sf_dir, "documents")
     s = stratified_quality_sample(docs)
     kept = s.filter(F.col("kept")).select("doc_id", "source", "n_tokens")
-    per_src = kept.groupBy("source").agg(
+    bench = docs.filter(F.col("doc_id") % 100 < 2)
+    kept_txt = docs.join(kept.select("doc_id"), "doc_id", "left_semi").filter(
+        F.col("doc_id") % 100 >= 2
+    )
+    clean_ids = decontaminate_token_ngrams(kept_txt, bench, n=16).select(
+        "doc_id"
+    )
+    dk = kept.join(clean_ids, "doc_id", "left_semi")
+    per_src = dk.groupBy("source").agg(
         F.sum("n_tokens").cast("double").alias("__n_s")
     )
     wall = Window.rowsBetween(
@@ -12526,7 +12544,7 @@ def _loader_funnel_rows(spark, sf_dir, budget):
         F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
     )
     mix = (
-        kept.join(F.broadcast(rates), "source")
+        dk.join(F.broadcast(rates), "source")
         .filter(u2 < F.col("__r"))
         .select("doc_id", "n_tokens")
     )
@@ -12556,6 +12574,7 @@ def _loader_funnel_rows(spark, sf_dir, budget):
         )
     )
     strat = agg(kept)
+    decon = agg(dk)
     ma = agg(mix)
     n_seqs = F.when(
         F.col("nt") > 0, F.floor((F.col("nt") - 1) / 512) + 1
@@ -12567,10 +12586,11 @@ def _loader_funnel_rows(spark, sf_dir, budget):
     parts = [
         row(corpus, 1, "corpus"),
         row(strat, 2, "stratified"),
-        row(ma, 3, "mixture"),
-        row(ma, 4, "sequences", n_seqs),
-        row(ma, 5, "shards", n_shards),
-        row(ma, 6, "workers", F.least(F.lit(4).cast("bigint"), n_shards)),
+        row(decon, 3, "decontaminated"),
+        row(ma, 4, "mixture"),
+        row(ma, 5, "sequences", n_seqs),
+        row(ma, 6, "shards", n_shards),
+        row(ma, 7, "workers", F.least(F.lit(4).cast("bigint"), n_shards)),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -12581,7 +12601,8 @@ def _loader_funnel_rows(spark, sf_dir, budget):
 @register(
     "training_loader_funnel",
     oracle="""
-WITH tqx AS ({tq}),
+WITH RECURSIVE {bpe},
+tqx AS ({tq}),
 base AS (
   SELECT d.doc_id, d.source, t.q_tokens AS n_tokens, t.q_score AS s
   FROM documents d JOIN tqx t USING (doc_id)
@@ -12613,9 +12634,36 @@ strat AS (
          CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS nt
   FROM kept
 ),
+idt AS (
+  SELECT doc_id, str_split(ids, ' ') AS t FROM edocs WHERE ids <> ''
+),
+bg AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(t) - 14, 1)),
+             i -> {g16})) AS g
+    FROM idt WHERE doc_id % 100 < 2
+  )
+),
+contam AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 14, 1)),
+             i -> {g16})) AS g
+    FROM idt WHERE doc_id % 100 >= 2
+  ) WHERE g IN (SELECT g FROM bg)
+),
+dk AS (
+  SELECT doc_id, source, n_tokens FROM kept
+  WHERE doc_id % 100 >= 2
+    AND doc_id NOT IN (SELECT doc_id FROM contam)
+),
+decon AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS nt
+  FROM dk
+),
 ns AS (
   SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS n_s
-  FROM kept GROUP BY source
+  FROM dk GROUP BY source
 ),
 rates AS (
   SELECT source,
@@ -12625,7 +12673,7 @@ rates AS (
 ),
 mix AS (
   SELECT k.doc_id, k.n_tokens
-  FROM kept k JOIN rates USING (source)
+  FROM dk k JOIN rates USING (source)
   WHERE CAST(('0x' || substr(md5('mix:' || CAST(k.doc_id AS VARCHAR)),
        1, 8))::UBIGINT AS DOUBLE) / 4294967296.0 < r
 ),
@@ -12642,20 +12690,23 @@ SELECT * FROM (
   SELECT CAST(2 AS BIGINT), 'stratified', nd, nt, CAST(0 AS BIGINT)
   FROM strat
   UNION ALL
-  SELECT CAST(3 AS BIGINT), 'mixture', nd, nt, CAST(0 AS BIGINT) FROM ma
+  SELECT CAST(3 AS BIGINT), 'decontaminated', nd, nt, CAST(0 AS BIGINT)
+  FROM decon
   UNION ALL
-  SELECT CAST(4 AS BIGINT), 'sequences', CAST(0 AS BIGINT),
+  SELECT CAST(4 AS BIGINT), 'mixture', nd, nt, CAST(0 AS BIGINT) FROM ma
+  UNION ALL
+  SELECT CAST(5 AS BIGINT), 'sequences', CAST(0 AS BIGINT),
          CAST(0 AS BIGINT),
          CAST(CASE WHEN nt > 0 THEN (nt - 1) // 512 + 1 ELSE 0 END
            AS BIGINT)
   FROM ma
   UNION ALL
-  SELECT CAST(5 AS BIGINT), 'shards', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+  SELECT CAST(6 AS BIGINT), 'shards', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
          CAST(CASE WHEN nt > 0 THEN ((nt - 1) // 512) // 16 + 1 ELSE 0 END
            AS BIGINT)
   FROM ma
   UNION ALL
-  SELECT CAST(6 AS BIGINT), 'workers', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+  SELECT CAST(7 AS BIGINT), 'workers', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
          CAST(least(4, CASE WHEN nt > 0 THEN ((nt - 1) // 512) // 16 + 1
                        ELSE 0 END) AS BIGINT)
   FROM ma
@@ -12666,9 +12717,11 @@ ORDER BY stage_order
 def q_training_loader_funnel(spark, sf_dir):
     """The loader-side funnel capstone in ONE lazy plan: corpus →
     quality-stratified sample (per-source deciles, keep decile²/100) →
-    temperature mixture over the SURVIVORS (tau=0.7, 5k-token budget,
-    md5 Bernoulli) → 512-token sequences → 16-sequence shards → 4
-    loader ranks. One row per stage with exact-integer doc/token/unit
+    TOKEN-ID DECONTAMINATION (16-id-gram net vs the pseudo eval set,
+    VERDICT r10 #6 — the funnel reports the eval-contamination mass
+    removed before any budget is spent) → temperature mixture over the
+    CLEAN survivors (tau=0.7, 5k-token budget, md5 Bernoulli) →
+    512-token sequences → 16-sequence shards → 4 loader ranks. One row per stage with exact-integer doc/token/unit
     counts — the go/no-go table a training run reads before touching
     the corpus, complementing filter_waterfall (which funnels the
     CLEANING gates) with the SAMPLING/LOADER side. Unit counts for
@@ -12681,8 +12734,12 @@ def q_training_loader_funnel(spark, sf_dir):
     return _loader_funnel_rows(spark, sf_dir, 5000.0)
 
 
-ORACLE["training_loader_funnel"] = ORACLE["training_loader_funnel"].replace(
-    "{tq}", ORACLE["text_quality"]
+_g16 = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(16))
+ORACLE["training_loader_funnel"] = (
+    ORACLE["training_loader_funnel"]
+    .replace("{tq}", ORACLE["text_quality"])
+    .replace("{bpe}", _bpe_encode_ctes())
+    .replace("{g16}", _g16)
 )
 
 
@@ -12752,13 +12809,14 @@ def q_funnel_budget_sweep(spark, sf_dir):
     """Token-budget calibration curve for the loader funnel (the
     threshold-sweep pattern of semdedup_threshold_curve /
     ngram_novelty_curve applied to SAMPLING): the full
-    corpus→stratified→mixture→sequences→shards→workers funnel evaluated
-    at 2k/5k/20k-token mixture budgets in one plan — how many docs,
+    corpus→stratified→decontaminated→mixture→sequences→shards→workers
+    funnel evaluated at 2k/5k/20k-token mixture budgets in one plan — how many docs,
     tokens, sequences and shards each budget buys, and where the budget
     saturates (rates hit 1.0 and the mixture stage stops filtering).
     The corpus and stratified stages repeat per budget by construction
     (they are budget-independent anchors that make each sweep row
-    self-contained). 18 exact-integer rows; the stratified scan is the
+    self-contained). 21 exact-integer rows; the stratified scan and
+    decontam encode are the
     only corpus-sized work per branch and Catalyst shares nothing
     across branches it can't prove equal — at 100 TB you'd cache the
     stratified frame once; at bench scale the three passes are
@@ -12785,3 +12843,186 @@ ORACLE["funnel_budget_sweep"] = (
     .replace("{f5000}", _fo)
     .replace("{f20000}", _fo.replace("5000.0", "20000.0"))
 )
+
+
+# =====================================================================
+# Round 11: shuffled-pack loss-mask manifest, pHash image near-dup,
+# shard integrity audit (VERDICT r10 #3/#4/#5)
+# =====================================================================
+
+@register(
+    "shuffled_sequence_doc_spans",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\s+')) END AS BIGINT)
+           AS n_tokens,
+         md5('7:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY k, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM t
+), sp AS (
+  SELECT doc_id, source, n_tokens AS n, cum_prev,
+         unnest(generate_series(cum_prev // 512,
+                                (cum_prev + n_tokens - 1) // 512)) AS sq
+  FROM c WHERE n_tokens > 0
+)
+SELECT CAST(sq AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       string_agg(
+         CAST(doc_id AS VARCHAR) || ':' ||
+         CAST(greatest(sq * 512, cum_prev) - sq * 512 AS VARCHAR) || ':' ||
+         CAST(least((sq + 1) * 512, cum_prev + n)
+              - greatest(sq * 512, cum_prev) AS VARCHAR),
+         ' ' ORDER BY greatest(sq * 512, cum_prev)) AS spans
+FROM sp GROUP BY 1
+""",
+)
+def q_shuffled_sequence_doc_spans(spark, sf_dir):
+    """Loss-mask / boundary-attention manifest for the SHUFFLED pack
+    (operators/shuffle.py:shuffled_sequence_doc_spans — VERDICT r10 #3):
+    per 512-token training sequence of pack_shuffled_sequences(seed=7),
+    the ordered ``doc_id:start:len`` spans a trainer needs to reset
+    attention at document boundaries, making the r10 shuffle chain
+    loader-complete (sequence_doc_spans covers only the id-ordered
+    per-source pack). ``n_sources`` is the per-sequence mixing proof at
+    the offsets a loss mask actually consumes. Oracle's single global
+    window is the same (md5, id) total order the bucketed Spark
+    placement realizes."""
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        shuffled_sequence_doc_spans,
+    )
+
+    return shuffled_sequence_doc_spans(
+        _t(spark, sf_dir, "documents"), seq_len=512, seed=7
+    )
+
+
+@register(
+    "phash_signatures",
+    oracle=r"""
+WITH m AS (
+  SELECT doc_id AS media_id, trim(text) AS s,
+         CAST(length(trim(text)) AS BIGINT) AS n
+  FROM documents WHERE length(trim(text)) > 0
+),
+p AS (
+  SELECT media_id, j,
+         unicode(substr(s, CAST((j * n) // 61 AS BIGINT) + 1, 1)) AS px
+  FROM m, (SELECT unnest(generate_series(0, 60)) AS j)
+),
+l AS (
+  SELECT media_id, j, px,
+         lead(px) OVER (PARTITION BY media_id ORDER BY j) AS nx
+  FROM p
+)
+SELECT media_id,
+       CAST(sum(CASE WHEN px > nx THEN (1::BIGINT << CAST(j AS INT))
+                ELSE 0 END) AS BIGINT) AS phash
+FROM l WHERE j < 60 GROUP BY media_id
+""",
+)
+def q_phash_signatures(spark, sf_dir):
+    """Perceptual dHash signatures over the multimodal media table
+    (dedup/phash.py:phash_signatures — VERDICT r10 #4): payload bytes
+    (media_from_documents: utf-8 of text, the deterministic fake
+    codec) decode to a 61-pixel code-point grid, bit j set when pixel j
+    is brighter than pixel j+1 — the gradient fingerprint image dedup
+    pipelines band for near-dup detection. Entire signature is ONE
+    whole-stage-codegen projection (decode → substring → ascii → 60
+    comparisons); the oracle recomputes it from the text the payload
+    encodes (exact utf-8 round trip), the minhash_signatures_md5
+    oracle-twin precedent."""
+    from scikit_learn_imputer_spark.dedup.phash import phash_signatures
+    from scikit_learn_imputer_spark.sources.multimodal import (
+        media_from_documents,
+    )
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return phash_signatures(media)
+
+
+@register(
+    "image_near_pairs",
+    oracle=f"""
+WITH sigs AS ({ORACLE['phash_signatures']})
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+""",
+)
+def q_image_near_pairs(spark, sf_dir):
+    """Image near-duplicate pairs at Hamming ≤ 3 over the pHash
+    fingerprints (dedup/phash.py:phash_near_pairs — VERDICT r10 #4),
+    via the 4×15-bit-chunk pigeonhole banding shared with SimHash:
+    pairs only form inside chunk buckets — sub-quadratic, never
+    all-pairs — yet the ≤3 result is EXACT, which is why the
+    brute-force pair-join oracle can check it. max_bucket is unbounded
+    HERE because the oracle keeps every in-bucket pair (the
+    simhash_near_pairs_md5 convention); the production skew-guard drop
+    is unit-tested separately."""
+    from scikit_learn_imputer_spark.dedup.phash import phash_near_pairs
+    from scikit_learn_imputer_spark.sources.multimodal import (
+        media_from_documents,
+    )
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    out = phash_near_pairs(media, max_hamming=3, max_bucket=2**31)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@register(
+    "shard_integrity_audit",
+    oracle=f"""
+WITH RECURSIVE {_bpe_encode_ctes()},
+{_tokenized_seq_sql(512)}
+SELECT source,
+       CAST(seq_id // 16 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(n_ids) AS BIGINT) AS n_ids,
+       md5(string_agg(ids, '|' ORDER BY seq_id)) AS expected_md5,
+       md5(string_agg(ids, '|' ORDER BY seq_id)) AS actual_md5,
+       'ok' AS status
+FROM tseqs GROUP BY 1, 2
+""",
+)
+def q_shard_integrity_audit(spark, sf_dir):
+    """Checksummed shard manifest + integrity audit (operators/
+    tokenized.py:write_tokenized_shards_with_manifest /
+    shard_integrity_audit — VERDICT r10 #5): the tokenized shards are
+    written WITH a per-shard order-keyed content digest (md5 of the
+    '|'-joined id strings in seq_id order, recomputed from the disk
+    read-back so the manifest certifies landed bytes), then the audit
+    re-reads the shards, recomputes every digest, and full-outer-diffs
+    against the manifest. On an uncorrupted write every shard reads
+    'ok' with expected == actual == the oracle's from-scratch SQL
+    rebuild of the digest — so the driver hash-checks the whole
+    write→manifest→recompute→diff loop down to the ids on disk. The
+    corruption paths (digest_mismatch / missing_shard /
+    unexpected_shard) are pinned by
+    tests/test_tokenized.py::test_shard_integrity_audit_flags_corruption."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        shard_integrity_audit,
+        tokenized_sequences,
+        write_tokenized_shards_with_manifest,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sli_shard_integrity_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    path = tmp + "/shards"
+    seqs = tokenized_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+    write_tokenized_shards_with_manifest(seqs, path, shard_size=16)
+    return shard_integrity_audit(spark, path)

@@ -1410,3 +1410,90 @@ def test_decontaminate_token_ngrams_vs_word_grams(spark):
     )
     assert word_kept == [1, 2]  # only 4 shared words: word-5-gram misses
     assert tok_kept == [2]  # 24 shared ids: id-16-gram catches doc 1
+
+
+def _brute_phash(text: str) -> int | None:
+    """Python twin of the JVM dHash: 61 evenly sampled code points of
+    trim(text), bit j set when px[j] > px[j+1]."""
+    s = text.strip()
+    n = len(s)
+    if n == 0:
+        return None
+    px = [ord(s[(j * n) // 61]) for j in range(61)]
+    return sum(1 << j for j in range(60) if px[j] > px[j + 1])
+
+
+def test_phash_signatures_match_python_model(spark):
+    """dedup/phash.py (VERDICT r10 #4): the JVM decode→substring→ascii
+    dHash equals the python code-point model, empty payloads drop, and
+    identical payloads collide exactly."""
+    from scikit_learn_imputer_spark.dedup.phash import phash_signatures
+    from scikit_learn_imputer_spark.sources.multimodal import (
+        media_from_documents,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 3,
+        "the quick brown fox jumps over the lazy dog " * 3,  # exact dup
+        "pack my box with five dozen liquor jugs " * 4,
+        "   ",  # whitespace-only -> no signature
+        "a",
+        "zyxwvutsrqponmlkjihgfedcba" * 5,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "s0", len(t)) for i, t in enumerate(texts)],
+        ["doc_id", "text", "source", "n_chars"],
+    )
+    got = {
+        r["media_id"]: r["phash"]
+        for r in phash_signatures(media_from_documents(docs)).collect()
+    }
+    want = {i: _brute_phash(t) for i, t in enumerate(texts) if _brute_phash(t) is not None}
+    assert got == want
+    assert 3 not in got  # whitespace-only payload carries no signal
+    assert got[0] == got[1]  # identical bytes -> identical fingerprint
+
+
+def test_phash_near_pairs_banding_and_skew_guard(spark):
+    """Near-identical images (one character of 'brightness' changed)
+    land within Hamming 3 and are FOUND through the chunk buckets;
+    unrelated images are not paired; the max_bucket guard drops
+    degenerate buckets exactly like the SimHash/MinHash guards."""
+    from scikit_learn_imputer_spark.dedup.phash import (
+        phash_near_pairs,
+        phash_signatures,
+    )
+    from scikit_learn_imputer_spark.sources.multimodal import (
+        media_from_documents,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 2
+    # nudge the character the grid samples as pixel 30 (index (30*n)//61
+    # of the trimmed text) so exactly 1-2 gradient bits flip
+    idx = (30 * len(base.strip())) // 61
+    near = base[:idx] + "~" + base[idx + 1:]
+    texts = [base, near, "completely different payload bytes here " * 3]
+    docs = spark.createDataFrame(
+        [(i, t, "s0", len(t)) for i, t in enumerate(texts)],
+        ["doc_id", "text", "source", "n_chars"],
+    )
+    media = media_from_documents(docs)
+    sigs = {
+        r["media_id"]: r["phash"] for r in phash_signatures(media).collect()
+    }
+    ham01 = bin(sigs[0] ^ sigs[1]).count("1")
+    assert 0 < ham01 <= 3  # the nudge moves a few gradient bits only
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_pairs(media, max_hamming=3).collect()
+    }
+    assert pairs == {(0, 1): ham01}
+    # skew guard: identical payloads share all 4 chunk buckets; a guard
+    # smaller than the group kills their pairs
+    dup_docs = spark.createDataFrame(
+        [(i, base, "s0", len(base)) for i in range(5)],
+        ["doc_id", "text", "source", "n_chars"],
+    )
+    dup_media = media_from_documents(dup_docs)
+    assert phash_near_pairs(dup_media, max_bucket=2).count() == 0
+    assert phash_near_pairs(dup_media, max_bucket=2**31).count() == 5 * 4 // 2

@@ -385,11 +385,16 @@ def test_training_loader_funnel_stage_consistency(spark, sf_smoke):
         for r in QUERIES["training_loader_funnel"](spark, sf_smoke).collect()
     }
     assert set(rows) == {
-        "corpus", "stratified", "mixture", "sequences", "shards", "workers"
+        "corpus", "stratified", "decontaminated", "mixture", "sequences",
+        "shards", "workers",
     }
     c, s, m = rows["corpus"], rows["stratified"], rows["mixture"]
-    assert c[1] >= s[1] >= m[1] > 0
-    assert c[2] >= s[2] >= m[2] > 0
+    d = rows["decontaminated"]
+    assert c[1] >= s[1] >= d[1] >= m[1] > 0
+    assert c[2] >= s[2] >= d[2] >= m[2] > 0
+    # the decontam gate actually removes eval-contamination mass
+    # (benchmark members sampled into the stratified set drop here)
+    assert d[1] < s[1]
     nt = m[2]
     n_seqs = (nt - 1) // 512 + 1
     n_shards = (n_seqs - 1) // 16 + 1
@@ -398,7 +403,7 @@ def test_training_loader_funnel_stage_consistency(spark, sf_smoke):
     assert rows["workers"][3] == min(4, n_shards)
     # the stratified stage actually filters (keep rates < 1 for low
     # deciles) and the mixture stage actually filters further
-    assert s[1] < c[1] and m[1] < s[1]
+    assert s[1] < c[1] and m[1] < d[1]
 
 
 def test_funnel_budget_sweep_monotone_in_budget(spark, sf_smoke):
@@ -412,8 +417,8 @@ def test_funnel_budget_sweep_monotone_in_budget(spark, sf_smoke):
         for r in QUERIES["funnel_budget_sweep"](spark, sf_smoke).collect()
     }
     budgets = (2000, 5000, 20000)
-    assert len(rows) == 18
-    for stage in ("corpus", "stratified"):
+    assert len(rows) == 21
+    for stage in ("corpus", "stratified", "decontaminated"):
         vals = {rows[(b, stage)] for b in budgets}
         assert len(vals) == 1  # budget-independent anchors
     mix = [rows[(b, "mixture")] for b in budgets]

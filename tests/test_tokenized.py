@@ -445,3 +445,69 @@ def test_incremental_slices_encode_runs_once(spark, tmp_path):
     }
     want = _seqs_map(tokenized_sequences(batch, seq_len=7))
     assert got == want
+
+
+def test_shard_integrity_audit_flags_corruption(spark, tmp_path):
+    """VERDICT r10 #5 done-condition: a pristine write audits all-ok;
+    swapping one shard's parquet file flags exactly that shard as
+    digest_mismatch; a vanished shard reads missing_shard; a stray
+    shard dir reads unexpected_shard — and every other shard stays ok
+    throughout."""
+    import shutil
+
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        shard_integrity_audit,
+        write_tokenized_shards_with_manifest,
+    )
+
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    seqs = tokenized_sequences(docs, seq_len=7)
+    path = str(tmp_path / "tok")
+    write_tokenized_shards_with_manifest(seqs, path, shard_size=2)
+
+    clean = shard_integrity_audit(spark, path).collect()
+    assert len(clean) > 3
+    assert {r["status"] for r in clean} == {"ok"}
+    assert all(r["expected_md5"] == r["actual_md5"] for r in clean)
+
+    dirs = sorted(glob.glob(os.path.join(path, "source=*", "shard_id=*")))
+    assert len(dirs) >= 3
+
+    def key(d):
+        src = d.split("source=")[1].split(os.sep)[0]
+        return (src, int(d.split("shard_id=")[1]))
+
+    # digest_mismatch: replace shard A's file with shard B's (B from a
+    # different digest), counts preserved in the manifest
+    a, b = dirs[0], dirs[1]
+    fa = glob.glob(os.path.join(a, "*.parquet"))[0]
+    fb = glob.glob(os.path.join(b, "*.parquet"))[0]
+    # swap the file WITH its matching .crc sidecar so the corruption is
+    # semantic (wrong content), not a Hadoop checksum failure
+    os.remove(fa)
+    crc_a = os.path.join(a, "." + os.path.basename(fa) + ".crc")
+    if os.path.exists(crc_a):
+        os.remove(crc_a)
+    shutil.copyfile(fb, os.path.join(a, os.path.basename(fb)))
+    crc_b = os.path.join(b, "." + os.path.basename(fb) + ".crc")
+    if os.path.exists(crc_b):
+        shutil.copyfile(
+            crc_b, os.path.join(a, "." + os.path.basename(fb) + ".crc")
+        )
+    # missing_shard: remove shard C's directory outright
+    c = dirs[2]
+    shutil.rmtree(c)
+    # unexpected_shard: clone shard B under an id the manifest never wrote
+    src_dir = os.path.dirname(b)
+    stray = os.path.join(src_dir, "shard_id=999")
+    shutil.copytree(b, stray)
+
+    got = {
+        (r["source"], r["shard_id"]): r["status"]
+        for r in shard_integrity_audit(spark, path).collect()
+    }
+    assert got[key(a)] == "digest_mismatch"
+    assert got[key(c)] == "missing_shard"
+    assert got[(key(b)[0], 999)] == "unexpected_shard"
+    flagged = {k for k, v in got.items() if v != "ok"}
+    assert flagged == {key(a), key(c), (key(b)[0], 999)}
