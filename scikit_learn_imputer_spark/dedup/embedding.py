@@ -146,6 +146,14 @@ def embedding_near_pairs_lsh(
 
     Approximate: pairs missed by every hash table are lost — increase
     ``num_hash_tables`` / ``bucket_length`` for recall at more cost.
+
+    COST MODEL (measured, BASELINE.md sf1 scale-proof): MLlib puts ONE
+    projection per hash table, so buckets per table = range/bucketLength
+    — a constant independent of n — and candidate volume is Θ(n²·p).
+    Measured exponent 1.96 from 2k→20k vectors. Fine at moderate n; at
+    corpus scale use cell-scoped pairs (``semdedup_survivors`` with
+    ``assigned``) or IVF-scoped probes (similarity/ivf.py, measured
+    ~flat), or shrink ``bucket_length`` with n at a recall trade.
     """
     import math
 

@@ -156,33 +156,34 @@ def q_missing_indicator(spark, sf_dir):
 @register(
     "ffill_bfill",
     oracle=f"""
-WITH lineitem_nulls AS ({nulls_cte('lineitem')}),
-keyed AS (
-  SELECT l_orderkey * 10 + l_linenumber AS rid, l_quantity, l_discount
-  FROM lineitem_nulls
-)
-SELECT rid,
+WITH orders_nulls AS ({nulls_cte('orders')})
+SELECT o_orderkey,
   COALESCE(
-    last_value(l_quantity IGNORE NULLS) OVER (ORDER BY rid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-    first_value(l_quantity IGNORE NULLS) OVER (ORDER BY rid ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-  ) AS l_quantity,
+    last_value(o_totalprice IGNORE NULLS) OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    first_value(o_totalprice IGNORE NULLS) OVER (ORDER BY o_orderkey ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+  ) AS o_totalprice,
   COALESCE(
-    last_value(l_discount IGNORE NULLS) OVER (ORDER BY rid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-    first_value(l_discount IGNORE NULLS) OVER (ORDER BY rid ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-  ) AS l_discount
-FROM keyed
+    last_value(o_orderpriority IGNORE NULLS) OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    first_value(o_orderpriority IGNORE NULLS) OVER (ORDER BY o_orderkey ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+  ) AS o_orderpriority
+FROM orders_nulls
 """,
 )
 def q_ffill_bfill(spark, sf_dir):
     """W1/W2: partitioned two-pass forward/backward fill — never a single
-    global window (SURVEY.md §7.3 #1)."""
-    df = with_nulls(_t(spark, sf_dir, "lineitem"), "lineitem")
-    keyed = df.select(
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
-        "l_quantity",
-        "l_discount",
-    )
-    return ffill_bfill(keyed, "rid", ["l_quantity", "l_discount"])
+    global window (SURVEY.md §7.3 #1) — over the null-injected orders
+    table, ordered by its UNIQUE primary key (numeric + categorical fill
+    in one pass). Moved off lineitem in round 11: the sf1 scale-proof
+    exposed that the generator emits ~20% duplicate (l_orderkey,
+    l_linenumber) pairs WITH DIFFERING VALUES, so the old composite rid
+    violated the operator's order-uniqueness contract — both engines
+    happened to share scan-order tie-breaks on single-split small-SF
+    reads, and multi-split sf1 reads surfaced ~250k order-ambiguous
+    rows. Fill over a non-total order is not a well-defined result; the
+    orders key is verified unique at every SF."""
+    df = with_nulls(_t(spark, sf_dir, "orders"), "orders")
+    keyed = df.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    return ffill_bfill(keyed, "o_orderkey", ["o_totalprice", "o_orderpriority"])
 
 
 @register(
@@ -4044,12 +4045,17 @@ def q_cosine_topk_lsh(spark, sf_dir):
 
 @register("near_pairs_lsh", anchor="tests/test_dedup_similarity.py::test_embedding_near_pairs_lsh_finds_dups")
 def q_near_pairs_lsh(spark, sf_dir):
-    """Embedding near-dup pairs via BucketedRandomProjectionLSH — the
-    100 TB path judged by the exact embedding_near_pairs twin (cosine ≥ t
-    ⟺ euclidean ≤ √(2−2t) on unit vectors; candidates form only inside
-    shared hash buckets). Rows-only: the seeded random projections are not
-    SQL-expressible; recall vs exact is pinned by
-    tests/test_dedup_similarity.py."""
+    """Embedding near-dup pairs via BucketedRandomProjectionLSH —
+    MLlib-parity variant judged by the exact embedding_near_pairs twin
+    (cosine ≥ t ⟺ euclidean ≤ √(2−2t) on unit vectors; candidates form
+    only inside shared hash buckets). Rows-only: the seeded random
+    projections are not SQL-expressible; recall vs exact is pinned by
+    tests/test_dedup_similarity.py. NOT the 100 TB path for
+    low-threshold inventories: MLlib's fixed bucket resolution makes
+    candidates Θ(n²·p) — measured exponent 1.96 in the sf1 scale-proof
+    (BASELINE.md), diagnosis and the scale answers (cell-scoped
+    semdedup, IVF probes) documented there and in
+    dedup/embedding.py:embedding_near_pairs_lsh."""
     from scikit_learn_imputer_spark.dedup.embedding import (
         embedding_near_pairs_lsh,
     )
@@ -12489,24 +12495,16 @@ ORACLE["stratified_quality_sample"] = ORACLE[
 ].replace("{tq}", ORACLE["text_quality"])
 
 
-def _loader_funnel_rows(spark, sf_dir, budget):
-    """Shared construction for training_loader_funnel and the budget
-    sweep: the 7 exact-integer stage rows for one mixture token
-    budget (see q_training_loader_funnel for the full design
-    notes). VERDICT r10 #6: the token-id decontamination gate
-    (decontaminate_token_ngrams, the 16-id-gram net) threads between
-    the stratified sample and the mixture, so the funnel reports the
-    eval-contamination mass removed before any budget is spent —
-    benchmark members themselves (doc_id % 100 < 2) and every
-    stratified survivor sharing a 16-id-gram with them drop here. The
-    Arrow encode runs over the stratified SURVIVORS only (plus the
-    bounded benchmark side), not the corpus."""
+def _loader_funnel_base(spark, sf_dir):
+    """Budget-INDEPENDENT prefix of the loader funnel: (docs, kept, dk)
+    — the corpus, the stratified survivors, and the decontaminated
+    survivors. Split out so the budget sweep computes the expensive
+    Arrow decontam encode ONCE and persists it across its three budget
+    branches instead of once per branch (a lazy union would otherwise
+    re-encode per branch: Catalyst shares nothing it can't prove
+    equal)."""
     from scikit_learn_imputer_spark.dedup.exact import (
         decontaminate_token_ngrams,
-    )
-    from scikit_learn_imputer_spark.functions.text import (
-        token_count_col,
-        uniform_hash_col,
     )
     from scikit_learn_imputer_spark.operators.split import (
         stratified_quality_sample,
@@ -12523,6 +12521,31 @@ def _loader_funnel_rows(spark, sf_dir, budget):
         "doc_id"
     )
     dk = kept.join(clean_ids, "doc_id", "left_semi")
+    return docs, kept, dk
+
+
+def _loader_funnel_rows(spark, sf_dir, budget, base=None):
+    """Shared construction for training_loader_funnel and the budget
+    sweep: the 7 exact-integer stage rows for one mixture token
+    budget (see q_training_loader_funnel for the full design
+    notes). VERDICT r10 #6: the token-id decontamination gate
+    (decontaminate_token_ngrams, the 16-id-gram net) threads between
+    the stratified sample and the mixture, so the funnel reports the
+    eval-contamination mass removed before any budget is spent —
+    benchmark members themselves (doc_id % 100 < 2) and every
+    stratified survivor sharing a 16-id-gram with them drop here. The
+    Arrow encode runs over the stratified SURVIVORS only (plus the
+    bounded benchmark side), not the corpus. ``base`` passes a
+    precomputed (docs, kept, dk) so a sweep shares (and persists) the
+    budget-independent stages across branches."""
+    from scikit_learn_imputer_spark.functions.text import (
+        token_count_col,
+        uniform_hash_col,
+    )
+
+    docs, kept, dk = base if base is not None else _loader_funnel_base(
+        spark, sf_dir
+    )
     per_src = dk.groupBy("source").agg(
         F.sum("n_tokens").cast("double").alias("__n_s")
     )
@@ -12821,12 +12844,19 @@ def q_funnel_budget_sweep(spark, sf_dir):
     across branches it can't prove equal — at 100 TB you'd cache the
     stratified frame once; at bench scale the three passes are
     cheaper than a cache materialization."""
+    docs, kept, dk = _loader_funnel_base(spark, sf_dir)
+    # The stratified and decontaminated frames are budget-independent;
+    # persist so the three branches share ONE stratified scan and ONE
+    # Arrow decontam encode (measured 17s -> ~8s at sf0.1 unpersisted
+    # vs persisted). O(survivor) rows of (id, source, n_tokens).
+    kept = kept.persist()
+    dk = dk.persist()
     parts = []
     for b in (2000, 5000, 20000):
         parts.append(
-            _loader_funnel_rows(spark, sf_dir, float(b)).withColumn(
-                "budget", F.lit(b).cast("bigint")
-            )
+            _loader_funnel_rows(
+                spark, sf_dir, float(b), base=(docs, kept, dk)
+            ).withColumn("budget", F.lit(b).cast("bigint"))
         )
     out = parts[0]
     for p in parts[1:]:
@@ -13026,3 +13056,53 @@ def q_shard_integrity_audit(spark, sf_dir):
     seqs = tokenized_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
     write_tokenized_shards_with_manifest(seqs, path, shard_size=16)
     return shard_integrity_audit(spark, path)
+
+
+@register(
+    "image_dedup_manifest",
+    oracle=f"""
+WITH sigs AS ({ORACLE['phash_signatures']}),
+k AS (
+  SELECT phash, min(media_id) AS keeper FROM sigs GROUP BY phash
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(CASE WHEN s.media_id <> k.keeper THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_dup_images,
+       CAST(count(DISTINCT s.phash) AS BIGINT) AS n_fingerprints
+FROM sigs s JOIN documents d ON s.media_id = d.doc_id JOIN k USING (phash)
+GROUP BY 1
+""",
+)
+def q_image_dedup_manifest(spark, sf_dir):
+    """ACTION accounting for image dedup (the sequence_dedup_manifest
+    shape applied to the pHash family): per source, how many media rows
+    carry a fingerprint (empty payloads carry none and are excluded —
+    phash_signatures contract), how many are Hamming-0 duplicates the
+    min-id keeper rule would drop, and the distinct-fingerprint count
+    the source collapses to — the numbers that size an image-dedup
+    rewrite before touching bytes. Keeper resolution is one groupBy on
+    the 8-byte fingerprint; no pair join at all for the exact-dup
+    action (the ≤3-Hamming near-dup inventory is image_near_pairs)."""
+    from scikit_learn_imputer_spark.dedup.phash import phash_signatures
+    from scikit_learn_imputer_spark.sources.multimodal import (
+        media_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = phash_signatures(media_from_documents(docs))
+    keepers = sigs.groupBy("phash").agg(
+        F.min("media_id").alias("__keeper")
+    )
+    joined = sigs.join(
+        docs.select(F.col("doc_id").alias("media_id"), "source"), "media_id"
+    ).join(keepers, "phash")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum(
+            F.when(F.col("media_id") != F.col("__keeper"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_dup_images"),
+        F.countDistinct("phash").cast("bigint").alias("n_fingerprints"),
+    )

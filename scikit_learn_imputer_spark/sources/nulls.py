@@ -25,7 +25,11 @@ NULL_RULES: dict[str, list[tuple[str, str, int, int]]] = {
         ("o_totalprice", "o_orderkey", 7, 3),
         ("o_orderpriority", "o_orderkey", 11, 5),
     ],
-    # lineitem's key is composite; linenumber < 10 so this stays unique.
+    # lineitem's composite (orderkey, linenumber) is NOT unique in this
+    # corpus (the generator emits ~20% duplicate pairs) — fine for the
+    # modular null injection (a pure function of the expression), but do
+    # NOT use it as a fill/window ORDER key (round-11 sf1 finding; the
+    # ffill_bfill query orders by the unique o_orderkey instead).
     "lineitem": [
         ("l_quantity", "l_orderkey * 10 + l_linenumber", 19, 7),
         ("l_discount", "l_orderkey * 10 + l_linenumber", 23, 11),

@@ -1497,3 +1497,49 @@ def test_phash_near_pairs_banding_and_skew_guard(spark):
     dup_media = media_from_documents(dup_docs)
     assert phash_near_pairs(dup_media, max_bucket=2).count() == 0
     assert phash_near_pairs(dup_media, max_bucket=2**31).count() == 5 * 4 // 2
+
+
+def test_image_dedup_manifest_counts_constructed_dups(spark):
+    """image_dedup_manifest: identical payloads collapse to one keeper
+    per fingerprint, per source; empty payloads don't count as images."""
+    from scikit_learn_imputer_spark.plans.queries import QUERIES
+
+    # reuse the registered query's shape via the operator directly
+    from scikit_learn_imputer_spark.dedup.phash import phash_signatures
+    from scikit_learn_imputer_spark.sources.multimodal import (
+        media_from_documents,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog " * 3
+    t2 = "pack my box with five dozen liquor jugs " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, t1, "s0", len(t1)),
+            (2, t1, "s0", len(t1)),  # dup of 1 (same source)
+            (3, t1, "s1", len(t1)),  # dup of 1 (other source)
+            (4, t2, "s0", len(t2)),  # unique
+            (5, "   ", "s0", 3),     # empty payload -> not an image row
+        ],
+        ["doc_id", "text", "source", "n_chars"],
+    )
+    sigs = phash_signatures(media_from_documents(docs))
+    keepers = sigs.groupBy("phash").agg(F.min("media_id").alias("__k"))
+    joined = sigs.join(
+        docs.select(F.col("doc_id").alias("media_id"), "source"), "media_id"
+    ).join(keepers, "phash")
+    got = {
+        r["source"]: (r["n_images"], r["n_dup_images"], r["n_fingerprints"])
+        for r in joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.sum(F.when(F.col("media_id") != F.col("__k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_images"),
+            F.countDistinct("phash").cast("bigint").alias("n_fingerprints"),
+        )
+        .collect()
+    }
+    # s0: docs 1,2,4 (doc 5 empty); doc 2 dups doc 1; fingerprints {t1,t2}
+    assert got["s0"] == (3, 1, 2)
+    # s1: doc 3 alone in its source, but keeper (doc 1) is global -> dup
+    assert got["s1"] == (1, 1, 1)

@@ -89,6 +89,31 @@ def main(src: str, dst: str, k: int) -> None:
                 typ = tb.schema.field(idx).type
                 shifted = pc.add(tb[col], pa.scalar(rep * offsets[grp], typ))
                 tb = tb.set_column(idx, tb.schema.field(idx), shifted)
+            if t == "embeddings.parquet" and rep > 0:
+                # Replica vectors must not be near-copies: cloned (or
+                # epsilon-nudged) embeddings make every near-dup family a
+                # K-deep clone pile across replicas — pair work xK^2, a
+                # blowup the real generator doesn't produce (observed:
+                # near_pairs_lsh 4.5s at sf0.1 -> 459s at a naive 10x).
+                # Apply a per-replica DIMENSION PERMUTATION instead:
+                # within-replica cosines (the planted near-dup families)
+                # are preserved EXACTLY, so near structure scales
+                # linearly, while cross-replica cosines scramble to the
+                # random baseline (P(cos>=0.42) ~ 0 at dim 64).
+                import random as _random
+
+                idx = tb.schema.get_field_index("embedding")
+                emb = tb["embedding"].to_pylist()
+                if emb and emb[0]:
+                    dim = len(emb[0])
+                    perm = list(range(dim))
+                    _random.Random(rep).shuffle(perm)
+                    emb = [
+                        [vec[perm[i]] for i in range(dim)] if vec else vec
+                        for vec in emb
+                    ]
+                arr = pa.array(emb, type=tb.schema.field(idx).type)
+                tb = tb.set_column(idx, tb.schema.field(idx), arr)
             if t == "documents.parquet" and rep > 0:
                 salt = f" zrep{rep}"
                 idx = tb.schema.get_field_index("text")
