@@ -141,6 +141,67 @@ def _assemble_slices(
     )
 
 
+def shuffled_tokenized_sequences(
+    df: DataFrame,
+    vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB,
+    seq_len: int = 512,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Materialize the SHUFFLED pack: one row per training sequence
+    ``(seq_id, n_ids, token_ids)`` of the seeded-md5-permuted GLOBAL
+    token stream — the ids a loader actually reads after
+    shuffle-before-pack, completing the round-10/11 chain
+    (pack_shuffled_sequences places, shuffled_sequence_doc_spans masks,
+    THIS materializes). Placement is pack_shuffled_sequences with the
+    BPE token counts (one bucketed global prefix sum, O(16^2)-row
+    global window); ids then move as per-document ARRAYS sliced at
+    sequence boundaries — the tokenized_sequences slice/assemble
+    machinery with a single global stream instead of per-source
+    shards. One Arrow encode pass, one narrow placement join on id,
+    one bounded explode, one (seq) aggregate."""
+    from scikit_learn_imputer_spark.functions.skew import fan_out
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        pack_shuffled_sequences,
+    )
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    encoder = bpe_encode_udf(vocab)
+    enc = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            encoder(F.col(text_col)).alias("__ids"),
+        )
+        .withColumn("__n", F.size("__ids").cast("bigint"))
+    )
+    placed = pack_shuffled_sequences(
+        enc,
+        seq_len=seq_len,
+        seed=seed,
+        id_col=id_col,
+        source_col=source_col,
+        token_count_col="__n",
+    ).select(
+        id_col,
+        (F.col("seq_id") * seq_len + F.col("seq_offset")).alias(
+            "__cum_prev"
+        ),
+    )
+    joined = (
+        enc.join(placed, id_col)
+        .filter(F.col("__n") > 0)
+        .withColumn("__stream", F.lit("shuffled"))
+    )
+    sliced = _slice_by_sequence(joined, seq_len, "__stream")
+    return _assemble_slices(sliced, "__stream", out_col).drop("__stream")
+
+
 def write_tokenized_shards(
     seqs: DataFrame,
     path: str,

@@ -13106,3 +13106,105 @@ def q_image_dedup_manifest(spark, sf_dir):
         .alias("n_dup_images"),
         F.countDistinct("phash").cast("bigint").alias("n_fingerprints"),
     )
+
+
+@register(
+    "shuffled_tokenized_sequences",
+    oracle=f"""
+WITH RECURSIVE {_bpe_encode_ctes()},
+c AS (
+  SELECT t.doc_id, e.ids, e.n_ids,
+         CAST(coalesce(sum(e.n_ids) OVER (
+              ORDER BY md5('7:' || CAST(t.doc_id AS VARCHAR)), t.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_prev
+  FROM documents t JOIN edocs e USING (doc_id)
+), tok AS (
+  SELECT cum_prev + generate_subscripts(str_split(ids, ' '), 1) - 1 AS gpos,
+         unnest(str_split(ids, ' ')) AS tid
+  FROM c WHERE ids <> ''
+), tseqs AS (
+  SELECT CAST(gpos // 512 AS BIGINT) AS seq_id,
+         CAST(count(*) AS BIGINT) AS n_ids,
+         string_agg(tid, ' ' ORDER BY gpos) AS ids
+  FROM tok GROUP BY 1
+)
+SELECT seq_id, n_ids, ids FROM tseqs
+""",
+)
+def q_shuffled_tokenized_sequences(spark, sf_dir):
+    """SHUFFLED training-sequence materialization (operators/
+    tokenized.py:shuffled_tokenized_sequences): the actual token-id
+    arrays of the shuffle-before-pack stream at seed 7 — what a loader
+    reads once curriculum-free packing is in effect. Completes the
+    shuffle chain end-to-end: placement (pack_shuffled_sequences,
+    oracled), loss-mask spans (shuffled_sequence_doc_spans, oracled),
+    and now the materialized ids, hash-checked to the full id strings
+    against the oracle's from-scratch rebuild (recursive encode CTE +
+    one global (md5, id)-ordered window — semantically the same total
+    order the bucketed Spark placement realizes). Consistency of ids
+    with the BPE-unit span manifest is pinned by
+    tests/test_tokenized.py::test_shuffled_sequences_agree_with_spans."""
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        shuffled_tokenized_sequences,
+    )
+
+    seqs = shuffled_tokenized_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=512, seed=7
+    )
+    return seqs.select(
+        "seq_id",
+        "n_ids",
+        F.concat_ws(
+            " ", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("ids"),
+    )
+
+
+@register(
+    "write_shuffled_shards",
+    oracle=f"""
+WITH RECURSIVE {_bpe_encode_ctes()},
+c AS (
+  SELECT t.doc_id, e.ids, e.n_ids,
+         CAST(coalesce(sum(e.n_ids) OVER (
+              ORDER BY md5('7:' || CAST(t.doc_id AS VARCHAR)), t.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_prev
+  FROM documents t JOIN edocs e USING (doc_id)
+), tok AS (
+  SELECT cum_prev + generate_subscripts(str_split(ids, ' '), 1) - 1 AS gpos,
+         unnest(str_split(ids, ' ')) AS tid
+  FROM c WHERE ids <> ''
+), tseqs AS (
+  SELECT CAST(gpos // 512 AS BIGINT) AS seq_id,
+         CAST(count(*) AS BIGINT) AS n_ids,
+         string_agg(tid, ' ' ORDER BY gpos) AS ids
+  FROM tok GROUP BY 1
+)
+SELECT 'shuffled' AS stream, seq_id,
+       CAST(seq_id // 16 AS BIGINT) AS shard_id,
+       n_ids, ids
+FROM tseqs
+""",
+)
+def q_write_shuffled_shards(spark, sf_dir):
+    """PHYSICAL writer for the SHUFFLED pack: the materialized
+    shuffle-before-pack sequences land as partitionBy(stream, shard_id)
+    parquet (16 sequences per shard, one file per shard dir — the
+    write_tokenized_shards layout discipline with the global stream as
+    the shard key), read BACK from disk and serialized — so the disk
+    round trip of the curriculum-free training shards is hash-checked
+    end to end against the oracle's from-scratch rebuild. Together with
+    shuffled_tokenized_sequences (ids), shuffled_sequence_doc_spans
+    (loss masks) and loader_resume_state (resume pointers), a DDP
+    loader can now train from THIS layout with nothing recomputed."""
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        shuffled_tokenized_sequences,
+        write_tokenized_shards_readback,
+    )
+
+    seqs = shuffled_tokenized_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=512, seed=7
+    ).withColumn("stream", F.lit("shuffled"))
+    return write_tokenized_shards_readback(seqs, shard_size=16, shard_col="stream")

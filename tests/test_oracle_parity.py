@@ -149,6 +149,10 @@ def test_all_queries_return_rows(spark, sf_smoke):
         "embedding_near_pairs",
         "embedding_near_pairs_blas",
         "minhash_candidates",
+        # Hamming<=3 dHash pairs need near-identical docs; the corpus
+        # plants its first exact-dup text groups at sf0.1 (8 pairs there,
+        # verified against the oracle), none below.
+        "image_near_pairs",
     }
     for name, fn in QUERIES.items():
         if name == "spark_imputer_e2e":

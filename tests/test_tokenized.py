@@ -511,3 +511,59 @@ def test_shard_integrity_audit_flags_corruption(spark, tmp_path):
     assert got[(key(b)[0], 999)] == "unexpected_shard"
     flagged = {k for k, v in got.items() if v != "ok"}
     assert flagged == {key(a), key(c), (key(b)[0], 999)}
+
+
+def test_shuffled_sequences_agree_with_spans(spark):
+    """Round-11 chain coherence: the materialized shuffled sequences
+    (shuffled_tokenized_sequences) and the BPE-unit loss-mask manifest
+    (shuffled_sequence_doc_spans with the BPE count column) describe the
+    SAME placement — every span indexes into its sequence's id array and
+    the doc's spans, stitched across sequences in order, reproduce the
+    doc's full id array."""
+    from scikit_learn_imputer_spark.functions.bpe import (
+        DEFAULT_BPE_VOCAB,
+        bpe_encode_udf,
+        with_bpe_token_counts,
+    )
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        shuffled_sequence_doc_spans,
+    )
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        shuffled_tokenized_sequences,
+    )
+
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    seqs = {
+        r["seq_id"]: r["token_ids"]
+        for r in shuffled_tokenized_sequences(
+            docs, seq_len=7, seed=7
+        ).collect()
+    }
+    # full stream tiles exactly: all but the last sequence are full
+    assert seqs
+    last = max(seqs)
+    assert all(len(v) == 7 for k, v in seqs.items() if k != last)
+    assert 1 <= len(seqs[last]) <= 7
+
+    counted = with_bpe_token_counts(docs, DEFAULT_BPE_VOCAB, "text")
+    spans = shuffled_sequence_doc_spans(
+        counted, seq_len=7, seed=7, token_count_col="n_bpe_tokens"
+    ).collect()
+    enc = bpe_encode_udf(DEFAULT_BPE_VOCAB)
+    doc_ids = {
+        r["doc_id"]: r["__ids"]
+        for r in docs.select("doc_id", enc(F.col("text")).alias("__ids")).collect()
+    }
+    # stitch every doc back out of the sequences via its spans
+    rebuilt: dict[int, list] = {}
+    for r in spans:
+        for part in r["spans"].split(" "):
+            did, start, ln = (int(x) for x in part.split(":"))
+            seg = seqs[r["seq_id"]][start:start + ln]
+            rebuilt.setdefault(did, []).append((r["seq_id"], start, seg))
+    for did, parts in rebuilt.items():
+        flat = [t for _, _, seg in sorted(parts) for t in seg]
+        assert flat == list(doc_ids[did]), f"doc {did} mis-stitched"
+    # every nonzero-count doc is covered
+    want = {d for d, ids in doc_ids.items() if len(ids) > 0}
+    assert set(rebuilt) == want
