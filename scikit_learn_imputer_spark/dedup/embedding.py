@@ -212,30 +212,94 @@ def semdedup_survivors(
         pairs = embedding_near_pairs(df, threshold=eps, id_col=id_col, vec_col=vec_col)
     else:
         tagged = df.join(assigned.select(id_col, "cell"), id_col)
-        a = tagged.select(
-            F.col("cell"),
-            F.col(id_col).alias("id_a"),
-            F.col(vec_col).cast("array<double>").alias("va"),
-        ).withColumn("na", norm(F.col("va")))
-        b = tagged.select(
-            F.col("cell"),
-            F.col(id_col).alias("id_b"),
-            F.col(vec_col).cast("array<double>").alias("vb"),
-        ).withColumn("nb", norm(F.col("vb")))
-        pairs = (
-            a.join(b, "cell")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select(
-                "id_a",
-                "id_b",
-                (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-                    "cosine"
-                ),
-            )
-            .filter(F.col("cosine") >= eps)
-        )
+        pairs = cell_scoped_pairs(tagged, eps, id_col=id_col, vec_col=vec_col)
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.select(id_col).join(dropped, id_col, "left_anti")
+
+
+def cell_scoped_pairs(
+    tagged: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine) with cosine ≥ threshold, pairs formed ONLY
+    inside a shared ``cell`` — one equi-join shuffle on the cell key,
+    per-cell quadratic bounded by cell size. Cosines are recomputed
+    exactly on the survivors, so the result is a SUBSET of the exact
+    pair set (no false positives; cross-cell pairs are the only
+    misses)."""
+    a = tagged.select(
+        F.col("cell"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    ).withColumn("na", norm(F.col("va")))
+    b = tagged.select(
+        F.col("cell"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    ).withColumn("nb", norm(F.col("vb")))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_pairs_cells(
+    df: DataFrame,
+    threshold: float = 0.95,
+    nlist: int | None = None,
+    target_cell_rows: int = 256,
+    seed: int = 42,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell-scoped near-pair inventory — the measured SUB-QUADRATIC
+    answer to ``embedding_near_pairs_lsh``'s Θ(n²) cost model (see that
+    docstring / BASELINE.md sf1 scale-proof): assign every vector to a
+    KMeans cell, form pairs only within cells. The scale lever is that
+    ``nlist`` defaults to ceil(n / target_cell_rows) — cell SIZE stays
+    bounded as the corpus grows, so per-cell quadratic work totals
+    O(n · target_cell_rows) and the whole inventory scales ~linearly
+    (the SemDeDup deployment recipe, Abbas et al. 2023). Approximate:
+    cross-cell pairs are missed (recall floor anchored in tests);
+    emitted pairs carry EXACT cosines, so the output is always a subset
+    of the brute-force pair set. ``nlist=1`` is the exact limit
+    (== embedding_near_pairs). The df.count() for auto-nlist is one
+    O(1)-result action — at deployment the corpus row count is catalog
+    metadata."""
+    import math as _math
+
+    from scikit_learn_imputer_spark.similarity.ivf import build_ivf_index
+
+    if nlist is None:
+        n = df.count()
+        nlist = max(1, _math.ceil(n / target_cell_rows))
+    if nlist == 1:
+        return embedding_near_pairs(
+            df, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+    assigned, _ = build_ivf_index(
+        df,
+        nlist=nlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        max_iter=max_iter,
+        init_mode="random",
+        build_partitions=4,
+    )
+    tagged = df.join(assigned.select(id_col, "cell"), id_col)
+    return cell_scoped_pairs(tagged, threshold, id_col=id_col, vec_col=vec_col)
 
 
 def semantic_decontam_flags(

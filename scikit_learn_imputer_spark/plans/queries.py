@@ -13208,3 +13208,29 @@ def q_write_shuffled_shards(spark, sf_dir):
         _t(spark, sf_dir, "documents"), seq_len=512, seed=7
     ).withColumn("stream", F.lit("shuffled"))
     return write_tokenized_shards_readback(seqs, shard_size=16, shard_col="stream")
+
+
+@register(
+    "near_pairs_cells",
+    anchor="tests/test_dedup_similarity.py::test_embedding_near_pairs_cells_subset_and_recall",
+)
+def q_near_pairs_cells(spark, sf_dir):
+    """Cell-scoped embedding near-pair inventory at the near_pairs_lsh
+    threshold (dedup/embedding.py:embedding_near_pairs_cells) — the
+    SHIPPED sub-quadratic alternative to the Θ(n²) MLlib BRP-LSH cost
+    model the sf1 scale-proof measured (BASELINE.md): KMeans cells with
+    BOUNDED target size (auto nlist = ceil(n/256)), pairs only within
+    cells, exact cosines on survivors. Rows-only: seeded KMeans cells
+    are not SQL-expressible; the anchor test pins the exact-limit
+    equality (nlist=1 == brute force), the subset property (never a
+    false positive), and the recall floor on clustered vectors."""
+    from scikit_learn_imputer_spark.dedup.embedding import (
+        embedding_near_pairs_cells,
+    )
+
+    pairs = embedding_near_pairs_cells(
+        _t(spark, sf_dir, "embeddings"), threshold=0.42
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")
+    )

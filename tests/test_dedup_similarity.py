@@ -1543,3 +1543,62 @@ def test_image_dedup_manifest_counts_constructed_dups(spark):
     assert got["s0"] == (3, 1, 2)
     # s1: doc 3 alone in its source, but keeper (doc 1) is global -> dup
     assert got["s1"] == (1, 1, 1)
+
+
+def test_embedding_near_pairs_cells_subset_and_recall(spark):
+    """near_pairs_cells anchor (the sub-quadratic near-pair inventory):
+    nlist=1 equals the brute-force pair set exactly; with real cells the
+    output is a SUBSET of exact (cosines recomputed, never a false
+    positive) with high recall on clustered vectors; auto-nlist bounds
+    cell size."""
+    import random
+
+    from scikit_learn_imputer_spark.dedup.embedding import (
+        embedding_near_pairs,
+        embedding_near_pairs_cells,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    vid = 0
+    # three tight clusters of 20 + background noise
+    for c in range(3):
+        center = [rng.uniform(-1, 1) for _ in range(16)]
+        for _ in range(20):
+            vec = [x + rng.uniform(-0.02, 0.02) for x in center]
+            rows.append((vid, vec)); vid += 1
+    for _ in range(40):
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(16)])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in embedding_near_pairs(df, threshold=0.95).collect()
+    }
+    assert len(exact) >= 3 * (20 * 19) // 2  # intra-cluster pairs exist
+
+    # exact limit: one cell == brute force
+    one = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in embedding_near_pairs_cells(df, threshold=0.95, nlist=1).collect()
+    }
+    assert one == exact
+
+    # real cells: subset with exact cosines, recall floor on clusters
+    cells = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in embedding_near_pairs_cells(
+            df, threshold=0.95, nlist=4, max_iter=10
+        ).collect()
+    }
+    assert set(cells) <= set(exact)
+    for k, v in cells.items():
+        assert v == exact[k]  # recomputed cosine, not an estimate
+    assert len(cells) / len(exact) >= 0.9  # tight clusters land in one cell
+
+    # auto-nlist derives from target cell size
+    auto = embedding_near_pairs_cells(
+        df, threshold=0.95, target_cell_rows=25
+    )
+    got = {(r["id_a"], r["id_b"]) for r in auto.collect()}
+    assert got <= set(exact) and len(got) / len(exact) >= 0.5

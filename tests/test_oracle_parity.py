@@ -180,6 +180,7 @@ RERUN_SENSITIVE = [
     "stratified_sample",
     "cosine_topk_lsh",
     "near_pairs_lsh",
+    "near_pairs_cells",
     "minhash_candidates",
     "simhash_near_pairs_md5",
     "ann_ivf_topk",
