@@ -13234,3 +13234,295 @@ def q_near_pairs_cells(spark, sf_dir):
     return pairs.select(
         "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")
     )
+
+
+@register(
+    "shuffled_loader_resume",
+    oracle=f"""
+WITH RECURSIVE {_bpe_encode_ctes()},
+c AS (
+  SELECT t.doc_id, e.ids, e.n_ids,
+         CAST(coalesce(sum(e.n_ids) OVER (
+              ORDER BY md5('7:' || CAST(t.doc_id AS VARCHAR)), t.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_prev
+  FROM documents t JOIN edocs e USING (doc_id)
+), tok AS (
+  SELECT cum_prev + generate_subscripts(str_split(ids, ' '), 1) - 1 AS gpos
+  FROM c WHERE ids <> ''
+), tseqs AS (
+  SELECT CAST(gpos // 512 AS BIGINT) AS seq_id FROM tok GROUP BY 1
+), sh AS (
+  SELECT CAST(seq_id // 16 AS BIGINT) AS shard_id,
+         CAST(count(*) AS BIGINT) AS n_sequences,
+         CAST(min(seq_id) + 1 AS BIGINT) AS first_position
+  FROM tseqs GROUP BY 1
+),
+per AS (
+  SELECT shard_id, n_sequences, first_position,
+         CAST(shard_id % 4 AS BIGINT) AS worker_id,
+         CAST(coalesce(sum(n_sequences) OVER (
+              PARTITION BY shard_id % 4 ORDER BY shard_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_prev
+  FROM sh
+),
+tot AS (
+  SELECT worker_id, CAST(sum(n_sequences) AS BIGINT) AS total
+  FROM per GROUP BY worker_id
+),
+hit AS (
+  SELECT worker_id, shard_id, cum_prev, first_position
+  FROM per WHERE cum_prev <= 7 AND 7 < cum_prev + n_sequences
+)
+SELECT CAST(t.worker_id AS BIGINT) AS worker_id,
+       CAST(least(7, total) AS BIGINT) AS consumed,
+       CAST(coalesce(h.shard_id, -1) AS BIGINT) AS resume_shard,
+       CAST(coalesce(7 - h.cum_prev, -1) AS BIGINT) AS resume_offset,
+       CAST(coalesce(h.first_position + (7 - h.cum_prev), -1) AS BIGINT)
+         AS resume_position,
+       total <= 7 AS exhausted
+FROM tot t LEFT JOIN hit h USING (worker_id)
+""",
+)
+def q_shuffled_loader_resume(spark, sf_dir):
+    """Crash-resume plan over the SHUFFLED tokenized layout: the exact
+    (shard, offset, position) each of 4 DDP ranks resumes at after 7
+    lockstep steps, computed from the O(#shards) manifest of the
+    write_shuffled_shards layout (shard = seq_id // 16, sequences in
+    seq_id order) — loader_resume_state's arithmetic applied to the
+    materialized shuffle-before-pack stream, so the round-11 chain
+    (place → mask → materialize → write) now includes crash recovery
+    against the BPE token mass actually on disk. One row per rank that
+    OWNS shards (matching the operator: a rank with none never appears
+    in the manifest); the corpus is never re-read to recover a
+    loader."""
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        loader_resume_state,
+    )
+    from scikit_learn_imputer_spark.operators.tokenized import (
+        shuffled_tokenized_sequences,
+    )
+
+    seqs = shuffled_tokenized_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=512, seed=7
+    ).select((F.col("seq_id") + 1).alias("position"))
+    return loader_resume_state(
+        seqs, shard_size=16, num_workers=4, global_step=7
+    )
+
+
+@register(
+    "gate_ablation",
+    oracle=r"""
+WITH rep0 AS ({rep}), tq0 AS ({tq}),
+bg AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4])) AS g
+    FROM (SELECT str_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE doc_id % 100 < 2)
+  )
+),
+contam AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4])) AS g
+    FROM (SELECT doc_id, str_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE doc_id % 100 >= 2)
+  ) WHERE g IN (SELECT g FROM bg)
+),
+wf AS (
+  SELECT r.doc_id, r.n_tokens,
+         (d.lang <> 'en') AS fail_lang,
+         NOT (t.q_score >= 0.5 AND t.q_tokens >= 20) AS fail_quality,
+         NOT (r.n_tokens BETWEEN 30 AND 95
+              AND r.top2_frac <= 0.12 AND r.top3_frac <= 0.10
+              AND r.dup5_frac <= 0.15 AND r.dup8_frac <= 0.10) AS fail_gopher,
+         (c.doc_id IS NOT NULL) AS fail_decontam
+  FROM rep0 r
+  JOIN tq0 t USING (doc_id)
+  JOIN documents d USING (doc_id)
+  LEFT JOIN contam c USING (doc_id)
+  WHERE d.doc_id % 100 >= 2
+),
+x AS (
+  SELECT n_tokens, fail_lang, fail_quality, fail_gopher, fail_decontam,
+         CAST(fail_lang AS INT) + CAST(fail_quality AS INT)
+         + CAST(fail_gopher AS INT) + CAST(fail_decontam AS INT) AS n_fails
+  FROM wf
+)
+SELECT gate, n_fail, n_unique_fail, n_tokens_fail FROM (
+  SELECT 'lang' AS gate,
+         CAST(count(*) FILTER (WHERE fail_lang) AS BIGINT) AS n_fail,
+         CAST(count(*) FILTER (WHERE fail_lang AND n_fails = 1) AS BIGINT)
+           AS n_unique_fail,
+         CAST(coalesce(sum(n_tokens) FILTER (WHERE fail_lang), 0) AS BIGINT)
+           AS n_tokens_fail
+  FROM x
+  UNION ALL
+  SELECT 'quality',
+         CAST(count(*) FILTER (WHERE fail_quality) AS BIGINT),
+         CAST(count(*) FILTER (WHERE fail_quality AND n_fails = 1) AS BIGINT),
+         CAST(coalesce(sum(n_tokens) FILTER (WHERE fail_quality), 0) AS BIGINT)
+  FROM x
+  UNION ALL
+  SELECT 'gopher',
+         CAST(count(*) FILTER (WHERE fail_gopher) AS BIGINT),
+         CAST(count(*) FILTER (WHERE fail_gopher AND n_fails = 1) AS BIGINT),
+         CAST(coalesce(sum(n_tokens) FILTER (WHERE fail_gopher), 0) AS BIGINT)
+  FROM x
+  UNION ALL
+  SELECT 'decontam',
+         CAST(count(*) FILTER (WHERE fail_decontam) AS BIGINT),
+         CAST(count(*) FILTER (WHERE fail_decontam AND n_fails = 1) AS BIGINT),
+         CAST(coalesce(sum(n_tokens) FILTER (WHERE fail_decontam), 0) AS BIGINT)
+  FROM x
+  UNION ALL
+  SELECT '_any',
+         CAST(count(*) FILTER (WHERE n_fails > 0) AS BIGINT),
+         CAST(count(*) FILTER (WHERE n_fails = 1) AS BIGINT),
+         CAST(coalesce(sum(n_tokens) FILTER (WHERE n_fails > 0), 0) AS BIGINT)
+  FROM x
+)
+""",
+)
+def q_gate_ablation(spark, sf_dir):
+    """Gate ablation matrix — the tuning complement of filter_waterfall.
+
+    The waterfall attributes each doc to its FIRST failing stage
+    (survivor-chained), which tells you what the pipeline drops but not
+    which gate to tune: a doc failing lang AND gopher is invisible to
+    the gopher row there. This query evaluates every independent
+    doc-level gate (lang, quality, Gopher repetition, benchmark 5-gram
+    contamination — same thresholds and the same doc_id%100 bench/corpus
+    split as the waterfall) CORPUS-WIDE and reports, per gate: total
+    docs failing it, docs failing ONLY it (the exact mass a pipeline
+    would regain by removing or loosening that one gate — the ablation
+    number), and the failing token mass; plus an `_any` roll-up (docs
+    failing >=1 gate / exactly 1 gate). Exact dedup is deliberately
+    excluded: keeper choice depends on which other docs survive, so it
+    has no gate-local ablation semantics.
+
+    Scale shape: every signal is the same map-side projection/explode
+    the waterfall uses, the contamination check is an md5-digest
+    left-semi join (never raw-gram strings on the wire), the gate flags
+    meet in equi joins on doc_id, and the ablation rolls up through
+    ONE partial-aggregated stack pass — output is O(#gates). Unlike the
+    waterfall the gates run corpus-wide by definition (ablation needs
+    every gate's verdict on every doc), so this costs the un-chained
+    waterfall; at 100 TB you run it on a sample when tuning thresholds.
+    """
+    from scikit_learn_imputer_spark.functions.repetition import (
+        repetition_signals,
+    )
+    from scikit_learn_imputer_spark.functions.text import word_ngrams_col
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 100 < 2)
+    corpus = d.filter(F.col("doc_id") % 100 >= 2)
+
+    rep = repetition_signals(corpus)
+    gopher_fail = ~(
+        F.col("n_tokens").between(30, 95)
+        & (F.col("top2_frac") <= 0.12)
+        & (F.col("top3_frac") <= 0.10)
+        & (F.col("dup5_frac") <= 0.15)
+        & (F.col("dup8_frac") <= 0.10)
+    )
+    repf = rep.select(
+        "doc_id", "n_tokens", gopher_fail.alias("fail_gopher")
+    )
+
+    tq = quality_features(corpus.select("doc_id", "text")).select(
+        "doc_id",
+        "q_tokens",
+        F.round("q_score", 6).alias("q_score"),
+    )
+    tqf = tq.select(
+        "doc_id",
+        (~((F.col("q_score") >= 0.5) & (F.col("q_tokens") >= 20))).alias(
+            "fail_quality"
+        ),
+    )
+
+    bench_g = (
+        bench.select(F.explode(word_ngrams_col(F.col("text"), 5)).alias("g"))
+        .select(F.md5("g").alias("gd"))
+        .distinct()
+    )
+    contam_ids = (
+        corpus.select(
+            "doc_id", F.explode(word_ngrams_col(F.col("text"), 5)).alias("g")
+        )
+        .select("doc_id", F.md5("g").alias("gd"))
+        .join(bench_g, "gd", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    x = (
+        corpus.select("doc_id", (F.col("lang") != "en").alias("fail_lang"))
+        .join(repf, "doc_id")
+        .join(tqf, "doc_id")
+        .join(
+            contam_ids.withColumn("__c", F.lit(True)), "doc_id", "left"
+        )
+        .select(
+            "n_tokens",
+            "fail_lang",
+            "fail_quality",
+            "fail_gopher",
+            F.coalesce(F.col("__c"), F.lit(False)).alias("fail_decontam"),
+        )
+        .withColumn(
+            "n_fails",
+            F.col("fail_lang").cast("int")
+            + F.col("fail_quality").cast("int")
+            + F.col("fail_gopher").cast("int")
+            + F.col("fail_decontam").cast("int"),
+        )
+    )
+
+    stacked = x.selectExpr(
+        "n_tokens",
+        "n_fails",
+        "stack(4, 'lang', fail_lang, 'quality', fail_quality,"
+        " 'gopher', fail_gopher, 'decontam', fail_decontam)"
+        " AS (gate, fail)",
+    )
+    per_gate = stacked.groupBy("gate").agg(
+        F.sum(F.col("fail").cast("bigint")).alias("n_fail"),
+        F.sum((F.col("fail") & (F.col("n_fails") == 1)).cast("bigint")).alias(
+            "n_unique_fail"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("fail"), F.col("n_tokens"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_tokens_fail"),
+    )
+    any_row = x.agg(
+        F.sum((F.col("n_fails") > 0).cast("bigint")).alias("n_fail"),
+        F.sum((F.col("n_fails") == 1).cast("bigint")).alias("n_unique_fail"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_fails") > 0, F.col("n_tokens"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_tokens_fail"),
+    ).select(
+        F.lit("_any").alias("gate"),
+        "n_fail",
+        "n_unique_fail",
+        "n_tokens_fail",
+    )
+    return per_gate.unionByName(any_row)
+
+
+ORACLE["gate_ablation"] = (
+    ORACLE["gate_ablation"]
+    .replace("{rep}", ORACLE["repetition_signals"])
+    .replace("{tq}", ORACLE["text_quality"])
+)
