@@ -633,35 +633,21 @@ def epoch_source_fairness(
     )
 
 
-def shuffled_sequence_doc_spans(
+def _shuffled_span_rows(
     df: DataFrame,
-    seq_len: int = 1024,
-    seed: int = 0,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    source_col: str = "source",
-    token_count_col: str | None = None,
-    bucket_chars: int = 2,
-) -> DataFrame:
-    """Document-boundary span manifest for the SHUFFLED pack (VERDICT
-    r10 #3): per training sequence of ``pack_shuffled_sequences``, the
-    ordered ``doc_id:start:len`` list a trainer needs to reset attention
-    at document boundaries (or mask cross-doc tokens) inside packed
-    sequences — the loader-completeness twin of
-    ``operators/tokenized.py:sequence_doc_spans``, which covers only the
-    id-ordered per-source pack. Spans are in the SAME token units and
-    placement the shuffled concat-and-cut stream is cut by, so they
-    index directly into its sequences.
-
-    Returns ``(seq_id, n_docs, n_sources, spans)`` — ``n_sources`` > 1
-    on interior sequences is the per-sequence proof the shuffle mixes
-    sources (pack_mixing_histogram's granularity, with the offsets a
-    loss mask actually consumes). Scale shape: reuses the bucketed
-    placement (only global window is over the O(16^bucket_chars)
-    totals frame); the per-(doc, seq) explode is bounded by
-    ceil(n_tokens/seq_len)+1 rows per doc; one (seq) aggregate carries
-    O(docs-in-sequence) short strings. Zero-token docs occupy no span.
-    """
+    seq_len: int,
+    seed: int,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    token_count_col: str | None,
+    bucket_chars: int,
+):
+    """Shared (doc, sequence)-span frame of the shuffled pack: one row
+    per (doc, training sequence it touches), with the global-start /
+    global-end column expressions to slice it by. Zero-token docs are
+    dropped (they occupy no span); the explode is bounded by
+    ceil(n_tokens/seq_len)+1 rows per doc."""
     placed = pack_shuffled_sequences(
         df,
         seq_len=seq_len,
@@ -693,6 +679,48 @@ def shuffled_sequence_doc_spans(
     g_end = F.least(
         (F.col("seq_id") + 1) * seq_len, F.col("__cum") + F.col("n_tokens")
     )
+    return spans, g_start, g_end
+
+
+def shuffled_sequence_doc_spans(
+    df: DataFrame,
+    seq_len: int = 1024,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    token_count_col: str | None = None,
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Document-boundary span manifest for the SHUFFLED pack (VERDICT
+    r10 #3): per training sequence of ``pack_shuffled_sequences``, the
+    ordered ``doc_id:start:len`` list a trainer needs to reset attention
+    at document boundaries (or mask cross-doc tokens) inside packed
+    sequences — the loader-completeness twin of
+    ``operators/tokenized.py:sequence_doc_spans``, which covers only the
+    id-ordered per-source pack. Spans are in the SAME token units and
+    placement the shuffled concat-and-cut stream is cut by, so they
+    index directly into its sequences.
+
+    Returns ``(seq_id, n_docs, n_sources, spans)`` — ``n_sources`` > 1
+    on interior sequences is the per-sequence proof the shuffle mixes
+    sources (pack_mixing_histogram's granularity, with the offsets a
+    loss mask actually consumes). Scale shape: reuses the bucketed
+    placement (only global window is over the O(16^bucket_chars)
+    totals frame); the per-(doc, seq) explode is bounded by
+    ceil(n_tokens/seq_len)+1 rows per doc; one (seq) aggregate carries
+    O(docs-in-sequence) short strings. Zero-token docs occupy no span.
+    """
+    spans, g_start, g_end = _shuffled_span_rows(
+        df,
+        seq_len=seq_len,
+        seed=seed,
+        id_col=id_col,
+        text_col=text_col,
+        source_col=source_col,
+        token_count_col=token_count_col,
+        bucket_chars=bucket_chars,
+    )
     rows = spans.select(
         F.col("seq_id").cast("bigint").alias("seq_id"),
         source_col,
@@ -712,4 +740,116 @@ def shuffled_sequence_doc_spans(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.countDistinct(source_col).cast("bigint").alias("n_sources"),
         F.array_join(ordered, " ").alias("spans"),
+    )
+
+
+def shuffled_cu_seqlens(
+    df: DataFrame,
+    seq_len: int = 1024,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    token_count_col: str | None = None,
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Varlen-attention boundary arrays (``cu_seqlens``) for the
+    SHUFFLED pack: per training sequence, the cumulative document
+    boundary offsets ``0 e1 e2 ... seq_total`` that varlen flash
+    attention kernels consume directly (each consecutive pair is one
+    document segment; attention resets at every boundary). The
+    kernel-ready packaging of ``shuffled_sequence_doc_spans`` — spans
+    carry (doc_id, start, len) for loss masking and provenance; this
+    carries the boundary vector a trainer passes per batch.
+
+    Because the shuffled pack is concat-and-cut (no padding), spans
+    tile each sequence contiguously, so the boundary vector is exactly
+    ``0`` followed by each span's in-sequence END offset in order;
+    ``seq_total`` < seq_len only on the final partial sequence.
+    Serialized as a space-joined string (portable hashing). Scale
+    shape: identical to the spans manifest — bucketed placement, one
+    bounded explode, one (seq) aggregate carrying O(docs-in-sequence)
+    short strings.
+    """
+    spans, g_start, g_end = _shuffled_span_rows(
+        df,
+        seq_len=seq_len,
+        seed=seed,
+        id_col=id_col,
+        text_col=text_col,
+        source_col=source_col,
+        token_count_col=token_count_col,
+        bucket_chars=bucket_chars,
+    )
+    rows = spans.select(
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        g_start.alias("__g"),
+        (g_end - F.col("seq_id") * seq_len).cast("bigint").alias("__end_in"),
+    )
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("__g", "__end_in"))),
+        lambda s: s["__end_in"].cast("string"),
+    )
+    return rows.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("__end_in").cast("bigint").alias("seq_total"),
+        F.concat_ws(" ", F.array(F.lit("0")), ordered).alias("cu_seqlens"),
+    )
+
+
+def shard_source_mix(
+    df: DataFrame,
+    seq_len: int = 1024,
+    shard_size: int = 16,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    token_count_col: str | None = None,
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Per-SHARD source composition of the shuffled layout: for every
+    training shard (``shard_id = seq_id // shard_size``, the
+    write_shuffled_shards grouping), the token mass each source
+    contributes and its share of the shard — the artifact-level mixture
+    audit. mixture_shuffled_pack_audit proves the STREAM carries the
+    promised mixture and pack_mixing_histogram proves per-sequence
+    mixing; this is the view an operator reads before rebuilding,
+    shipping, or deleting one shard file: exactly what that shard
+    holds, by source, in token units.
+
+    Scale shape: span rows (bounded explode over the bucketed
+    placement) aggregate straight to the O(#shards x #sources) frame;
+    the share window partitions by shard over that tiny frame — never
+    a data-sized window. Exact-integer token masses; share rounded to
+    6 dp."""
+    spans, g_start, g_end = _shuffled_span_rows(
+        df,
+        seq_len=seq_len,
+        seed=seed,
+        id_col=id_col,
+        text_col=text_col,
+        source_col=source_col,
+        token_count_col=token_count_col,
+        bucket_chars=bucket_chars,
+    )
+    per = (
+        spans.select(
+            F.floor(F.col("seq_id") / shard_size).cast("bigint").alias(
+                "shard_id"
+            ),
+            F.col(source_col).alias("source"),
+            (g_end - g_start).cast("bigint").alias("__tok"),
+        )
+        .groupBy("shard_id", "source")
+        .agg(F.sum("__tok").cast("bigint").alias("n_tokens"))
+    )
+    w = Window.partitionBy("shard_id")
+    return per.select(
+        "shard_id",
+        "source",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w), 6
+        ).alias("token_share"),
     )

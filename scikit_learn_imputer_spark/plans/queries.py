@@ -13526,3 +13526,109 @@ ORACLE["gate_ablation"] = (
     .replace("{rep}", ORACLE["repetition_signals"])
     .replace("{tq}", ORACLE["text_quality"])
 )
+
+
+@register(
+    "shuffled_cu_seqlens",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\s+')) END AS BIGINT)
+           AS n_tokens,
+         md5('7:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY k, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM t
+), sp AS (
+  SELECT doc_id, n_tokens AS n, cum_prev,
+         unnest(generate_series(cum_prev // 512,
+                                (cum_prev + n_tokens - 1) // 512)) AS sq
+  FROM c WHERE n_tokens > 0
+)
+SELECT CAST(sq AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(least((sq + 1) * 512, cum_prev + n) - sq * 512) AS BIGINT)
+         AS seq_total,
+       '0 ' || string_agg(
+         CAST(least((sq + 1) * 512, cum_prev + n) - sq * 512 AS VARCHAR),
+         ' ' ORDER BY greatest(sq * 512, cum_prev)) AS cu_seqlens
+FROM sp GROUP BY 1
+""",
+)
+def q_shuffled_cu_seqlens(spark, sf_dir):
+    """Varlen-attention boundary vectors for the shuffled pack
+    (operators/shuffle.py:shuffled_cu_seqlens): per 512-token training
+    sequence of pack_shuffled_sequences(seed=7), the cumulative doc
+    boundary offsets ``0 e1 ... seq_total`` that varlen flash-attention
+    kernels take per batch — the kernel-ready packaging of
+    shuffled_sequence_doc_spans (spans keep doc_id provenance for loss
+    masks; this is the boundary vector itself). Exact-integer: spans
+    tile each concat-and-cut sequence contiguously, so the vector is 0
+    followed by each span's in-sequence end offset in placement order.
+    Oracle shares the spans oracle's single (md5, id)-ordered window;
+    the Spark side reuses the bucketed O(256)-frame placement."""
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        shuffled_cu_seqlens,
+    )
+
+    return shuffled_cu_seqlens(
+        _t(spark, sf_dir, "documents"), seq_len=512, seed=7
+    )
+
+
+@register(
+    "shard_source_mix",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\s+')) END AS BIGINT)
+           AS n_tokens,
+         md5('7:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY k, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM t
+), sp AS (
+  SELECT source, n_tokens AS n, cum_prev,
+         unnest(generate_series(cum_prev // 512,
+                                (cum_prev + n_tokens - 1) // 512)) AS sq
+  FROM c WHERE n_tokens > 0
+), per AS (
+  SELECT CAST(sq // 16 AS BIGINT) AS shard_id, source,
+         CAST(sum(least((sq + 1) * 512, cum_prev + n)
+                  - greatest(sq * 512, cum_prev)) AS BIGINT) AS n_tokens
+  FROM sp GROUP BY 1, 2
+)
+SELECT shard_id, source, n_tokens,
+       round(CAST(n_tokens AS DOUBLE)
+             / sum(n_tokens) OVER (PARTITION BY shard_id), 6) AS token_share
+FROM per
+""",
+)
+def q_shard_source_mix(spark, sf_dir):
+    """Artifact-level mixture audit (operators/shuffle.py:
+    shard_source_mix): per training SHARD of the shuffled layout
+    (shard_id = seq_id // 16, the write_shuffled_shards grouping), the
+    token mass and share each source contributes — what that shard file
+    actually holds, read before rebuilding, shipping, or deleting it.
+    Completes the mixture-audit ladder: stream level
+    (mixture_shuffled_pack_audit), sequence level
+    (pack_mixing_histogram), shard level (this). Span rows aggregate
+    straight to the O(#shards x #sources) frame; the share window
+    partitions that tiny frame only."""
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        shard_source_mix,
+    )
+
+    return shard_source_mix(
+        _t(spark, sf_dir, "documents"), seq_len=512, shard_size=16, seed=7
+    )

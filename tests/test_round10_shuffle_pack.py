@@ -399,3 +399,82 @@ def test_shuffled_sequence_doc_spans_matches_brute_force(spark):
     # the shuffle mixes sources at span granularity: some sequence holds
     # docs from >1 source
     assert max(ns for _, ns, _ in got.values()) > 1
+
+
+def test_shuffled_cu_seqlens_matches_spans(spark):
+    """cu_seqlens is the boundary-vector packaging of the spans
+    manifest: 0 followed by each span's in-sequence end, strictly
+    increasing, last == seq_total, n_docs+1 entries — and identical
+    under repartitioning (same bucketed placement contract)."""
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        shuffled_cu_seqlens,
+        shuffled_sequence_doc_spans,
+    )
+
+    def n_tok(i):
+        return 0 if i % 7 == 0 else (23 if i % 11 == 0 else i % 5 + 1)
+
+    rows = [
+        (i, f"s{i % 3}", "tok " * n_tok(i) if n_tok(i) else "  ")
+        for i in range(1, 61)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    cu = {r["seq_id"]: r for r in shuffled_cu_seqlens(df, seq_len=7, seed=7).collect()}
+    spans = {
+        r["seq_id"]: r
+        for r in shuffled_sequence_doc_spans(df, seq_len=7, seed=7).collect()
+    }
+    assert set(cu) == set(spans)
+    total = sum(n_tok(i) for i in range(1, 61))
+    for sq, r in cu.items():
+        vals = [int(x) for x in r["cu_seqlens"].split(" ")]
+        assert vals[0] == 0
+        assert all(a < b for a, b in zip(vals, vals[1:]))
+        expect_total = 7 if sq < total // 7 else total % 7
+        assert vals[-1] == r["seq_total"] == expect_total
+        assert r["n_docs"] == len(vals) - 1 == spans[sq]["n_docs"]
+        parts = spans[sq]["spans"].split(" ")
+        starts = [int(p.split(":")[1]) for p in parts]
+        lens = [int(p.split(":")[2]) for p in parts]
+        assert vals == [0] + [s + ln for s, ln in zip(starts, lens)]
+    again = {
+        r["seq_id"]: (r["n_docs"], r["seq_total"], r["cu_seqlens"])
+        for r in shuffled_cu_seqlens(
+            df.repartition(16), seq_len=7, seed=7, bucket_chars=1
+        ).collect()
+    }
+    assert again == {
+        sq: (r["n_docs"], r["seq_total"], r["cu_seqlens"]) for sq, r in cu.items()
+    }
+
+
+def test_shard_source_mix_conserves_token_mass(spark):
+    """Per-shard shares sum to 1, total token mass equals the corpus
+    token count, and the per-source totals match the corpus per-source
+    counts (the shuffle moves mass between shards, never creates it)."""
+    from scikit_learn_imputer_spark.operators.shuffle import shard_source_mix
+
+    def n_tok(i):
+        return 0 if i % 7 == 0 else (23 if i % 11 == 0 else i % 5 + 1)
+
+    rows = [
+        (i, f"s{i % 3}", "tok " * n_tok(i) if n_tok(i) else "  ")
+        for i in range(1, 61)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    got = shard_source_mix(df, seq_len=7, shard_size=4, seed=7).collect()
+    total = sum(n_tok(i) for i in range(1, 61))
+    assert sum(r["n_tokens"] for r in got) == total
+    per_src = {}
+    per_shard = {}
+    for r in got:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + r["n_tokens"]
+        per_shard.setdefault(r["shard_id"], 0.0)
+        per_shard[r["shard_id"]] += r["token_share"]
+    want_src = {}
+    for i in range(1, 61):
+        want_src[f"s{i % 3}"] = want_src.get(f"s{i % 3}", 0) + n_tok(i)
+    want_src = {k: v for k, v in want_src.items() if v > 0}
+    assert per_src == want_src
+    for sh, s in per_shard.items():
+        assert abs(s - 1.0) < 1e-5, (sh, s)
