@@ -13632,3 +13632,166 @@ def q_shard_source_mix(spark, sf_dir):
     return shard_source_mix(
         _t(spark, sf_dir, "documents"), seq_len=512, shard_size=16, seed=7
     )
+
+
+@register(
+    "shuffled_repack_delta",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\s+')) END AS BIGINT)
+           AS n,
+         md5('7:' || CAST(doc_id AS VARCHAR)) AS k,
+         doc_id % 7 <> 0 AS in_a,
+         substr(md5('takedown:' || CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+           AS in_b
+  FROM documents
+),
+ca AS (
+  SELECT doc_id, n, in_b,
+         CAST(coalesce(sum(n) OVER (ORDER BY k, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum
+  FROM t WHERE in_a AND n > 0
+),
+cb AS (
+  SELECT doc_id, n, in_a,
+         CAST(coalesce(sum(n) OVER (ORDER BY k, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum
+  FROM t WHERE in_b AND n > 0
+),
+s AS (
+  SELECT (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM ca) AS ta,
+         (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM cb) AS tb,
+         (SELECT min(cum) FROM ca WHERE NOT in_b) AS rem,
+         (SELECT min(cum) FROM cb WHERE NOT in_a) AS adds
+),
+r AS (
+  SELECT CAST((ta + 511) // 512 AS BIGINT) AS n_seqs_before,
+         CAST((tb + 511) // 512 AS BIGINT) AS n_seqs_after,
+         CAST(CASE WHEN rem IS NULL AND adds IS NULL
+              THEN (ta + 511) // 512
+              ELSE least(coalesce(rem, ta), coalesce(adds, tb)) // 512
+              END AS BIGINT) AS n_seqs_unchanged
+  FROM s
+)
+SELECT n_seqs_before, n_seqs_after, n_seqs_unchanged,
+       CAST(n_seqs_after - n_seqs_unchanged AS BIGINT) AS n_seqs_rewritten,
+       round(CASE WHEN n_seqs_before > 0
+             THEN CAST(n_seqs_unchanged AS DOUBLE) / n_seqs_before
+             ELSE 0.0 END, 6) AS unchanged_frac
+FROM r
+""",
+)
+def q_shuffled_repack_delta(spark, sf_dir):
+    """Write amplification of a corpus mutation under the SHUFFLED
+    layout — the honest cost of shuffle-before-pack, measured. Same
+    A/B membership snapshots as tokenized_repack_delta (A = pre-ingest
+    doc_id%7 != 0, B = post-ingest-and-takedown md5 draw), same
+    sequence-granular question: how many 512-token training sequences
+    of the seed-7 shuffled stream survive byte-identical (everything
+    strictly before the FIRST membership change's stream position) and
+    how many a rewrite job must schedule. Because the md5 permutation
+    scatters ids, the first changed doc lands near the stream FRONT
+    with high probability, so unchanged_frac ~ 0 — versus the
+    id-ordered layout's suffix-only rewrite
+    (rewrite_tokenized_shards_incremental). That contrast IS the
+    design tradeoff: global shuffle buys mixing and costs incremental
+    rewritability; pipelines re-shuffle per epoch anyway, so shuffled
+    shards are rebuild artifacts, not incremental ones — this query
+    puts the number behind that policy. COUNTS-ONLY dataflow: two
+    bucketed placements (pack_shuffled_sequences on each snapshot),
+    one unioned global aggregate of four scalars — no id
+    materialization, no data-sized window, no scalar cross join."""
+    from scikit_learn_imputer_spark.operators.shuffle import (
+        pack_shuffled_sequences,
+    )
+
+    L = 512
+    d = _t(spark, sf_dir, "documents")
+    in_a = F.col("doc_id") % 7 != 0
+    in_b = (
+        F.substring(
+            F.md5(F.concat(F.lit("takedown:"), F.col("doc_id").cast("string"))),
+            1,
+            1,
+        )
+        != "0"
+    )
+    cum = (F.col("seq_id") * L + F.col("seq_offset")).cast("bigint")
+    ca = (
+        pack_shuffled_sequences(d.filter(in_a), seq_len=L, seed=7)
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            F.lit("a").alias("__side"),
+            F.col("n_tokens").alias("__n"),
+            cum.alias("__cum"),
+            (~in_b).alias("__delta"),
+        )
+    )
+    cb = (
+        pack_shuffled_sequences(d.filter(in_b), seq_len=L, seed=7)
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            F.lit("b").alias("__side"),
+            F.col("n_tokens").alias("__n"),
+            cum.alias("__cum"),
+            (~in_a).alias("__delta"),
+        )
+    )
+    s = ca.unionByName(cb).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__side") == "a", F.col("__n"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("ta"),
+        F.coalesce(
+            F.sum(F.when(F.col("__side") == "b", F.col("__n"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("tb"),
+        F.min(
+            F.when((F.col("__side") == "a") & F.col("__delta"), F.col("__cum"))
+        ).alias("rem"),
+        F.min(
+            F.when((F.col("__side") == "b") & F.col("__delta"), F.col("__cum"))
+        ).alias("adds"),
+    )
+    before = F.floor((F.col("ta") + 511) / L).cast("bigint")
+    after = F.floor((F.col("tb") + 511) / L).cast("bigint")
+    unchanged = (
+        F.when(F.col("rem").isNull() & F.col("adds").isNull(), before)
+        .otherwise(
+            F.floor(
+                F.least(
+                    F.coalesce(F.col("rem"), F.col("ta")),
+                    F.coalesce(F.col("adds"), F.col("tb")),
+                )
+                / L
+            )
+        )
+        .cast("bigint")
+    )
+    r = s.select(
+        before.alias("n_seqs_before"),
+        after.alias("n_seqs_after"),
+        unchanged.alias("n_seqs_unchanged"),
+    )
+    return r.select(
+        "n_seqs_before",
+        "n_seqs_after",
+        "n_seqs_unchanged",
+        (F.col("n_seqs_after") - F.col("n_seqs_unchanged"))
+        .cast("bigint")
+        .alias("n_seqs_rewritten"),
+        F.round(
+            F.when(
+                F.col("n_seqs_before") > 0,
+                F.col("n_seqs_unchanged").cast("double")
+                / F.col("n_seqs_before"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("unchanged_frac"),
+    )
