@@ -478,3 +478,47 @@ def test_shard_source_mix_conserves_token_mass(spark):
     assert per_src == want_src
     for sh, s in per_shard.items():
         assert abs(s - 1.0) < 1e-5, (sh, s)
+
+
+def test_shuffled_repack_delta_formula_matches_stream_diff(spark, tmp_path):
+    """The unchanged-sequence count equals the python prefix-run of the
+    two shuffled token streams: chunk both snapshots' (doc, token)
+    streams into 512-token sequences and count leading equal pairs —
+    exactly the sequences a rewrite job may skip."""
+    import pyspark.sql.functions as SF
+
+    from scikit_learn_imputer_spark.plans.queries import QUERIES
+
+    rows = [
+        (i, f"s{i % 3}", ("t%d " % i) * ((i * 7) % 60 + 1)) for i in range(1, 201)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(sf_dir + "/documents.parquet")
+    got = QUERIES["shuffled_repack_delta"](spark, sf_dir).collect()[0]
+
+    def n_tok(i):
+        return (i * 7) % 60 + 1
+
+    def member_b(i):
+        return hashlib.md5(f"takedown:{i}".encode()).hexdigest()[0] != "0"
+
+    def stream(ids):
+        order = sorted(ids, key=lambda i: (hashlib.md5(f"7:{i}".encode()).hexdigest(), i))
+        return [(i, j) for i in order for j in range(n_tok(i))]
+
+    a_ids = [i for i in range(1, 201) if i % 7 != 0]
+    b_ids = [i for i in range(1, 201) if member_b(i)]
+    assert set(a_ids) != set(b_ids)  # the delta is non-trivial
+    sa, sb = stream(a_ids), stream(b_ids)
+    seqs_a = [tuple(sa[k : k + 512]) for k in range(0, len(sa), 512)]
+    seqs_b = [tuple(sb[k : k + 512]) for k in range(0, len(sb), 512)]
+    run = 0
+    for x, y in zip(seqs_a, seqs_b):
+        if x != y:
+            break
+        run += 1
+    assert got["n_seqs_before"] == len(seqs_a)
+    assert got["n_seqs_after"] == len(seqs_b)
+    assert got["n_seqs_unchanged"] == run
+    assert got["n_seqs_rewritten"] == len(seqs_b) - run
