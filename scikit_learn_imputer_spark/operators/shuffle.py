@@ -823,6 +823,8 @@ def shard_source_mix(
     the share window partitions by shard over that tiny frame — never
     a data-sized window. Exact-integer token masses; share rounded to
     6 dp."""
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1, got {shard_size}")
     spans, g_start, g_end = _shuffled_span_rows(
         df,
         seq_len=seq_len,

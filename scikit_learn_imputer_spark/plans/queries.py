@@ -1186,14 +1186,9 @@ def q_gopher_quality_gate(spark, sf_dir):
     from scikit_learn_imputer_spark.functions.repetition import repetition_signals
 
     rep = repetition_signals(_t(spark, sf_dir, "documents"))
-    passes = (
-        F.col("n_tokens").between(30, 95)
-        & (F.col("top2_frac") <= 0.12)
-        & (F.col("top3_frac") <= 0.10)
-        & (F.col("dup5_frac") <= 0.15)
-        & (F.col("dup8_frac") <= 0.10)
+    return rep.select(
+        "doc_id", "n_tokens", _gopher_pass_cond().alias("passes")
     )
-    return rep.select("doc_id", "n_tokens", passes.alias("passes"))
 
 
 ORACLE["gopher_quality_gate"] = ORACLE["gopher_quality_gate"].replace(
@@ -1275,13 +1270,7 @@ def q_source_quality_matrix(spark, sf_dir):
         "doc_id", F.round("q_score", 6).alias("q_score")
     )
     rep = repetition_signals(d)
-    gopher_pass = (
-        F.col("n_tokens").between(30, 95)
-        & (F.col("top2_frac") <= 0.12)
-        & (F.col("top3_frac") <= 0.10)
-        & (F.col("dup5_frac") <= 0.15)
-        & (F.col("dup8_frac") <= 0.10)
-    )
+    gopher_pass = _gopher_pass_cond()
     rep_flag = rep.select(
         "doc_id", F.when(gopher_pass, 1).otherwise(0).alias("__gp")
     )
@@ -1334,6 +1323,50 @@ def q_quality_model_scores(spark, sf_dir):
     )
 
     return quality_model_scores(_t(spark, sf_dir, "documents"))
+
+
+def _gopher_pass_cond():
+    """The Gopher repetition-gate predicate — SINGLE SOURCE OF TRUTH for
+    the thresholds shared by gopher_quality_gate, filter_waterfall, and
+    gate_ablation (gate_ablation's contract is that it ablates exactly
+    the waterfall's gates; sharing the Column expr makes that
+    structural, not copy-paste)."""
+    return (
+        F.col("n_tokens").between(30, 95)
+        & (F.col("top2_frac") <= 0.12)
+        & (F.col("top3_frac") <= 0.10)
+        & (F.col("dup5_frac") <= 0.15)
+        & (F.col("dup8_frac") <= 0.10)
+    )
+
+
+def _quality_pass_cond():
+    """The text-quality gate shared by filter_waterfall / gate_ablation
+    (evaluated over quality_features output rounded to 6 dp)."""
+    return (F.col("q_score") >= 0.5) & (F.col("q_tokens") >= 20)
+
+
+def _contam_doc_ids(frame, bench, n=5):
+    """doc_ids in ``frame`` sharing ANY word n-gram with ``bench`` —
+    the decontamination membership both the waterfall and the ablation
+    evaluate. Grams collapse to md5 digests for one left-semi join;
+    text never shuffles."""
+    from scikit_learn_imputer_spark.functions.text import word_ngrams_col
+
+    bench_g = (
+        bench.select(F.explode(word_ngrams_col(F.col("text"), n)).alias("g"))
+        .select(F.md5("g").alias("gd"))
+        .distinct()
+    )
+    return (
+        frame.select(
+            "doc_id", F.explode(word_ngrams_col(F.col("text"), n)).alias("g")
+        )
+        .select("doc_id", F.md5("g").alias("gd"))
+        .join(bench_g, "gd", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
 
 
 @register(
@@ -1423,7 +1456,6 @@ def q_filter_waterfall(spark, sf_dir):
     tests/test_pipeline_reports.py pins that this stage's drops equal
     exact_dedup(keep='min') drops on a duplicated corpus."""
     from scikit_learn_imputer_spark.functions.repetition import repetition_signals
-    from scikit_learn_imputer_spark.functions.text import word_ngrams_col
 
     d = _t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 100 < 2)
@@ -1449,19 +1481,11 @@ def q_filter_waterfall(spark, sf_dir):
     q = quality_features(lang_pass.select("doc_id", "text")).select(
         "doc_id", "q_tokens", F.round("q_score", 6).alias("q_score")
     )
-    q_pass = q.filter(
-        (F.col("q_score") >= 0.5) & (F.col("q_tokens") >= 20)
-    ).select("doc_id")
+    q_pass = q.filter(_quality_pass_cond()).select("doc_id")
     pass12 = lang_pass.join(q_pass, "doc_id", "left_semi")
 
     rep = repetition_signals(pass12)
-    gopher_pass = rep.filter(
-        F.col("n_tokens").between(30, 95)
-        & (F.col("top2_frac") <= 0.12)
-        & (F.col("top3_frac") <= 0.10)
-        & (F.col("dup5_frac") <= 0.15)
-        & (F.col("dup8_frac") <= 0.10)
-    ).select("doc_id")
+    gopher_pass = rep.filter(_gopher_pass_cond()).select("doc_id")
     pass123 = pass12.join(gopher_pass, "doc_id", "left_semi")
 
     fp = pass123.select("doc_id", fingerprint_col(F.col("text")).alias("__fp"))
@@ -1473,20 +1497,7 @@ def q_filter_waterfall(spark, sf_dir):
     )
     pass1234 = pass123.join(dup_pass, "doc_id", "left_semi")
 
-    bench_g = (
-        bench.select(F.explode(word_ngrams_col(F.col("text"), 5)).alias("g"))
-        .select(F.md5("g").alias("gd"))
-        .distinct()
-    )
-    contam_ids = (
-        pass1234.select(
-            "doc_id", F.explode(word_ngrams_col(F.col("text"), 5)).alias("g")
-        )
-        .select("doc_id", F.md5("g").alias("gd"))
-        .join(bench_g, "gd", "left_semi")
-        .select("doc_id")
-        .distinct()
-    )
+    contam_ids = _contam_doc_ids(pass1234, bench)
 
     mark = lambda ids, col: ids.withColumn(col, F.lit(True))  # noqa: E731
     staged = (
@@ -1732,7 +1743,6 @@ def _waterfall_scrubbed_staged(spark, sf_dir):
     from scikit_learn_imputer_spark.dedup.paragraphs import dedup_paragraphs
     from scikit_learn_imputer_spark.functions.lm import bigram_lm_scores
     from scikit_learn_imputer_spark.functions.repetition import repetition_signals
-    from scikit_learn_imputer_spark.functions.text import word_ngrams_col
 
     d = _t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 100 < 2)
@@ -1788,19 +1798,11 @@ def _waterfall_scrubbed_staged(spark, sf_dir):
     q = quality_features(lang_pass.select("doc_id", "text")).select(
         "doc_id", "q_tokens", F.round("q_score", 6).alias("q_score")
     )
-    q_pass = q.filter(
-        (F.col("q_score") >= 0.5) & (F.col("q_tokens") >= 20)
-    ).select("doc_id")
+    q_pass = q.filter(_quality_pass_cond()).select("doc_id")
     pass12 = lang_pass.join(q_pass, "doc_id", "left_semi")
 
     rep = repetition_signals(pass12)
-    gopher_pass = rep.filter(
-        F.col("n_tokens").between(30, 95)
-        & (F.col("top2_frac") <= 0.12)
-        & (F.col("top3_frac") <= 0.10)
-        & (F.col("dup5_frac") <= 0.15)
-        & (F.col("dup8_frac") <= 0.10)
-    ).select("doc_id")
+    gopher_pass = rep.filter(_gopher_pass_cond()).select("doc_id")
     pass123 = pass12.join(gopher_pass, "doc_id", "left_semi")
 
     # model-score gate: LM trained on the WHOLE scrubbed corpus (model
@@ -1828,20 +1830,7 @@ def _waterfall_scrubbed_staged(spark, sf_dir):
     )
     pass12345 = pass1234.join(dup_pass, "doc_id", "left_semi")
 
-    bench_g = (
-        bench.select(F.explode(word_ngrams_col(F.col("text"), 5)).alias("g"))
-        .select(F.md5("g").alias("gd"))
-        .distinct()
-    )
-    contam_ids = (
-        pass12345.select(
-            "doc_id", F.explode(word_ngrams_col(F.col("text"), 5)).alias("g")
-        )
-        .select("doc_id", F.md5("g").alias("gd"))
-        .join(bench_g, "gd", "left_semi")
-        .select("doc_id")
-        .distinct()
-    )
+    contam_ids = _contam_doc_ids(pass12345, bench)
 
     mark = lambda ids, col: ids.withColumn(col, F.lit(True))  # noqa: E731
     staged = (
@@ -13290,23 +13279,35 @@ def q_shuffled_loader_resume(spark, sf_dir):
     (shard, offset, position) each of 4 DDP ranks resumes at after 7
     lockstep steps, computed from the O(#shards) manifest of the
     write_shuffled_shards layout (shard = seq_id // 16, sequences in
-    seq_id order) — loader_resume_state's arithmetic applied to the
-    materialized shuffle-before-pack stream, so the round-11 chain
-    (place → mask → materialize → write) now includes crash recovery
-    against the BPE token mass actually on disk. One row per rank that
-    OWNS shards (matching the operator: a rank with none never appears
-    in the manifest); the corpus is never re-read to recover a
-    loader."""
+    seq_id order). COUNTS-ONLY dataflow: the sequence manifest is
+    derived from the Arrow BPE token-COUNT pass + the bucketed
+    shuffle placement alone — the token ids are never materialized,
+    because resume is manifest arithmetic, exactly the scale shape a
+    100-TB loader needs (byte parity of the layout itself is covered
+    by shuffled_tokenized_sequences / write_shuffled_shards). One row
+    per rank that OWNS shards (matching the operator: a rank with
+    none never appears in the manifest); the corpus is never re-read
+    to recover a loader."""
+    from scikit_learn_imputer_spark.functions.bpe import (
+        with_bpe_token_counts,
+    )
     from scikit_learn_imputer_spark.operators.shuffle import (
+        _shuffled_span_rows,
         loader_resume_state,
     )
-    from scikit_learn_imputer_spark.operators.tokenized import (
-        shuffled_tokenized_sequences,
-    )
 
-    seqs = shuffled_tokenized_sequences(
-        _t(spark, sf_dir, "documents"), seq_len=512, seed=7
-    ).select((F.col("seq_id") + 1).alias("position"))
+    counted = with_bpe_token_counts(_t(spark, sf_dir, "documents"))
+    spans, _, _ = _shuffled_span_rows(
+        counted,
+        seq_len=512,
+        seed=7,
+        id_col="doc_id",
+        text_col="text",
+        source_col="source",
+        token_count_col="n_bpe_tokens",
+        bucket_chars=2,
+    )
+    seqs = spans.select((F.col("seq_id") + 1).alias("position")).distinct()
     return loader_resume_state(
         seqs, shard_size=16, num_workers=4, global_step=7
     )
@@ -13418,20 +13419,13 @@ def q_gate_ablation(spark, sf_dir):
     from scikit_learn_imputer_spark.functions.repetition import (
         repetition_signals,
     )
-    from scikit_learn_imputer_spark.functions.text import word_ngrams_col
 
     d = _t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 100 < 2)
     corpus = d.filter(F.col("doc_id") % 100 >= 2)
 
     rep = repetition_signals(corpus)
-    gopher_fail = ~(
-        F.col("n_tokens").between(30, 95)
-        & (F.col("top2_frac") <= 0.12)
-        & (F.col("top3_frac") <= 0.10)
-        & (F.col("dup5_frac") <= 0.15)
-        & (F.col("dup8_frac") <= 0.10)
-    )
+    gopher_fail = ~_gopher_pass_cond()
     repf = rep.select(
         "doc_id", "n_tokens", gopher_fail.alias("fail_gopher")
     )
@@ -13442,26 +13436,10 @@ def q_gate_ablation(spark, sf_dir):
         F.round("q_score", 6).alias("q_score"),
     )
     tqf = tq.select(
-        "doc_id",
-        (~((F.col("q_score") >= 0.5) & (F.col("q_tokens") >= 20))).alias(
-            "fail_quality"
-        ),
+        "doc_id", (~_quality_pass_cond()).alias("fail_quality")
     )
 
-    bench_g = (
-        bench.select(F.explode(word_ngrams_col(F.col("text"), 5)).alias("g"))
-        .select(F.md5("g").alias("gd"))
-        .distinct()
-    )
-    contam_ids = (
-        corpus.select(
-            "doc_id", F.explode(word_ngrams_col(F.col("text"), 5)).alias("g")
-        )
-        .select("doc_id", F.md5("g").alias("gd"))
-        .join(bench_g, "gd", "left_semi")
-        .select("doc_id")
-        .distinct()
-    )
+    contam_ids = _contam_doc_ids(corpus, bench)
 
     x = (
         corpus.select("doc_id", (F.col("lang") != "en").alias("fail_lang"))
@@ -13486,39 +13464,42 @@ def q_gate_ablation(spark, sf_dir):
         )
     )
 
-    stacked = x.selectExpr(
-        "n_tokens",
-        "n_fails",
-        "stack(4, 'lang', fail_lang, 'quality', fail_quality,"
-        " 'gopher', fail_gopher, 'decontam', fail_decontam)"
-        " AS (gate, fail)",
+    # ONE global aggregate (always exactly one row, even on an empty or
+    # bench-only corpus — matching the oracle's five UNION ALL global
+    # aggregates, which emit zero rows regardless), then a 1-row stack
+    # into the 5 output rows. Cheaper than a groupBy over a stacked
+    # 4x frame AND empty-safe.
+    gates = [
+        ("lang", F.col("fail_lang")),
+        ("quality", F.col("fail_quality")),
+        ("gopher", F.col("fail_gopher")),
+        ("decontam", F.col("fail_decontam")),
+        ("_any", F.col("n_fails") > 0),
+    ]
+    aggs = []
+    for name, flag in gates:
+        aggs += [
+            F.coalesce(F.sum(flag.cast("bigint")), F.lit(0))
+            .cast("bigint")
+            .alias(f"nf_{name}"),
+            F.coalesce(
+                F.sum((flag & (F.col("n_fails") == 1)).cast("bigint")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"uf_{name}"),
+            F.coalesce(F.sum(F.when(flag, F.col("n_tokens"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"tf_{name}"),
+        ]
+    one = x.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', nf_{name}, uf_{name}, tf_{name}" for name, _ in gates
     )
-    per_gate = stacked.groupBy("gate").agg(
-        F.sum(F.col("fail").cast("bigint")).alias("n_fail"),
-        F.sum((F.col("fail") & (F.col("n_fails") == 1)).cast("bigint")).alias(
-            "n_unique_fail"
-        ),
-        F.coalesce(
-            F.sum(F.when(F.col("fail"), F.col("n_tokens"))), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("n_tokens_fail"),
+    return one.selectExpr(
+        f"stack({len(gates)}, {stack_args})"
+        " AS (gate, n_fail, n_unique_fail, n_tokens_fail)"
     )
-    any_row = x.agg(
-        F.sum((F.col("n_fails") > 0).cast("bigint")).alias("n_fail"),
-        F.sum((F.col("n_fails") == 1).cast("bigint")).alias("n_unique_fail"),
-        F.coalesce(
-            F.sum(F.when(F.col("n_fails") > 0, F.col("n_tokens"))), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("n_tokens_fail"),
-    ).select(
-        F.lit("_any").alias("gate"),
-        "n_fail",
-        "n_unique_fail",
-        "n_tokens_fail",
-    )
-    return per_gate.unionByName(any_row)
 
 
 ORACLE["gate_ablation"] = (

@@ -478,6 +478,8 @@ def test_shard_source_mix_conserves_token_mass(spark):
     assert per_src == want_src
     for sh, s in per_shard.items():
         assert abs(s - 1.0) < 1e-5, (sh, s)
+    with pytest.raises(ValueError):
+        shard_source_mix(df, seq_len=7, shard_size=0, seed=7)
 
 
 def test_shuffled_repack_delta_formula_matches_stream_diff(spark, tmp_path):
