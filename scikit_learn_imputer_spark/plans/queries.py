@@ -1341,8 +1341,11 @@ def _gopher_pass_cond():
 
 
 def _quality_pass_cond():
-    """The text-quality gate shared by filter_waterfall / gate_ablation
-    (evaluated over quality_features output rounded to 6 dp)."""
+    """The text-quality gate shared across the corpus pipelines —
+    applied to whatever q_score/q_tokens columns are in scope (the
+    waterfall/ablation evaluate it over 6-dp-rounded scores, the
+    corpus pipelines over raw quality_features output; each query's
+    oracle mirrors its own variant)."""
     return (F.col("q_score") >= 0.5) & (F.col("q_tokens") >= 20)
 
 
@@ -5888,9 +5891,7 @@ def q_corpus_clean(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     scored = quality_features(d)
-    kept = scored.filter(
-        (F.col("q_score") >= 0.5) & (F.col("q_tokens") >= 20)
-    )
+    kept = scored.filter(_quality_pass_cond())
     deduped = exact_dedup(kept)
     return deduped.select(
         "doc_id",
@@ -8670,9 +8671,7 @@ def q_corpus_preprocess_pipeline(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     clean = d.select("doc_id", scrub_pii_col(F.col("text")).alias("text"))
     scored = quality_features(clean)
-    gated = scored.filter(
-        (F.col("q_score") >= 0.5) & (F.col("q_tokens") >= 20)
-    ).select("doc_id", "text")
+    gated = scored.filter(_quality_pass_cond()).select("doc_id", "text")
     # The deduped survivor set is the pipeline's natural materialization
     # point (every production run persists post-dedup): four downstream
     # subplans traverse it (bigram counts, prefix totals, vocab, scoring
