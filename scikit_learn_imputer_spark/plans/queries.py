@@ -13312,9 +13312,7 @@ def q_shuffled_loader_resume(spark, sf_dir):
     )
 
 
-@register(
-    "gate_ablation",
-    oracle=r"""
+_GATE_FLAGS_SQL = r"""
 WITH rep0 AS ({rep}), tq0 AS ({tq}),
 bg AS (
   SELECT DISTINCT g FROM (
@@ -13353,7 +13351,67 @@ x AS (
          CAST(fail_lang AS INT) + CAST(fail_quality AS INT)
          + CAST(fail_gopher AS INT) + CAST(fail_decontam AS INT) AS n_fails
   FROM wf
-)
+)"""
+#: The corpus-wide per-doc gate-flag CTE shared by the gate_ablation and
+#: gate_overlap_matrix oracles ({rep}/{tq} filled after registration).
+
+
+def _gate_flag_frame(spark, sf_dir):
+    """Doc-level gate flags, corpus-wide — the shared input of
+    gate_ablation and gate_overlap_matrix: one row per corpus doc with
+    n_tokens, the four independent fail flags (lang / quality / Gopher
+    / benchmark-5-gram contamination, via the SAME shared predicates
+    the waterfall applies), and n_fails. All map-side signals + equi
+    joins on doc_id; the contamination membership is the md5-digest
+    semi join."""
+    from scikit_learn_imputer_spark.functions.repetition import (
+        repetition_signals,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 100 < 2)
+    corpus = d.filter(F.col("doc_id") % 100 >= 2)
+
+    repf = repetition_signals(corpus).select(
+        "doc_id", "n_tokens", (~_gopher_pass_cond()).alias("fail_gopher")
+    )
+    tq = quality_features(corpus.select("doc_id", "text")).select(
+        "doc_id",
+        "q_tokens",
+        F.round("q_score", 6).alias("q_score"),
+    )
+    tqf = tq.select(
+        "doc_id", (~_quality_pass_cond()).alias("fail_quality")
+    )
+    contam_ids = _contam_doc_ids(corpus, bench)
+    return (
+        corpus.select("doc_id", (F.col("lang") != "en").alias("fail_lang"))
+        .join(repf, "doc_id")
+        .join(tqf, "doc_id")
+        .join(
+            contam_ids.withColumn("__c", F.lit(True)), "doc_id", "left"
+        )
+        .select(
+            "n_tokens",
+            "fail_lang",
+            "fail_quality",
+            "fail_gopher",
+            F.coalesce(F.col("__c"), F.lit(False)).alias("fail_decontam"),
+        )
+        .withColumn(
+            "n_fails",
+            F.col("fail_lang").cast("int")
+            + F.col("fail_quality").cast("int")
+            + F.col("fail_gopher").cast("int")
+            + F.col("fail_decontam").cast("int"),
+        )
+    )
+
+
+@register(
+    "gate_ablation",
+    oracle=_GATE_FLAGS_SQL
+    + r"""
 SELECT gate, n_fail, n_unique_fail, n_tokens_fail FROM (
   SELECT 'lang' AS gate,
          CAST(count(*) FILTER (WHERE fail_lang) AS BIGINT) AS n_fail,
@@ -13415,53 +13473,7 @@ def q_gate_ablation(spark, sf_dir):
     every gate's verdict on every doc), so this costs the un-chained
     waterfall; at 100 TB you run it on a sample when tuning thresholds.
     """
-    from scikit_learn_imputer_spark.functions.repetition import (
-        repetition_signals,
-    )
-
-    d = _t(spark, sf_dir, "documents")
-    bench = d.filter(F.col("doc_id") % 100 < 2)
-    corpus = d.filter(F.col("doc_id") % 100 >= 2)
-
-    rep = repetition_signals(corpus)
-    gopher_fail = ~_gopher_pass_cond()
-    repf = rep.select(
-        "doc_id", "n_tokens", gopher_fail.alias("fail_gopher")
-    )
-
-    tq = quality_features(corpus.select("doc_id", "text")).select(
-        "doc_id",
-        "q_tokens",
-        F.round("q_score", 6).alias("q_score"),
-    )
-    tqf = tq.select(
-        "doc_id", (~_quality_pass_cond()).alias("fail_quality")
-    )
-
-    contam_ids = _contam_doc_ids(corpus, bench)
-
-    x = (
-        corpus.select("doc_id", (F.col("lang") != "en").alias("fail_lang"))
-        .join(repf, "doc_id")
-        .join(tqf, "doc_id")
-        .join(
-            contam_ids.withColumn("__c", F.lit(True)), "doc_id", "left"
-        )
-        .select(
-            "n_tokens",
-            "fail_lang",
-            "fail_quality",
-            "fail_gopher",
-            F.coalesce(F.col("__c"), F.lit(False)).alias("fail_decontam"),
-        )
-        .withColumn(
-            "n_fails",
-            F.col("fail_lang").cast("int")
-            + F.col("fail_quality").cast("int")
-            + F.col("fail_gopher").cast("int")
-            + F.col("fail_decontam").cast("int"),
-        )
-    )
+    x = _gate_flag_frame(spark, sf_dir)
 
     # ONE global aggregate (always exactly one row, even on an empty or
     # bench-only corpus — matching the oracle's five UNION ALL global
@@ -13775,3 +13787,100 @@ def q_shuffled_repack_delta(spark, sf_dir):
             6,
         ).alias("unchanged_frac"),
     )
+
+
+_GATE_NAMES = ("lang", "quality", "gopher", "decontam")
+_GATE_OVERLAP_SELECTS = " UNION ALL".join(
+    f"""
+  SELECT '{a}' AS gate, '{b}' AS other,
+         CAST(count(*) FILTER (WHERE fail_{a}) AS BIGINT) AS n_fail,
+         CAST(count(*) FILTER (WHERE fail_{a} AND fail_{b}) AS BIGINT)
+           AS n_both,
+         round(CASE WHEN count(*) FILTER (WHERE fail_{a}) > 0
+               THEN CAST(count(*) FILTER (WHERE fail_{a} AND fail_{b})
+                         AS DOUBLE)
+                    / count(*) FILTER (WHERE fail_{a})
+               ELSE 0.0 END, 6) AS containment
+  FROM x"""
+    for a in _GATE_NAMES
+    for b in _GATE_NAMES
+    if a != b
+)
+
+
+@register(
+    "gate_overlap_matrix",
+    oracle=_GATE_FLAGS_SQL
+    + "\nSELECT gate, other, n_fail, n_both, containment FROM ("
+    + _GATE_OVERLAP_SELECTS
+    + "\n)",
+)
+def q_gate_overlap_matrix(spark, sf_dir):
+    """Pairwise gate redundancy — the view that NAMES the shadowing
+    gate. gate_ablation shows the quality gate has zero unique fails;
+    this matrix shows which other gate already kills its docs: for
+    every ordered gate pair, how many docs fail `gate`, how many of
+    those also fail `other`, and the containment fraction
+    n_both/n_fail (containment 1.0 = `gate` is fully redundant with
+    `other` on this corpus — a candidate to drop from the hot path or
+    to re-tune). Same corpus-wide flags, thresholds, and bench split
+    as gate_ablation (shared _gate_flag_frame / _GATE_FLAGS_SQL).
+
+    Scale shape: the 16 pair/single counts reduce through ONE global
+    partial aggregate over the flag frame (no pair join, no stacked
+    shuffle — the doc never leaves its partition until 16 counters
+    do); the 12-row matrix is a 1-row stack. Empty-corpus safe like
+    the reworked ablation."""
+    x = _gate_flag_frame(spark, sf_dir)
+    aggs = []
+    for g in _GATE_NAMES:
+        aggs.append(
+            F.coalesce(F.sum(F.col(f"fail_{g}").cast("bigint")), F.lit(0))
+            .cast("bigint")
+            .alias(f"nf_{g}")
+        )
+    for a in _GATE_NAMES:
+        for b in _GATE_NAMES:
+            if a != b:
+                aggs.append(
+                    F.coalesce(
+                        F.sum(
+                            (
+                                F.col(f"fail_{a}") & F.col(f"fail_{b}")
+                            ).cast("bigint")
+                        ),
+                        F.lit(0),
+                    )
+                    .cast("bigint")
+                    .alias(f"b_{a}_{b}")
+                )
+    one = x.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', nf_{a}, b_{a}_{b}"
+        for a in _GATE_NAMES
+        for b in _GATE_NAMES
+        if a != b
+    )
+    rows = one.selectExpr(
+        f"stack(12, {stack_args}) AS (gate, other, n_fail, n_both)"
+    )
+    return rows.select(
+        "gate",
+        "other",
+        "n_fail",
+        "n_both",
+        F.round(
+            F.when(
+                F.col("n_fail") > 0,
+                F.col("n_both").cast("double") / F.col("n_fail"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("containment"),
+    )
+
+
+ORACLE["gate_overlap_matrix"] = (
+    ORACLE["gate_overlap_matrix"]
+    .replace("{rep}", ORACLE["repetition_signals"])
+    .replace("{tq}", ORACLE["text_quality"])
+)
