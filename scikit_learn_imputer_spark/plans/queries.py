@@ -13884,3 +13884,90 @@ ORACLE["gate_overlap_matrix"] = (
     .replace("{rep}", ORACLE["repetition_signals"])
     .replace("{tq}", ORACLE["text_quality"])
 )
+
+
+@register(
+    "dup_rate_by_quality",
+    oracle=r"""
+WITH tqx AS ({tq}),
+base AS (
+  SELECT d.doc_id, d.source, t.q_tokens AS n_tokens, t.q_score AS s,
+         md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS fp
+  FROM documents d JOIN tqx t USING (doc_id)
+),
+thr AS (
+  SELECT source,
+         quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+           AS ts
+  FROM base GROUP BY source
+),
+cnt AS (SELECT fp, count(*) AS c FROM base GROUP BY fp),
+b AS (
+  SELECT base.source, base.n_tokens,
+         CAST(1 + len(list_filter(thr.ts, t -> base.s >= t)) AS INTEGER)
+           AS decile,
+         (cnt.c > 1) AS is_dup
+  FROM base JOIN thr USING (source) JOIN cnt USING (fp)
+)
+SELECT source, decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       CAST(coalesce(sum(CASE WHEN is_dup THEN n_tokens END), 0) AS BIGINT)
+         AS dup_tokens,
+       round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_frac
+FROM b GROUP BY source, decile
+""",
+)
+def q_dup_rate_by_quality(spark, sf_dir):
+    """Duplicate concentration by quality decile — the evidence behind
+    the dedup-vs-filter ORDERING decision. If duplicates concentrate in
+    low-quality mass, quality filtering first shrinks the (expensive)
+    dedup input nearly for free; if the best deciles carry the
+    duplicate mass (boilerplate that scores well), dedup must run
+    first or the quality sampler keeps N copies. Reports per (source,
+    quality decile — the same per-source broadcast-percentile buckets
+    stratified_quality_sample keeps by): docs, exact-duplicate docs
+    (normalized-text fingerprint shared by >1 doc corpus-wide), their
+    token mass, and the duplicate fraction.
+
+    Scale shape: one fingerprint groupBy (the exact-dedup shuffle the
+    pipeline pays anyway), the O(#sources) percentile broadcast, and
+    equi joins on doc_id/fingerprint — no pair joins, no windows."""
+    from scikit_learn_imputer_spark.operators.split import (
+        stratified_quality_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    s = stratified_quality_sample(d).select(
+        "doc_id", "source", "n_tokens", "decile"
+    )
+    fps = d.select("doc_id", fingerprint_col(F.col("text")).alias("__fp"))
+    cnt = fps.groupBy("__fp").agg(F.count(F.lit(1)).alias("__c"))
+    flags = fps.join(cnt, "__fp").select(
+        "doc_id", (F.col("__c") > 1).alias("__dup")
+    )
+    return (
+        s.join(flags, "doc_id")
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("__dup").cast("bigint"))
+            .cast("bigint")
+            .alias("dup_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("__dup"), F.col("n_tokens"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_docs").cast("double") / F.col("n_docs"), 6),
+        )
+    )
+
+
+ORACLE["dup_rate_by_quality"] = ORACLE["dup_rate_by_quality"].replace(
+    "{tq}", ORACLE["text_quality"]
+)
