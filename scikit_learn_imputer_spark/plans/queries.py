@@ -13971,3 +13971,132 @@ def q_dup_rate_by_quality(spark, sf_dir):
 ORACLE["dup_rate_by_quality"] = ORACLE["dup_rate_by_quality"].replace(
     "{tq}", ORACLE["text_quality"]
 )
+
+
+@register(
+    "dedup_order_sensitivity",
+    oracle=r"""
+WITH tqx AS ({tq}),
+base AS (
+  SELECT d.doc_id, d.source, t.q_tokens AS n_tokens, t.q_score AS s,
+         md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS fp
+  FROM documents d JOIN tqx t USING (doc_id)
+),
+thr AS (
+  SELECT source,
+         quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+           AS ts
+  FROM base GROUP BY source
+),
+k AS (
+  SELECT base.doc_id, base.n_tokens, base.fp,
+         CAST(('0x' || substr(md5('strat:' || CAST(base.doc_id AS VARCHAR)),
+              1, 8))::UBIGINT AS DOUBLE) / 4294967296.0
+           < (CAST(1 + len(list_filter(thr.ts, t -> base.s >= t)) AS INTEGER)
+              * CAST(1 + len(list_filter(thr.ts, t -> base.s >= t)) AS INTEGER))
+             / 100.0 AS kept
+  FROM base JOIN thr USING (source)
+),
+ka AS (SELECT fp, min(doc_id) AS kid_all FROM k GROUP BY fp),
+ks AS (SELECT fp, min(doc_id) AS kid_smp FROM k WHERE kept GROUP BY fp),
+f AS (
+  SELECT k.doc_id, k.n_tokens, k.kept,
+         (k.doc_id = ka.kid_all) AS ik_all,
+         (k.doc_id = coalesce(ks.kid_smp, -1)) AS ik_smp
+  FROM k JOIN ka USING (fp) LEFT JOIN ks USING (fp)
+)
+SELECT 'dedup_first' AS pipeline_order,
+       CAST(count(*) AS BIGINT) AS dedup_input_docs,
+       CAST(sum(CASE WHEN ik_all THEN 1 ELSE 0 END) AS BIGINT)
+         AS sample_input_docs,
+       CAST(sum(CASE WHEN ik_all AND kept THEN 1 ELSE 0 END) AS BIGINT)
+         AS final_docs,
+       CAST(coalesce(sum(CASE WHEN ik_all AND kept THEN n_tokens END), 0)
+         AS BIGINT) AS final_tokens
+FROM f
+UNION ALL
+SELECT 'sample_first',
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN ik_smp THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN ik_smp THEN n_tokens END), 0) AS BIGINT)
+FROM f
+""",
+)
+def q_dedup_order_sensitivity(spark, sf_dir):
+    """The dedup-vs-sample ordering decision, SIMULATED BOTH WAYS on
+    the same corpus with the same primitives (min-id exact dedup,
+    stratified_quality_sample's deterministic decile^2/100 keep draw):
+    per pipeline order, the dedup stage's input size (its cost proxy),
+    the sample stage's input size, and the exact final doc/token
+    yield. The two orders genuinely differ doc-by-doc: dedup-first
+    LOSES a duplicated text entirely when its min-id keeper fails the
+    sample draw (another copy might have passed); sample-first keeps
+    exactly one sampled copy per surviving fingerprint but pays the
+    sampler budget for duplicates (dup_rate_by_quality shows where
+    that mass sits). One fingerprint groupBy (twice, second over the
+    sampled subset), the percentile broadcast, equi joins, two global
+    aggregates — no pair joins, empty-corpus safe."""
+    from scikit_learn_imputer_spark.operators.split import (
+        stratified_quality_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    s = stratified_quality_sample(d).select("doc_id", "n_tokens", "kept")
+    fps = d.select("doc_id", fingerprint_col(F.col("text")).alias("__fp"))
+    k = s.join(fps, "doc_id")
+    ka = k.groupBy("__fp").agg(F.min("doc_id").alias("__kid_all"))
+    ks = (
+        k.filter(F.col("kept"))
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("__kid_smp"))
+    )
+    f = (
+        k.join(ka, "__fp")
+        .join(ks, "__fp", "left")
+        .select(
+            "n_tokens",
+            "kept",
+            (F.col("doc_id") == F.col("__kid_all")).alias("__ik_all"),
+            (
+                F.col("doc_id") == F.coalesce(F.col("__kid_smp"), F.lit(-1))
+            ).alias("__ik_smp"),
+        )
+    )
+    big = lambda c: F.coalesce(F.sum(c), F.lit(0)).cast("bigint")  # noqa: E731
+    row_a = f.agg(
+        big(F.lit(1)).alias("dedup_input_docs"),
+        big(F.col("__ik_all").cast("bigint")).alias("sample_input_docs"),
+        big((F.col("__ik_all") & F.col("kept")).cast("bigint")).alias(
+            "final_docs"
+        ),
+        big(
+            F.when(F.col("__ik_all") & F.col("kept"), F.col("n_tokens"))
+        ).alias("final_tokens"),
+    ).select(
+        F.lit("dedup_first").alias("pipeline_order"),
+        "dedup_input_docs",
+        "sample_input_docs",
+        "final_docs",
+        "final_tokens",
+    )
+    row_b = f.agg(
+        big(F.col("kept").cast("bigint")).alias("dedup_input_docs"),
+        big(F.lit(1)).alias("sample_input_docs"),
+        big(F.col("__ik_smp").cast("bigint")).alias("final_docs"),
+        big(F.when(F.col("__ik_smp"), F.col("n_tokens"))).alias(
+            "final_tokens"
+        ),
+    ).select(
+        F.lit("sample_first").alias("pipeline_order"),
+        "dedup_input_docs",
+        "sample_input_docs",
+        "final_docs",
+        "final_tokens",
+    )
+    return row_a.unionByName(row_b)
+
+
+ORACLE["dedup_order_sensitivity"] = ORACLE[
+    "dedup_order_sensitivity"
+].replace("{tq}", ORACLE["text_quality"])
