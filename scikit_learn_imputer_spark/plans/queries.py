@@ -14100,3 +14100,88 @@ def q_dedup_order_sensitivity(spark, sf_dir):
 ORACLE["dedup_order_sensitivity"] = ORACLE[
     "dedup_order_sensitivity"
 ].replace("{tq}", ORACLE["text_quality"])
+
+
+@register(
+    "scrub_vs_drop_tradeoff",
+    oracle="""
+WITH s AS ({scrub})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN s.n_tokens_after < s.n_tokens_before
+                THEN 1 ELSE 0 END) AS BIGINT) AS contam_docs,
+       CAST(coalesce(sum(CASE WHEN s.n_tokens_after < s.n_tokens_before
+                THEN s.n_tokens_before END), 0) AS BIGINT)
+         AS drop_loss_tokens,
+       CAST(coalesce(sum(s.n_tokens_before - s.n_tokens_after), 0)
+         AS BIGINT) AS scrub_loss_tokens,
+       CAST(coalesce(sum(CASE WHEN s.n_tokens_after < s.n_tokens_before
+                THEN s.n_tokens_after END), 0) AS BIGINT)
+         AS recovered_tokens,
+       round(CASE WHEN coalesce(sum(CASE WHEN s.n_tokens_after
+                                    < s.n_tokens_before
+                                    THEN s.n_tokens_before END), 0) > 0
+             THEN CAST(coalesce(sum(CASE WHEN s.n_tokens_after
+                                    < s.n_tokens_before
+                                    THEN s.n_tokens_after END), 0) AS DOUBLE)
+                  / sum(CASE WHEN s.n_tokens_after < s.n_tokens_before
+                        THEN s.n_tokens_before END)
+             ELSE 0.0 END, 6) AS recovered_frac
+FROM s JOIN documents d USING (doc_id)
+GROUP BY d.source
+""",
+)
+def q_scrub_vs_drop_tradeoff(spark, sf_dir):
+    """The decontamination POLICY decision, per source: dropping every
+    contaminated doc loses its full token mass (drop_loss_tokens);
+    span-scrubbing loses only the contaminated 5-gram spans
+    (scrub_loss_tokens) and recovers the rest (recovered_tokens,
+    recovered_frac of the would-be-dropped mass). Read next to
+    contamination_severity: sources whose contamination is a few
+    incidental grams recover ~everything under scrub; wholesale-leak
+    sources recover little and should drop. Composes the oracled
+    scrub_benchmark_spans rebuild with one per-source aggregate —
+    digest semi joins only, output O(#sources)."""
+    from scikit_learn_imputer_spark.dedup.spans import scrub_benchmark_spans
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 100 < 2)
+    corpus = d.filter(F.col("doc_id") % 100 >= 2)
+    s = scrub_benchmark_spans(corpus, bench, n=5).select(
+        "doc_id", "n_tokens_before", "n_tokens_after"
+    )
+    contam = F.col("n_tokens_after") < F.col("n_tokens_before")
+    big = lambda c: F.coalesce(F.sum(c), F.lit(0)).cast("bigint")  # noqa: E731
+    agg = (
+        s.join(corpus.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            big(contam.cast("bigint")).alias("contam_docs"),
+            big(F.when(contam, F.col("n_tokens_before"))).alias(
+                "drop_loss_tokens"
+            ),
+            big(F.col("n_tokens_before") - F.col("n_tokens_after")).alias(
+                "scrub_loss_tokens"
+            ),
+            big(F.when(contam, F.col("n_tokens_after"))).alias(
+                "recovered_tokens"
+            ),
+        )
+    )
+    return agg.withColumn(
+        "recovered_frac",
+        F.round(
+            F.when(
+                F.col("drop_loss_tokens") > 0,
+                F.col("recovered_tokens").cast("double")
+                / F.col("drop_loss_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+
+
+ORACLE["scrub_vs_drop_tradeoff"] = ORACLE["scrub_vs_drop_tradeoff"].replace(
+    "{scrub}", ORACLE["scrub_benchmark_spans"]
+)
