@@ -12419,12 +12419,20 @@ ORACLE["mixture_shuffled_pack_audit"] = ORACLE[
 ].replace("{mix}", ORACLE["temperature_mixture_sample"])
 
 
-@register(
-    "stratified_quality_sample",
-    oracle="""
-WITH tqx AS ({tq}),
+def _strat_sample_sql(extra_base_cols=""):
+    """Shared oracle scaffold of the stratified quality sampler — the
+    base/threshold CTEs every sampler-derived oracle starts from
+    (stratified_quality_sample, dup_rate_by_quality,
+    dedup_order_sensitivity). Retune the decile thresholds or the
+    score source HERE, once. training_loader_funnel embeds its own
+    copy inside the composed funnel body (its text is string-surgered
+    by funnel_budget_sweep) — keep that one in sync when retuning."""
+    return (
+        """WITH tqx AS ({tq}),
 base AS (
-  SELECT d.doc_id, d.source, t.q_tokens AS n_tokens, t.q_score AS s
+  SELECT d.doc_id, d.source, t.q_tokens AS n_tokens, t.q_score AS s"""
+        + extra_base_cols
+        + """
   FROM documents d JOIN tqx t USING (doc_id)
 ),
 thr AS (
@@ -12432,7 +12440,20 @@ thr AS (
          quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
            AS ts
   FROM base GROUP BY source
-),
+)"""
+    )
+
+
+_FP_BASE_COL = (
+    ",\n         md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'))"
+    " AS fp"
+)
+
+
+@register(
+    "stratified_quality_sample",
+    oracle=_strat_sample_sql()
+    + """,
 b AS (
   SELECT base.source, base.n_tokens,
          CAST(1 + len(list_filter(thr.ts, t -> base.s >= t)) AS INTEGER)
@@ -13888,19 +13909,8 @@ ORACLE["gate_overlap_matrix"] = (
 
 @register(
     "dup_rate_by_quality",
-    oracle=r"""
-WITH tqx AS ({tq}),
-base AS (
-  SELECT d.doc_id, d.source, t.q_tokens AS n_tokens, t.q_score AS s,
-         md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS fp
-  FROM documents d JOIN tqx t USING (doc_id)
-),
-thr AS (
-  SELECT source,
-         quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
-           AS ts
-  FROM base GROUP BY source
-),
+    oracle=_strat_sample_sql(_FP_BASE_COL)
+    + r""",
 cnt AS (SELECT fp, count(*) AS c FROM base GROUP BY fp),
 b AS (
   SELECT base.source, base.n_tokens,
@@ -13975,19 +13985,8 @@ ORACLE["dup_rate_by_quality"] = ORACLE["dup_rate_by_quality"].replace(
 
 @register(
     "dedup_order_sensitivity",
-    oracle=r"""
-WITH tqx AS ({tq}),
-base AS (
-  SELECT d.doc_id, d.source, t.q_tokens AS n_tokens, t.q_score AS s,
-         md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS fp
-  FROM documents d JOIN tqx t USING (doc_id)
-),
-thr AS (
-  SELECT source,
-         quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
-           AS ts
-  FROM base GROUP BY source
-),
+    oracle=_strat_sample_sql(_FP_BASE_COL)
+    + r""",
 k AS (
   SELECT base.doc_id, base.n_tokens, base.fp,
          CAST(('0x' || substr(md5('strat:' || CAST(base.doc_id AS VARCHAR)),
@@ -14007,18 +14006,18 @@ f AS (
 )
 SELECT 'dedup_first' AS pipeline_order,
        CAST(count(*) AS BIGINT) AS dedup_input_docs,
-       CAST(sum(CASE WHEN ik_all THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(coalesce(sum(CASE WHEN ik_all THEN 1 ELSE 0 END), 0) AS BIGINT)
          AS sample_input_docs,
-       CAST(sum(CASE WHEN ik_all AND kept THEN 1 ELSE 0 END) AS BIGINT)
-         AS final_docs,
+       CAST(coalesce(sum(CASE WHEN ik_all AND kept THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS final_docs,
        CAST(coalesce(sum(CASE WHEN ik_all AND kept THEN n_tokens END), 0)
          AS BIGINT) AS final_tokens
 FROM f
 UNION ALL
 SELECT 'sample_first',
-       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN kept THEN 1 ELSE 0 END), 0) AS BIGINT),
        CAST(count(*) AS BIGINT),
-       CAST(sum(CASE WHEN ik_smp THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN ik_smp THEN 1 ELSE 0 END), 0) AS BIGINT),
        CAST(coalesce(sum(CASE WHEN ik_smp THEN n_tokens END), 0) AS BIGINT)
 FROM f
 """,
@@ -14035,8 +14034,9 @@ def q_dedup_order_sensitivity(spark, sf_dir):
     exactly one sampled copy per surviving fingerprint but pays the
     sampler budget for duplicates (dup_rate_by_quality shows where
     that mass sits). One fingerprint groupBy (twice, second over the
-    sampled subset), the percentile broadcast, equi joins, two global
-    aggregates — no pair joins, empty-corpus safe."""
+    sampled subset), the percentile broadcast, equi joins, and ONE
+    global 8-counter aggregate stacked into the 2 report rows — no
+    pair joins, empty-corpus safe on both engines."""
     from scikit_learn_imputer_spark.operators.split import (
         stratified_quality_sample,
     )
@@ -14063,38 +14063,32 @@ def q_dedup_order_sensitivity(spark, sf_dir):
             ).alias("__ik_smp"),
         )
     )
+    # ONE aggregate computes all eight counters, then a 1-row stack —
+    # the gate_overlap_matrix shape. A union of two .agg() branches
+    # would plan the whole upstream (percentiles, fingerprint groupBy,
+    # keeper joins) twice: Catalyst shares nothing across union
+    # branches.
     big = lambda c: F.coalesce(F.sum(c), F.lit(0)).cast("bigint")  # noqa: E731
-    row_a = f.agg(
-        big(F.lit(1)).alias("dedup_input_docs"),
-        big(F.col("__ik_all").cast("bigint")).alias("sample_input_docs"),
+    one = f.agg(
+        big(F.lit(1)).alias("n_all"),
+        big(F.col("kept").cast("bigint")).alias("n_kept"),
+        big(F.col("__ik_all").cast("bigint")).alias("n_keepers_all"),
         big((F.col("__ik_all") & F.col("kept")).cast("bigint")).alias(
-            "final_docs"
+            "fd_a"
         ),
         big(
             F.when(F.col("__ik_all") & F.col("kept"), F.col("n_tokens"))
-        ).alias("final_tokens"),
-    ).select(
-        F.lit("dedup_first").alias("pipeline_order"),
-        "dedup_input_docs",
-        "sample_input_docs",
-        "final_docs",
-        "final_tokens",
+        ).alias("ft_a"),
+        big(F.col("__ik_smp").cast("bigint")).alias("fd_b"),
+        big(F.when(F.col("__ik_smp"), F.col("n_tokens"))).alias("ft_b"),
     )
-    row_b = f.agg(
-        big(F.col("kept").cast("bigint")).alias("dedup_input_docs"),
-        big(F.lit(1)).alias("sample_input_docs"),
-        big(F.col("__ik_smp").cast("bigint")).alias("final_docs"),
-        big(F.when(F.col("__ik_smp"), F.col("n_tokens"))).alias(
-            "final_tokens"
-        ),
-    ).select(
-        F.lit("sample_first").alias("pipeline_order"),
-        "dedup_input_docs",
-        "sample_input_docs",
-        "final_docs",
-        "final_tokens",
+    return one.selectExpr(
+        "stack(2,"
+        " 'dedup_first', n_all, n_keepers_all, fd_a, ft_a,"
+        " 'sample_first', n_kept, n_all, fd_b, ft_b)"
+        " AS (pipeline_order, dedup_input_docs, sample_input_docs,"
+        " final_docs, final_tokens)"
     )
-    return row_a.unionByName(row_b)
 
 
 ORACLE["dedup_order_sensitivity"] = ORACLE[
