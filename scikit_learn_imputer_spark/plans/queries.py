@@ -14179,3 +14179,74 @@ def q_scrub_vs_drop_tradeoff(spark, sf_dir):
 ORACLE["scrub_vs_drop_tradeoff"] = ORACLE["scrub_vs_drop_tradeoff"].replace(
     "{scrub}", ORACLE["scrub_benchmark_spans"]
 )
+
+
+@register(
+    "boilerplate_rate_by_source",
+    oracle="""
+WITH b AS ({rb})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(CASE WHEN b.n_tokens_after < b.n_tokens_before
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS affected_docs,
+       CAST(coalesce(sum(b.n_tokens_before), 0) AS BIGINT) AS total_tokens,
+       CAST(coalesce(sum(b.n_tokens_before - b.n_tokens_after), 0)
+         AS BIGINT) AS boilerplate_tokens,
+       round(CASE WHEN coalesce(sum(b.n_tokens_before), 0) > 0
+             THEN CAST(coalesce(sum(b.n_tokens_before - b.n_tokens_after), 0)
+                       AS DOUBLE) / sum(b.n_tokens_before)
+             ELSE 0.0 END, 6) AS boilerplate_frac
+FROM b JOIN documents d USING (doc_id)
+GROUP BY d.source
+""",
+)
+def q_boilerplate_rate_by_source(spark, sf_dir):
+    """Boilerplate mass per source — the C4/RefinedWeb source-hygiene
+    number: how much of each source's token mass the cross-document
+    boilerplate cleaner (word 3-grams in >= 5 docs) deletes, and how
+    many docs it touches. Sources with high boilerplate_frac are
+    navigation/template-heavy and get down-weighted (or re-crawled
+    with a better extractor) BEFORE their mass distorts the mixture;
+    read beside source_quality_matrix and source_dedup_rates to
+    complete the per-source hygiene panel. Composes the oracled
+    remove_boilerplate rebuild with one per-source aggregate — the
+    digest-keyed span machinery is the cost, the report is O(#sources)
+    and empty-corpus safe on both engines."""
+    from scikit_learn_imputer_spark.dedup.spans import (
+        remove_boilerplate_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    b = remove_boilerplate_spans(d, n=3, min_df=5).select(
+        "doc_id", "n_tokens_before", "n_tokens_after"
+    )
+    affected = F.col("n_tokens_after") < F.col("n_tokens_before")
+    big = lambda c: F.coalesce(F.sum(c), F.lit(0)).cast("bigint")  # noqa: E731
+    agg = (
+        b.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            big(affected.cast("bigint")).alias("affected_docs"),
+            big(F.col("n_tokens_before")).alias("total_tokens"),
+            big(F.col("n_tokens_before") - F.col("n_tokens_after")).alias(
+                "boilerplate_tokens"
+            ),
+        )
+    )
+    return agg.withColumn(
+        "boilerplate_frac",
+        F.round(
+            F.when(
+                F.col("total_tokens") > 0,
+                F.col("boilerplate_tokens").cast("double")
+                / F.col("total_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+
+
+ORACLE["boilerplate_rate_by_source"] = ORACLE[
+    "boilerplate_rate_by_source"
+].replace("{rb}", ORACLE["remove_boilerplate"])
