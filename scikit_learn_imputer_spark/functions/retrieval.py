@@ -1,0 +1,137 @@
+"""BM25 full-text retrieval over the documents corpus.
+
+The reference engine has no retrieval operator; this is north-star
+surface for a training-data pipeline (sourcing domain-relevant documents,
+retrieval-based contamination triage, RAG corpus construction). The
+design is the inverted-index shape expressed relationally:
+
+- the postings list is ``explode(split(text))`` — one row per
+  (doc, term) occurrence, aggregated map-side to term frequencies;
+- only postings for the (bounded, broadcast) query-term set survive the
+  first join, so corpus-wide work is a semi-filtered linear pass —
+  at 100 TB the scan touches every document once but the shuffled
+  volume is O(matching postings), never O(all tokens);
+- document frequency and corpus statistics (N, avgdl) are O(|query|)
+  and 1-row aggregates respectively, both broadcast back;
+- the final top-k goes through Spark's ``orderBy().limit(k)`` which
+  compiles to TakeOrderedAndProject (per-partition heap + driver merge
+  of k rows per partition) — no global sort, no data-sized window.
+
+Scoring is textbook Okapi BM25 with the Lucene positive-idf variant:
+
+    idf(t)    = ln(1 + (N - df + 0.5) / (df + 0.5))
+    w(t, d)   = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+so the DuckDB oracle can reproduce every value with the same ``ln``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document containing at least one query term.
+
+    Returns (id_col, score DOUBLE un-rounded, n_terms_matched BIGINT).
+    The caller rounds for presentation; keeping the raw double here lets
+    downstream top-k tie-break on the rounded value + id deterministically.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    spark = docs.sparkSession
+    q = spark.createDataFrame([(t,) for t in sorted(set(query_terms))],
+                              "term string")
+
+    words = F.filter(F.split(F.trim(F.col(text_col)), " "), lambda w: w != "")
+    base = docs.select(
+        F.col(id_col), words.alias("__words")
+    ).withColumn("__dl", F.size("__words").cast("double"))
+
+    # 1-row corpus-statistics frame, broadcast (tfidf_top_terms precedent).
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+
+    postings = base.select(
+        id_col, "__dl", F.explode("__words").alias("term")
+    ).join(F.broadcast(q), on="term")
+    tf = postings.groupBy(id_col, "term", "__dl").agg(
+        F.count(F.lit(1)).cast("double").alias("__tf")
+    )
+    # Document frequency per QUERY term only — an O(|query|) frame.
+    df_t = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+
+    scored = (
+        tf.join(F.broadcast(df_t), on="term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("__n") - F.col("__df") + 0.5)
+                    / (F.col("__df") + 0.5)
+                )
+                * (F.col("__tf") * (k1 + 1.0))
+                / (
+                    F.col("__tf")
+                    + k1
+                    * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+                )
+            ).alias("__w"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("__w").alias("score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+    )
+
+
+def bm25_oracle_sql(
+    query_terms: list[str], *, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """DuckDB twin of :func:`bm25_scores` (same idf/tf formula, same
+    tokenizer) producing (doc_id, score, n_terms_matched)."""
+    terms = ", ".join(f"('{t}')" for t in sorted(set(query_terms)))
+    return f"""
+WITH q(term) AS (VALUES {terms}),
+base AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), w -> w <> '') AS words
+  FROM documents
+),
+lens AS (SELECT doc_id, CAST(len(words) AS DOUBLE) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens),
+postings AS (
+  SELECT b.doc_id, t.term
+  FROM base b, unnest(b.words) AS u(term) JOIN q t USING (term)
+),
+tf AS (
+  SELECT p.doc_id, p.term, l.dl, CAST(count(*) AS DOUBLE) AS tf
+  FROM postings p JOIN lens l USING (doc_id)
+  GROUP BY 1, 2, 3
+),
+dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * ({k1} + 1))
+           / (tf.tf + {k1} * (1 - {b} + {b} * tf.dl / s.avgdl)) AS w
+  FROM tf JOIN dfq USING (term), stats s
+)
+SELECT doc_id, sum(w) AS score,
+       CAST(count(*) AS BIGINT) AS n_terms_matched
+FROM w GROUP BY doc_id
+"""

