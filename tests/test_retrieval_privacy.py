@@ -303,3 +303,91 @@ def test_lang_source_matrix_matches_python_brute_force(spark, sf_smoke):
         )
         h = -sum((c / n) * math.log(c / n) for c in cnt.values())
         assert r["lang_entropy"] == pytest.approx(round(h, 6), abs=1e-6)
+
+
+def test_dp_noisy_histogram_matches_python_brute_force(spark, sf_smoke):
+    rows = duckdb.sql(
+        f"SELECT c_nationkey, c_mktsegment, count(*) FROM "
+        f"'{sf_smoke}/customer.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    expected = {}
+    for nat, seg, cnt in rows:
+        key = f"dp:{nat}:{seg}"
+        u = int(hashlib.md5(key.encode()).hexdigest()[:8], 16) / 2**32
+        v = u - 0.5
+        sign = (v > 0) - (v < 0)
+        noise = -sign * math.log(max(1 - 2 * abs(v), 2**-32))
+        expected[(nat, seg)] = (cnt, round(noise, 6), round(cnt + noise, 6))
+
+    got = QUERIES["dp_noisy_histogram"](spark, sf_smoke).collect()
+    assert {(r["c_nationkey"], r["c_mktsegment"]) for r in got} == set(
+        expected
+    )
+    for r in got:
+        cnt, noise, noisy = expected[(r["c_nationkey"], r["c_mktsegment"])]
+        assert r["true_count"] == cnt
+        assert r["noise"] == pytest.approx(noise, abs=1e-6)
+        assert r["noisy_count"] == pytest.approx(noisy, abs=1e-6)
+        assert abs(r["released_count"] - noisy) <= 0.5 + 1e-6
+    # Laplace(1) sanity on the realized draws: zero-mean-ish, and the
+    # largest |noise| stays within the e^-|x| tail for this class count.
+    noises = [expected[k][1] for k in expected]
+    assert abs(sum(noises) / len(noises)) < 1.0
+    assert max(abs(x) for x in noises) < math.log(2**32)
+
+
+def _term_freqs(sf_dir):
+    by_source = defaultdict(Counter)
+    for _, text, source in _docs(sf_dir):
+        for w in text.strip().split(" "):
+            if w:
+                by_source[source][w] += 1
+    return by_source
+
+
+def test_zipf_fit_by_source_matches_python_brute_force(spark, sf_smoke):
+    by_source = _term_freqs(sf_smoke)
+    got = {r["source"]: r for r in
+           QUERIES["zipf_fit_by_source"](spark, sf_smoke).collect()}
+    assert set(got) == set(by_source)
+    for source, cnt in by_source.items():
+        ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        xs = [math.log(i + 1) for i in range(len(ordered))]
+        ys = [math.log(f) for _, f in ordered]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        sxx = sum((x - mx) ** 2 for x in xs)
+        sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+        syy = sum((y - my) ** 2 for y in ys)
+        slope = sxy / sxx
+        r2 = sxy * sxy / (sxx * syy) if syy > 0 else None
+        r = got[source]
+        assert r["n_types"] == n
+        assert r["slope"] == pytest.approx(round(slope, 4), abs=1e-4)
+        assert r["intercept"] == pytest.approx(
+            round(my - slope * mx, 4), abs=1e-4
+        )
+        if r2 is not None:
+            assert r["r2"] == pytest.approx(round(r2, 6), abs=1e-6)
+
+
+def test_lexical_diversity_matches_python_brute_force(spark, sf_smoke):
+    by_source = _term_freqs(sf_smoke)
+    got = {r["source"]: r for r in
+           QUERIES["lexical_diversity_by_source"](spark, sf_smoke).collect()}
+    assert set(got) == set(by_source)
+    for source, cnt in by_source.items():
+        n_tok = sum(cnt.values())
+        n_typ = len(cnt)
+        r = got[source]
+        assert r["n_tokens"] == n_tok
+        assert r["n_types"] == n_typ
+        assert r["ttr"] == pytest.approx(round(n_typ / n_tok, 6), abs=1e-6)
+        hapax = sum(1 for f in cnt.values() if f == 1)
+        assert r["hapax_frac"] == pytest.approx(
+            round(hapax / n_typ, 6), abs=1e-6
+        )
+        simpson = sum(f * (f - 1) for f in cnt.values()) / (
+            n_tok * (n_tok - 1)
+        )
+        assert r["simpson"] == pytest.approx(round(simpson, 6), abs=1e-6)
