@@ -135,3 +135,125 @@ SELECT doc_id, sum(w) AS score,
        CAST(count(*) AS BIGINT) AS n_terms_matched
 FROM w GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------
+# Persisted inverted index: build once, query many.
+# ---------------------------------------------------------------------
+
+N_TERM_BUCKETS = 64
+
+
+def term_bucket_expr(term: "F.Column"):
+    """md5-derived term bucket (0..N_TERM_BUCKETS-1) — the index's
+    physical partition key, computable in Spark, DuckDB, and plain
+    python (int(md5(term)[:8], 16) % N), so a query planner on ANY
+    engine can name the index partitions its terms live in."""
+    return (
+        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("bigint")
+        % N_TERM_BUCKETS
+    ).cast("int")
+
+
+def python_term_bucket(term: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % N_TERM_BUCKETS
+
+
+def build_bm25_index(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Materialize the three index frames: postings (term_bucket, term,
+    doc_id, tf, dl), document frequencies (term, df), and the 1-row
+    corpus stats (n_docs, avgdl). All three are plain aggregates of one
+    tokenization pass; nothing here is query-specific."""
+    words = F.filter(F.split(F.trim(F.col(text_col)), " "), lambda w: w != "")
+    base = docs.select(F.col(id_col), words.alias("__words")).withColumn(
+        "__dl", F.size("__words").cast("double")
+    )
+    postings = (
+        base.select(id_col, "__dl", F.explode("__words").alias("term"))
+        .groupBy("term", id_col, "__dl")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .select(
+            term_bucket_expr(F.col("term")).alias("term_bucket"),
+            "term",
+            id_col,
+            F.col("__dl").alias("dl"),
+            "tf",
+        )
+    )
+    dfs = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("__dl").alias("avgdl"),
+    )
+    return postings, dfs, stats
+
+
+def save_bm25_index(
+    postings: DataFrame, dfs: DataFrame, stats: DataFrame, path: str
+) -> None:
+    """Write the index: postings parquet PARTITIONED BY term_bucket (a
+    query touches |query| buckets of 64 — the scan prunes the rest at
+    planning time), df and stats as small side frames."""
+    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        f"{path}/postings"
+    )
+    dfs.write.mode("overwrite").parquet(f"{path}/dfs")
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def load_bm25_index(spark, path: str):
+    return (
+        spark.read.parquet(f"{path}/postings"),
+        spark.read.parquet(f"{path}/dfs"),
+        spark.read.parquet(f"{path}/stats"),
+    )
+
+
+def bm25_scores_from_index(
+    postings: DataFrame,
+    dfs: DataFrame,
+    stats: DataFrame,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a query against the PERSISTED index: the term filter and
+    the python-computed bucket filter both reach the parquet scan, so
+    only the query's postings partitions are read — the corpus text is
+    never touched again. Identical scores to :func:`bm25_scores`."""
+    terms = sorted(set(query_terms))
+    buckets = sorted({python_term_bucket(t) for t in terms})
+    hit = postings.filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    scored = (
+        hit.join(F.broadcast(dfs.filter(F.col("term").isin(terms))), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("__w"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("__w").alias("score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+    )

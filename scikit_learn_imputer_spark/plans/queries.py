@@ -14877,3 +14877,37 @@ def q_lexical_diversity_by_source(spark, sf_dir):
             6,
         ).alias("simpson"),
     )
+
+
+@register("bm25_persisted_topk", oracle=ORACLE["bm25_topk"])
+def q_bm25_persisted_topk(spark, sf_dir):
+    """BM25 top-10 probing a PERSISTED inverted index — the
+    build-once-query-many architecture retrieval actually runs at
+    100 TB: build_bm25_index materializes postings partitioned by an
+    md5-derived term bucket (64 dirs), save/load round-trips through
+    parquet, and the probe filters on BOTH the python-computed bucket
+    list and the term set, so partition pruning + pushed filters mean a
+    3-term query reads at most 3 of 64 index directories and never
+    touches the corpus text again. Scores are identical to the
+    from-scratch chain, so it shares bm25_topk's oracle verbatim (the
+    ann_ivf_persisted_topk precedent)."""
+    from scikit_learn_imputer_spark.functions.retrieval import (
+        bm25_scores_from_index,
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    path = _scratch("bm25_index")
+    d = _t(spark, sf_dir, "documents")
+    save_bm25_index(*build_bm25_index(d), path)
+    postings, dfs, stats = load_bm25_index(spark, path)
+    s = bm25_scores_from_index(postings, dfs, stats, BM25_QUERY_TERMS)
+    order = [F.round("score", 6).desc(), F.col("doc_id").asc()]
+    top = s.orderBy(*order).limit(10)
+    w = Window.orderBy(*order)  # O(k)=10-row frame after the limit
+    return top.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "n_terms_matched",
+    ).withColumn("rank", F.row_number().over(w).cast("int"))

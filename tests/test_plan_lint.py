@@ -73,6 +73,8 @@ INTENDED_NON_EQUI = {
     "bm25_source_relevance",       # same 1-row stats frame + a 1-row
                                    # top-decile threshold broadcast
                                    # (winsorize_acctbal precedent)
+    "bm25_persisted_topk",         # same 1-row stats frame, read back
+                                   # from the persisted index
 }
 
 HEAVY_BUILD = {

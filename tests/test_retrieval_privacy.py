@@ -391,3 +391,50 @@ def test_lexical_diversity_matches_python_brute_force(spark, sf_smoke):
             n_tok * (n_tok - 1)
         )
         assert r["simpson"] == pytest.approx(round(simpson, 6), abs=1e-6)
+
+
+def test_bm25_persisted_index_prunes_partitions_and_matches(spark, sf_smoke):
+    """The persisted index must (a) return exactly the from-scratch
+    scores and (b) physically prune: a 3-term query reads at most 3 of
+    the 64 term-bucket partition directories."""
+    import tempfile
+
+    from scikit_learn_imputer_spark.functions.retrieval import (
+        bm25_scores,
+        bm25_scores_from_index,
+        build_bm25_index,
+        load_bm25_index,
+        python_term_bucket,
+        save_bm25_index,
+    )
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_smoke, "documents")
+    path = tempfile.mkdtemp(prefix="sli_bm25_test_")
+    save_bm25_index(*build_bm25_index(d), path)
+    postings, dfs, stats = load_bm25_index(spark, path)
+
+    probe = bm25_scores_from_index(postings, dfs, stats, BM25_QUERY_TERMS)
+    fresh = {
+        r["doc_id"]: (round(r["score"], 6), r["n_terms_matched"])
+        for r in bm25_scores(d, BM25_QUERY_TERMS).collect()
+    }
+    got = {
+        r["doc_id"]: (round(r["score"], 6), r["n_terms_matched"])
+        for r in probe.collect()
+    }
+    assert got == fresh
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    want_buckets = sorted({python_term_bucket(t) for t in BM25_QUERY_TERMS})
+    # Partition pruning is visible in the scan: the bucket filter is a
+    # partition filter, not a post-scan predicate.
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, "postings scan carries no partition filter"
+    assert "term_bucket" in m.group(1)
+    for b in want_buckets:
+        assert str(b) in m.group(1)
+    # The term predicate reaches the scan too (pushed data filter).
+    assert "PushedFilters" in plan and "term" in plan
