@@ -14470,6 +14470,15 @@ def q_event_rate_anomalies(spark, sf_dir):
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return _anomalies_from_hourly(hourly)
+
+
+def _anomalies_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Shared detector stage: trailing-24-bucket z-score over an exact
+    (event_type, hour_ts, n_events) frame — the batch query and the
+    streaming accountant's read-back run EXACTLY this code, which is
+    what makes batch==stream a structural property rather than a test
+    assertion."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour_ts")
@@ -14911,3 +14920,39 @@ def q_bm25_persisted_topk(spark, sf_dir):
         F.round("score", 6).alias("score"),
         "n_terms_matched",
     ).withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+@register("stream_event_anomalies", oracle=ORACLE["event_rate_anomalies"])
+def q_stream_event_anomalies(spark, sf_dir):
+    """STREAMING event-rate anomaly monitor: the events table drains
+    through a foreachBatch accountant
+    (streaming/ingest.py:stream_event_counts_ingest) that lands each
+    micro-batch's (event_type, hour) count delta exactly-once
+    (batch_id-keyed sink); the read-back sums the deltas into the exact
+    hourly frame and runs THE SAME detector stage the batch query runs
+    (_anomalies_from_hourly), so it shares event_rate_anomalies' oracle
+    verbatim — the batch==stream contract of stream_mixture_monitor.
+    Late events add to their hour's bucket at the next read-back
+    instead of growing watermark state; per batch nothing event-sized
+    lands, only O(types x hours-in-batch) delta rows."""
+    from scikit_learn_imputer_spark.streaming.events import (
+        stream_events_from_parquet,
+    )
+    from scikit_learn_imputer_spark.streaming.ingest import (
+        stream_event_counts_ingest,
+    )
+
+    out = _scratch("evanom") + "/deltas"
+    ck = _scratch("evanom_ck")
+    stream = stream_events_from_parquet(spark, sf_dir)
+    q = stream_event_counts_ingest(stream, out, ck).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    hourly = (
+        spark.read.parquet(out)
+        .groupBy("event_type", "hour_ts")
+        .agg(F.sum("n_events").cast("bigint").alias("n_events"))
+    )
+    return _anomalies_from_hourly(hourly)

@@ -160,3 +160,40 @@ def stream_mixture_monitor_ingest(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def stream_event_counts_ingest(
+    events_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+):
+    """Ingest-time event-rate accountant (the streaming half of the
+    event_rate_anomalies monitor): every micro-batch lands its
+    (event_type, hour) count delta via the exactly-once batch_id-keyed
+    sink. Reading the sink back and summing reconstructs the exact
+    hourly bucket frame at any point of the ingest, so the trailing
+    z-score detector can run over live data with NO cross-batch
+    streaming state — late events simply add to their hour's bucket on
+    the next read-back, which windowed streaming aggregation state
+    would have to hold memory for. Per batch: one map-side aggregate
+    to O(types x hours-in-batch) rows."""
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.streaming.sinks import (
+        idempotent_batch_sink,
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        delta = batch.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour_ts"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        idempotent_batch_sink(delta, out_path, batch_id)
+
+    return (
+        events_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
