@@ -187,9 +187,12 @@ def build_bm25_index(
     dfs = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )
+    # Summable moments, not the average: (n_docs, sum_dl) add across
+    # incremental index deltas, and avgdl = sum_dl / n_docs is the
+    # EXACT same double (dl values are integers, sums stay < 2^53).
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("__dl").alias("avgdl"),
+        F.sum("__dl").alias("sum_dl"),
     )
     return postings, dfs, stats
 
@@ -197,9 +200,10 @@ def build_bm25_index(
 def save_bm25_index(
     postings: DataFrame, dfs: DataFrame, stats: DataFrame, path: str
 ) -> None:
-    """Write the index: postings parquet PARTITIONED BY term_bucket (a
-    query touches |query| buckets of 64 — the scan prunes the rest at
-    planning time), df and stats as small side frames."""
+    """Write the base index: postings parquet PARTITIONED BY term_bucket
+    (a query touches |query| buckets of 64 — the scan prunes the rest
+    at planning time), df and stats as small DELTA frames (load sums
+    them, so incremental appends need no read-modify-write)."""
     postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
         f"{path}/postings"
     )
@@ -207,12 +211,51 @@ def save_bm25_index(
     stats.write.mode("overwrite").parquet(f"{path}/stats")
 
 
-def load_bm25_index(spark, path: str):
-    return (
-        spark.read.parquet(f"{path}/postings"),
-        spark.read.parquet(f"{path}/dfs"),
-        spark.read.parquet(f"{path}/stats"),
+def append_bm25_index(
+    delta_docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incrementally index NEW documents into a persisted index without
+    touching the already-indexed corpus: the delta's postings append
+    into their term-bucket directories, and df/stats land as additional
+    delta files that the loader SUMS — pure parquet appends, no
+    read-modify-write, no rebuild, crash-safe in the same way the
+    batch_id-keyed sinks are (a replayed append of the same delta is
+    the one at-least-once hazard, same contract as append_to_store).
+    Assumes delta doc ids are new (dedup/decontam run upstream)."""
+    postings, dfs, stats = build_bm25_index(
+        delta_docs, id_col=id_col, text_col=text_col
     )
+    postings.write.mode("append").partitionBy("term_bucket").parquet(
+        f"{path}/postings"
+    )
+    dfs.write.mode("append").parquet(f"{path}/dfs")
+    stats.write.mode("append").parquet(f"{path}/stats")
+
+
+def load_bm25_index(spark, path: str):
+    """Read the index back, folding any incremental deltas: df sums per
+    term, stats sums to one row and derives avgdl = sum_dl / n_docs
+    (exact — integer-valued doubles)."""
+    dfs = (
+        spark.read.parquet(f"{path}/dfs")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    stats = (
+        spark.read.parquet(f"{path}/stats")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_dl").alias("sum_dl"),
+        )
+        .select(
+            "n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl")
+        )
+    )
+    return spark.read.parquet(f"{path}/postings"), dfs, stats
 
 
 def bm25_scores_from_index(

@@ -14956,3 +14956,40 @@ def q_stream_event_anomalies(spark, sf_dir):
         .agg(F.sum("n_events").cast("bigint").alias("n_events"))
     )
     return _anomalies_from_hourly(hourly)
+
+
+@register("bm25_incremental_topk", oracle=ORACLE["bm25_topk"])
+def q_bm25_incremental_topk(spark, sf_dir):
+    """Incremental BM25 index maintenance: the corpus arrives in two
+    installments (the established doc_id % 100 split), the base builds
+    and persists, the delta APPENDS — new postings land in their
+    term-bucket directories, df/stats land as summable delta files —
+    and the probe of the folded index must equal querying a
+    from-scratch index over the full corpus, so it shares bm25_topk's
+    oracle verbatim. This is the index-freshness story at 100 TB: a
+    daily crawl increment costs one pass over the NEW documents, never
+    a rebuild, and the loader folds deltas with an O(vocab) sum."""
+    from scikit_learn_imputer_spark.functions.retrieval import (
+        append_bm25_index,
+        bm25_scores_from_index,
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    path = _scratch("bm25_incr")
+    d = _t(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 100 >= 2)
+    delta = d.filter(F.col("doc_id") % 100 < 2)
+    save_bm25_index(*build_bm25_index(base), path)
+    append_bm25_index(delta, path)
+    postings, dfs, stats = load_bm25_index(spark, path)
+    s = bm25_scores_from_index(postings, dfs, stats, BM25_QUERY_TERMS)
+    order = [F.round("score", 6).desc(), F.col("doc_id").asc()]
+    top = s.orderBy(*order).limit(10)
+    w = Window.orderBy(*order)  # O(k)=10-row frame after the limit
+    return top.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "n_terms_matched",
+    ).withColumn("rank", F.row_number().over(w).cast("int"))

@@ -75,6 +75,8 @@ INTENDED_NON_EQUI = {
                                    # (winsorize_acctbal precedent)
     "bm25_persisted_topk",         # same 1-row stats frame, read back
                                    # from the persisted index
+    "bm25_incremental_topk",       # same 1-row stats frame, folded from
+                                   # the index's summable delta files
 }
 
 HEAVY_BUILD = {

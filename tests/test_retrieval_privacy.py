@@ -438,3 +438,45 @@ def test_bm25_persisted_index_prunes_partitions_and_matches(spark, sf_smoke):
         assert str(b) in m.group(1)
     # The term predicate reaches the scan too (pushed data filter).
     assert "PushedFilters" in plan and "term" in plan
+
+
+def test_bm25_incremental_appends_equal_full_rebuild(spark, sf_smoke):
+    """Two successive delta appends must fold to EXACTLY the index a
+    from-scratch build over the full corpus produces — scores, matched
+    counts, df and corpus stats all included (the incremental-store
+    equivalence contract, applied to retrieval)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.functions.retrieval import (
+        append_bm25_index,
+        bm25_scores,
+        bm25_scores_from_index,
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_smoke, "documents")
+    path = tempfile.mkdtemp(prefix="sli_bm25_incr_test_")
+    save_bm25_index(*build_bm25_index(d.filter(F.col("doc_id") % 3 == 0)),
+                    path)
+    append_bm25_index(d.filter(F.col("doc_id") % 3 == 1), path)
+    append_bm25_index(d.filter(F.col("doc_id") % 3 == 2), path)
+    postings, dfs, stats = load_bm25_index(spark, path)
+
+    got = {
+        r["doc_id"]: (round(r["score"], 6), r["n_terms_matched"])
+        for r in bm25_scores_from_index(
+            postings, dfs, stats, BM25_QUERY_TERMS
+        ).collect()
+    }
+    fresh = {
+        r["doc_id"]: (round(r["score"], 6), r["n_terms_matched"])
+        for r in bm25_scores(d, BM25_QUERY_TERMS).collect()
+    }
+    assert got == fresh
+    st = stats.collect()[0]
+    assert st["n_docs"] == d.count()
