@@ -100,17 +100,24 @@ def bm25_scores(
 
 
 def bm25_oracle_sql(
-    query_terms: list[str], *, k1: float = 1.2, b: float = 0.75
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    where: str = "",
 ) -> str:
     """DuckDB twin of :func:`bm25_scores` (same idf/tf formula, same
-    tokenizer) producing (doc_id, score, n_terms_matched)."""
+    tokenizer) producing (doc_id, score, n_terms_matched). ``where``
+    restricts the corpus (takedown oracle: the index after erasure must
+    equal an index that never saw the erased docs)."""
     terms = ", ".join(f"('{t}')" for t in sorted(set(query_terms)))
+    clause = f"WHERE {where}" if where else ""
     return f"""
 WITH q(term) AS (VALUES {terms}),
 base AS (
   SELECT doc_id,
          list_filter(string_split(trim(text), ' '), w -> w <> '') AS words
-  FROM documents
+  FROM documents {clause}
 ),
 lens AS (SELECT doc_id, CAST(len(words) AS DOUBLE) AS dl FROM base),
 stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens),
@@ -267,16 +274,21 @@ def bm25_scores_from_index(
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Score a query against the PERSISTED index: the term filter and
     the python-computed bucket filter both reach the parquet scan, so
     only the query's postings partitions are read — the corpus text is
-    never touched again. Identical scores to :func:`bm25_scores`."""
+    never touched again. Identical scores to :func:`bm25_scores`.
+    ``tombstones`` (from :func:`load_bm25_tombstones`) anti-joins
+    taken-down documents out of the hit set before scoring."""
     terms = sorted(set(query_terms))
     buckets = sorted({python_term_bucket(t) for t in terms})
     hit = postings.filter(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
     )
+    if tombstones is not None:
+        hit = hit.join(F.broadcast(tombstones), id_col, "left_anti")
     scored = (
         hit.join(F.broadcast(dfs.filter(F.col("term").isin(terms))), "term")
         .crossJoin(F.broadcast(stats))
@@ -300,3 +312,37 @@ def bm25_scores_from_index(
         F.sum("__w").alias("score"),
         F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
     )
+
+
+def takedown_bm25_index(spark, path: str, doc_ids: DataFrame) -> None:
+    """Propagate a takedown/right-to-erasure request through the
+    persisted index WITHOUT a rebuild — deletion is just the negative
+    delta: the victims' ids land in a tombstone frame (probes anti-join
+    it), and their df / corpus-stats contributions land as NEGATIVE
+    delta files that the loader's existing sums fold away. One
+    semi-join over the affected term buckets sizes the corrections;
+    the untouched buckets are never read. Physical purge of the
+    tombstoned posting rows is a later bucket-local compaction
+    (the dedup/incremental.py compaction contract); the index answers
+    as-if-deleted the moment this returns."""
+    ids = doc_ids.select("doc_id").distinct()
+    postings = spark.read.parquet(f"{path}/postings")
+    victim = postings.join(F.broadcast(ids), "doc_id", "left_semi")
+    neg_df = victim.groupBy("term").agg(
+        (-F.count(F.lit(1)).cast("double")).alias("df")
+    )
+    neg_stats = victim.select("doc_id", "dl").distinct().agg(
+        (-F.count(F.lit(1)).cast("double")).alias("n_docs"),
+        (-F.coalesce(F.sum("dl"), F.lit(0.0))).alias("sum_dl"),
+    )
+    neg_df.write.mode("append").parquet(f"{path}/dfs")
+    neg_stats.write.mode("append").parquet(f"{path}/stats")
+    ids.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def load_bm25_tombstones(spark, path: str) -> DataFrame | None:
+    import os
+
+    if not os.path.isdir(f"{path}/tombstones"):
+        return None
+    return spark.read.parquet(f"{path}/tombstones").distinct()

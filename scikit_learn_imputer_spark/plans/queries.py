@@ -14993,3 +14993,63 @@ def q_bm25_incremental_topk(spark, sf_dir):
         F.round("score", 6).alias("score"),
         "n_terms_matched",
     ).withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+@register(
+    "bm25_takedown_topk",
+    oracle="""
+WITH scores AS ({bm25_erased})
+SELECT doc_id, round(score, 6) AS score, n_terms_matched,
+       CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+            AS INT) AS rank
+FROM scores
+ORDER BY round(score, 6) DESC, doc_id
+LIMIT 10
+""",
+)
+def q_bm25_takedown_topk(spark, sf_dir):
+    """Takedown propagation through the retrieval index — the last
+    persisted artifact in the deletion-propagation estate: the full
+    corpus is indexed, then the benchmark slice (doc_id % 100 < 2, the
+    established split) is ERASED via takedown_bm25_index, which writes
+    the victims as tombstones (probes anti-join them) and their df /
+    corpus-stats contributions as NEGATIVE delta files the loader's
+    existing sums fold away — no rebuild, untouched term buckets never
+    read. The oracle is an index that NEVER SAW the erased docs (the
+    from-scratch BM25 SQL over the filtered corpus), so
+    "as-if-never-indexed" is the checked property, scores and corpus
+    statistics included."""
+    from scikit_learn_imputer_spark.functions.retrieval import (
+        bm25_scores_from_index,
+        build_bm25_index,
+        load_bm25_index,
+        load_bm25_tombstones,
+        save_bm25_index,
+        takedown_bm25_index,
+    )
+
+    path = _scratch("bm25_takedown")
+    d = _t(spark, sf_dir, "documents")
+    save_bm25_index(*build_bm25_index(d), path)
+    takedown_bm25_index(
+        spark, path, d.filter(F.col("doc_id") % 100 < 2).select("doc_id")
+    )
+    postings, dfs, stats = load_bm25_index(spark, path)
+    tomb = load_bm25_tombstones(spark, path)
+    s = bm25_scores_from_index(
+        postings, dfs, stats, BM25_QUERY_TERMS, tombstones=tomb
+    )
+    order = [F.round("score", 6).desc(), F.col("doc_id").asc()]
+    top = s.orderBy(*order).limit(10)
+    w = Window.orderBy(*order)  # O(k)=10-row frame after the limit
+    return top.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "n_terms_matched",
+    ).withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+ORACLE["bm25_takedown_topk"] = ORACLE["bm25_takedown_topk"].replace(
+    "{bm25_erased}",
+    bm25_oracle_sql(BM25_QUERY_TERMS, where="doc_id % 100 >= 2"),
+)

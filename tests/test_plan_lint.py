@@ -77,6 +77,8 @@ INTENDED_NON_EQUI = {
                                    # from the persisted index
     "bm25_incremental_topk",       # same 1-row stats frame, folded from
                                    # the index's summable delta files
+    "bm25_takedown_topk",          # same 1-row stats frame, after the
+                                   # negative takedown deltas fold in
 }
 
 HEAVY_BUILD = {

@@ -480,3 +480,54 @@ def test_bm25_incremental_appends_equal_full_rebuild(spark, sf_smoke):
     assert got == fresh
     st = stats.collect()[0]
     assert st["n_docs"] == d.count()
+
+
+def test_bm25_takedown_then_append_folds_commutatively(spark, sf_smoke):
+    """Deletion and ingestion deltas are sums, so their order must not
+    matter: (build A+B, takedown B, append C) == from-scratch (A+C) —
+    scores, matched counts and the folded corpus stats all equal."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.functions.retrieval import (
+        append_bm25_index,
+        bm25_scores,
+        bm25_scores_from_index,
+        build_bm25_index,
+        load_bm25_index,
+        load_bm25_tombstones,
+        save_bm25_index,
+        takedown_bm25_index,
+    )
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_smoke, "documents")
+    a = d.filter(F.col("doc_id") % 3 == 0)
+    bpart = d.filter(F.col("doc_id") % 3 == 1)
+    cpart = d.filter(F.col("doc_id") % 3 == 2)
+
+    path = tempfile.mkdtemp(prefix="sli_bm25_td_test_")
+    save_bm25_index(*build_bm25_index(a.unionByName(bpart)), path)
+    takedown_bm25_index(spark, path, bpart.select("doc_id"))
+    append_bm25_index(cpart, path)
+
+    postings, dfs, stats = load_bm25_index(spark, path)
+    tomb = load_bm25_tombstones(spark, path)
+    got = {
+        r["doc_id"]: (round(r["score"], 6), r["n_terms_matched"])
+        for r in bm25_scores_from_index(
+            postings, dfs, stats, BM25_QUERY_TERMS, tombstones=tomb
+        ).collect()
+    }
+    want_docs = a.unionByName(cpart)
+    fresh = {
+        r["doc_id"]: (round(r["score"], 6), r["n_terms_matched"])
+        for r in bm25_scores(want_docs, BM25_QUERY_TERMS).collect()
+    }
+    assert got == fresh
+    # No erased id can ever surface.
+    erased = {r["doc_id"] for r in bpart.select("doc_id").collect()}
+    assert not (set(got) & erased)
+    st = stats.collect()[0]
+    assert st["n_docs"] == want_docs.count()
