@@ -78,18 +78,14 @@ def bm25_scores(
         .crossJoin(F.broadcast(stats))
         .select(
             id_col,
-            (
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("__n") - F.col("__df") + 0.5)
-                    / (F.col("__df") + 0.5)
-                )
-                * (F.col("__tf") * (k1 + 1.0))
-                / (
-                    F.col("__tf")
-                    + k1
-                    * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
-                )
+            bm25_weight(
+                F.col("__tf"),
+                F.col("__df"),
+                F.col("__n"),
+                F.col("__dl"),
+                F.col("__avgdl"),
+                k1,
+                b,
             ).alias("__w"),
         )
     )
@@ -168,13 +164,26 @@ def python_term_bucket(term: str) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % N_TERM_BUCKETS
 
 
+def bm25_weight(tf, df, n, dl, avgdl, k1: float, b: float):
+    """The one BM25 weight expression (Lucene positive-idf variant),
+    shared by the from-scratch scorer and the persisted-index probe so
+    "probe scores == fresh scores" is structural, not a convention."""
+    return (
+        F.log(F.lit(1.0) + (n - df + 0.5) / (df + 0.5))
+        * (tf * (k1 + 1.0))
+        / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    )
+
+
 def build_bm25_index(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Materialize the three index frames: postings (term_bucket, term,
-    doc_id, tf, dl), document frequencies (term, df), and the 1-row
-    corpus stats (n_docs, avgdl). All three are plain aggregates of one
-    tokenization pass; nothing here is query-specific."""
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Materialize the four index frames: postings (term_bucket, term,
+    doc_id, tf, dl), document frequencies (term, df), the 1-row corpus
+    stats (n_docs, sum_dl), and per-doc lengths (doc_id, dl) — the
+    norms sidecar a takedown needs to correct stats for documents whose
+    text produced NO postings (empty/whitespace-only docs count toward
+    n_docs). All are plain aggregates of one tokenization pass."""
     words = F.filter(F.split(F.trim(F.col(text_col)), " "), lambda w: w != "")
     base = docs.select(F.col(id_col), words.alias("__words")).withColumn(
         "__dl", F.size("__words").cast("double")
@@ -199,23 +208,30 @@ def build_bm25_index(
     # EXACT same double (dl values are integers, sums stay < 2^53).
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.sum("__dl").alias("sum_dl"),
+        F.coalesce(F.sum("__dl"), F.lit(0.0)).alias("sum_dl"),
     )
-    return postings, dfs, stats
+    doclens = base.select(id_col, F.col("__dl").alias("dl"))
+    return postings, dfs, stats, doclens
 
 
 def save_bm25_index(
-    postings: DataFrame, dfs: DataFrame, stats: DataFrame, path: str
+    postings: DataFrame,
+    dfs: DataFrame,
+    stats: DataFrame,
+    doclens: DataFrame,
+    path: str,
 ) -> None:
     """Write the base index: postings parquet PARTITIONED BY term_bucket
     (a query touches |query| buckets of 64 — the scan prunes the rest
-    at planning time), df and stats as small DELTA frames (load sums
-    them, so incremental appends need no read-modify-write)."""
+    at planning time), df/stats as small DELTA frames (load sums them,
+    so incremental appends need no read-modify-write), and the per-doc
+    length sidecar."""
     postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
         f"{path}/postings"
     )
     dfs.write.mode("overwrite").parquet(f"{path}/dfs")
     stats.write.mode("overwrite").parquet(f"{path}/stats")
+    doclens.write.mode("overwrite").parquet(f"{path}/doclens")
 
 
 def append_bm25_index(
@@ -227,13 +243,14 @@ def append_bm25_index(
 ) -> None:
     """Incrementally index NEW documents into a persisted index without
     touching the already-indexed corpus: the delta's postings append
-    into their term-bucket directories, and df/stats land as additional
-    delta files that the loader SUMS — pure parquet appends, no
-    read-modify-write, no rebuild, crash-safe in the same way the
+    into their term-bucket directories, and df/stats/doclens land as
+    additional delta files that the loader SUMS — pure parquet appends,
+    no read-modify-write, no rebuild, crash-safe in the same way the
     batch_id-keyed sinks are (a replayed append of the same delta is
     the one at-least-once hazard, same contract as append_to_store).
-    Assumes delta doc ids are new (dedup/decontam run upstream)."""
-    postings, dfs, stats = build_bm25_index(
+    Assumes delta doc ids are new (dedup/decontam run upstream; a
+    previously taken-down id must NOT be re-ingested under the same id)."""
+    postings, dfs, stats, doclens = build_bm25_index(
         delta_docs, id_col=id_col, text_col=text_col
     )
     postings.write.mode("append").partitionBy("term_bucket").parquet(
@@ -241,6 +258,7 @@ def append_bm25_index(
     )
     dfs.write.mode("append").parquet(f"{path}/dfs")
     stats.write.mode("append").parquet(f"{path}/stats")
+    doclens.write.mode("append").parquet(f"{path}/doclens")
 
 
 def load_bm25_index(spark, path: str):
@@ -294,17 +312,14 @@ def bm25_scores_from_index(
         .crossJoin(F.broadcast(stats))
         .select(
             id_col,
-            (
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("n_docs") - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5)
-                )
-                * (F.col("tf") * (k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-                )
+            bm25_weight(
+                F.col("tf"),
+                F.col("df"),
+                F.col("n_docs"),
+                F.col("dl"),
+                F.col("avgdl"),
+                k1,
+                b,
             ).alias("__w"),
         )
     )
@@ -314,24 +329,36 @@ def bm25_scores_from_index(
     )
 
 
-def takedown_bm25_index(spark, path: str, doc_ids: DataFrame) -> None:
+def takedown_bm25_index(
+    spark, path: str, doc_ids: DataFrame, *, id_col: str = "doc_id"
+) -> None:
     """Propagate a takedown/right-to-erasure request through the
     persisted index WITHOUT a rebuild — deletion is just the negative
     delta: the victims' ids land in a tombstone frame (probes anti-join
     it), and their df / corpus-stats contributions land as NEGATIVE
-    delta files that the loader's existing sums fold away. One
-    semi-join over the affected term buckets sizes the corrections;
-    the untouched buckets are never read. Physical purge of the
-    tombstoned posting rows is a later bucket-local compaction
+    delta files that the loader's existing sums fold away. Corrections
+    come from the doclens sidecar (so zero-posting documents still
+    decrement n_docs) plus one semi-join over the affected term
+    buckets; untouched buckets are never read. IDEMPOTENT: ids already
+    tombstoned are excluded before any delta is computed, so a
+    replayed/overlapping request never double-subtracts. Physical purge
+    of the tombstoned posting rows is a later bucket-local compaction
     (the dedup/incremental.py compaction contract); the index answers
     as-if-deleted the moment this returns."""
-    ids = doc_ids.select("doc_id").distinct()
+    ids = doc_ids.select(id_col).distinct()
+    existing = load_bm25_tombstones(spark, path, id_col=id_col)
+    if existing is not None:
+        ids = ids.join(F.broadcast(existing), id_col, "left_anti")
     postings = spark.read.parquet(f"{path}/postings")
-    victim = postings.join(F.broadcast(ids), "doc_id", "left_semi")
+    victim = postings.join(F.broadcast(ids), id_col, "left_semi")
     neg_df = victim.groupBy("term").agg(
         (-F.count(F.lit(1)).cast("double")).alias("df")
     )
-    neg_stats = victim.select("doc_id", "dl").distinct().agg(
+    victim_lens = (
+        spark.read.parquet(f"{path}/doclens")
+        .join(F.broadcast(ids), id_col, "left_semi")
+    )
+    neg_stats = victim_lens.agg(
         (-F.count(F.lit(1)).cast("double")).alias("n_docs"),
         (-F.coalesce(F.sum("dl"), F.lit(0.0))).alias("sum_dl"),
     )
@@ -340,9 +367,16 @@ def takedown_bm25_index(spark, path: str, doc_ids: DataFrame) -> None:
     ids.write.mode("append").parquet(f"{path}/tombstones")
 
 
-def load_bm25_tombstones(spark, path: str) -> DataFrame | None:
-    import os
+def load_bm25_tombstones(
+    spark, path: str, *, id_col: str = "doc_id"
+) -> DataFrame | None:
+    """Read the tombstone frame, or None when no takedown has run yet.
+    Existence is probed with a Spark read (not the driver's local
+    filesystem), so object-store index paths behave like local ones."""
+    from pyspark.errors import AnalysisException
 
-    if not os.path.isdir(f"{path}/tombstones"):
+    try:
+        tomb = spark.read.parquet(f"{path}/tombstones")
+    except AnalysisException:
         return None
-    return spark.read.parquet(f"{path}/tombstones").distinct()
+    return tomb.select(id_col).distinct()

@@ -14258,6 +14258,36 @@ ORACLE["boilerplate_rate_by_source"] = ORACLE[
 
 BM25_QUERY_TERMS = ["dup", "spark", "vector"]
 
+
+def _bm25_top10(s: DataFrame) -> DataFrame:
+    """Shared top-10 presentation for every BM25 variant (they all
+    assert the same oracle shape): TakeOrderedAndProject on (6-dp
+    score, doc_id), then rank over the 10-row frame. One definition so
+    the tie-break/rounding contract cannot drift between variants."""
+    order = [F.round("score", 6).desc(), F.col("doc_id").asc()]
+    top = s.orderBy(*order).limit(10)
+    w = Window.orderBy(*order)  # O(k)=10-row frame after the limit
+    return top.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "n_terms_matched",
+    ).withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def _source_term_freqs(d: DataFrame) -> DataFrame:
+    """(source, term, freq) frequency frame shared by the vocabulary
+    statistics queries — one tokenizer definition, one explode+agg."""
+    return (
+        d.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+
+
 from scikit_learn_imputer_spark.dedup.cdc import (  # noqa: E402
     cdc_chunks,
     cdc_chunks_oracle_sql,
@@ -14293,14 +14323,7 @@ def q_bm25_topk(spark, sf_dir):
     engines."""
     d = _t(spark, sf_dir, "documents")
     s = bm25_scores(d, BM25_QUERY_TERMS)
-    order = [F.round("score", 6).desc(), F.col("doc_id").asc()]
-    top = s.orderBy(*order).limit(10)
-    w = Window.orderBy(*order)  # O(k)=10-row frame after the limit
-    return top.select(
-        "doc_id",
-        F.round("score", 6).alias("score"),
-        "n_terms_matched",
-    ).withColumn("rank", F.row_number().over(w).cast("int"))
+    return _bm25_top10(s)
 
 
 ORACLE["bm25_topk"] = ORACLE["bm25_topk"].replace(
@@ -14804,15 +14827,7 @@ def q_zipf_fit_by_source(spark, sf_dir):
     closed-form moments (covar_pop/var_pop/corr) match DuckDB's
     regr_* aggregates exactly."""
     d = _t(spark, sf_dir, "documents")
-    tf = (
-        d.select(
-            "source",
-            F.explode(F.split(F.trim(F.col("text")), " ")).alias("term"),
-        )
-        .filter(F.col("term") != "")
-        .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-    )
+    tf = _source_term_freqs(d)
     w = Window.partitionBy("source").orderBy(
         F.col("freq").desc(), F.col("term").asc()
     )
@@ -14821,12 +14836,25 @@ def q_zipf_fit_by_source(spark, sf_dir):
         F.log(F.row_number().over(w).cast("double")).alias("x"),
         F.log(F.col("freq").cast("double")).alias("y"),
     )
-    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    vx, vy = F.var_pop("x"), F.var_pop("y")
+    slope = F.when(vx > 0, F.covar_pop("x", "y") / vx)
+    # r2 from co-moments, NOT F.corr: under ANSI mode the corr aggregate
+    # itself divides by the zero variance DURING aggregation (a post-agg
+    # CASE guard cannot save it) and the query dies on any degenerate
+    # source; cov^2/(vx*vy) is the same number and divides post-agg,
+    # conditionally.
+    r2 = F.when(
+        vx > 0,
+        F.when(
+            vy > 0, F.pow(F.covar_pop("x", "y"), 2) / (vx * vy)
+        ).otherwise(F.lit(1.0)),  # constant y: a zero-slope line fits
+                                  # perfectly (DuckDB regr_r2 = 1.0)
+    )
     return ranked.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_types"),
         F.round(slope, 4).alias("slope"),
         F.round(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"),
-        F.round(F.pow(F.corr("x", "y"), 2), 6).alias("r2"),
+        F.round(r2, 6).alias("r2"),
     )
 
 
@@ -14847,7 +14875,8 @@ SELECT source,
        round(CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*), 6) AS hapax_frac,
        round(CAST(sum(freq * (freq - 1)) AS DOUBLE)
-             / (sum(freq) * (sum(freq) - 1)), 6) AS simpson
+             / (CAST(sum(freq) AS DOUBLE)
+                * (CAST(sum(freq) AS DOUBLE) - 1)), 6) AS simpson
 FROM tf GROUP BY source
 """,
 )
@@ -14860,15 +14889,7 @@ def q_lexical_diversity_by_source(spark, sf_dir):
     frequency aggregate with exact integer sums — two map-side
     combinable shuffles total, report O(#sources)."""
     d = _t(spark, sf_dir, "documents")
-    tf = (
-        d.select(
-            "source",
-            F.explode(F.split(F.trim(F.col("text")), " ")).alias("term"),
-        )
-        .filter(F.col("term") != "")
-        .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-    )
+    tf = _source_term_freqs(d)
     n_tok = F.sum("freq").cast("bigint")
     n_typ = F.count(F.lit(1)).cast("bigint")
     return tf.groupBy("source").agg(
@@ -14882,7 +14903,7 @@ def q_lexical_diversity_by_source(spark, sf_dir):
         ).alias("hapax_frac"),
         F.round(
             F.sum(F.col("freq") * (F.col("freq") - 1)).cast("double")
-            / (n_tok * (n_tok - 1)),
+            / (n_tok.cast("double") * (n_tok.cast("double") - 1)),
             6,
         ).alias("simpson"),
     )
@@ -14912,14 +14933,7 @@ def q_bm25_persisted_topk(spark, sf_dir):
     save_bm25_index(*build_bm25_index(d), path)
     postings, dfs, stats = load_bm25_index(spark, path)
     s = bm25_scores_from_index(postings, dfs, stats, BM25_QUERY_TERMS)
-    order = [F.round("score", 6).desc(), F.col("doc_id").asc()]
-    top = s.orderBy(*order).limit(10)
-    w = Window.orderBy(*order)  # O(k)=10-row frame after the limit
-    return top.select(
-        "doc_id",
-        F.round("score", 6).alias("score"),
-        "n_terms_matched",
-    ).withColumn("rank", F.row_number().over(w).cast("int"))
+    return _bm25_top10(s)
 
 
 @register("stream_event_anomalies", oracle=ORACLE["event_rate_anomalies"])
@@ -14985,14 +14999,7 @@ def q_bm25_incremental_topk(spark, sf_dir):
     append_bm25_index(delta, path)
     postings, dfs, stats = load_bm25_index(spark, path)
     s = bm25_scores_from_index(postings, dfs, stats, BM25_QUERY_TERMS)
-    order = [F.round("score", 6).desc(), F.col("doc_id").asc()]
-    top = s.orderBy(*order).limit(10)
-    w = Window.orderBy(*order)  # O(k)=10-row frame after the limit
-    return top.select(
-        "doc_id",
-        F.round("score", 6).alias("score"),
-        "n_terms_matched",
-    ).withColumn("rank", F.row_number().over(w).cast("int"))
+    return _bm25_top10(s)
 
 
 @register(
@@ -15039,14 +15046,7 @@ def q_bm25_takedown_topk(spark, sf_dir):
     s = bm25_scores_from_index(
         postings, dfs, stats, BM25_QUERY_TERMS, tombstones=tomb
     )
-    order = [F.round("score", 6).desc(), F.col("doc_id").asc()]
-    top = s.orderBy(*order).limit(10)
-    w = Window.orderBy(*order)  # O(k)=10-row frame after the limit
-    return top.select(
-        "doc_id",
-        F.round("score", 6).alias("score"),
-        "n_terms_matched",
-    ).withColumn("rank", F.row_number().over(w).cast("int"))
+    return _bm25_top10(s)
 
 
 ORACLE["bm25_takedown_topk"] = ORACLE["bm25_takedown_topk"].replace(

