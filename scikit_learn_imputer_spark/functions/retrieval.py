@@ -380,3 +380,65 @@ def load_bm25_tombstones(
     except AnalysisException:
         return None
     return tomb.select(id_col).distinct()
+
+
+def compact_bm25_index(spark, path: str, *, id_col: str = "doc_id") -> list:
+    """Physically purge tombstoned postings, bucket-locally — the
+    deferred half of :func:`takedown_bm25_index`. Only term-bucket
+    directories that actually contain victim rows are rewritten (their
+    survivors land in a sibling tmp dir, then swap in); the other
+    buckets are never read or touched, so compaction cost is
+    O(affected buckets), not O(index). Crash-safe by construction, no
+    marker needed: a crash mid-swap leaves some buckets purged and the
+    tombstones still in place, and anti-joining a tombstone whose rows
+    are already gone is a no-op — the index answers correctly in every
+    intermediate state. Tombstones clear (empty overwrite) only after
+    every bucket swap completes. The df/stats deltas written at
+    takedown time stay untouched — they were corrected then and purging
+    rows does not change them. Returns the list of purged buckets.
+
+    Directory swaps use local-filesystem moves (the incremental-store
+    compaction contract); an object-store index would swap via its
+    rename primitive instead."""
+    import os
+    import shutil
+    import tempfile
+
+    tomb = load_bm25_tombstones(spark, path, id_col=id_col)
+    if tomb is None:
+        return []
+    postings = spark.read.parquet(f"{path}/postings")
+    victims = postings.join(F.broadcast(tomb), id_col, "left_semi")
+    affected = sorted(
+        r["term_bucket"]
+        for r in victims.select("term_bucket").distinct().collect()
+    )  # bounded: <= N_TERM_BUCKETS rows, driver-side by contract
+    if not affected:
+        # Nothing physical to purge (e.g. all victims were zero-posting
+        # docs); still clear the tombstones so probes drop the anti-join.
+        _clear_bm25_tombstones(spark, path, id_col)
+        return []
+    tmp = tempfile.mkdtemp(prefix="sli_bm25_compact_")
+    (
+        postings.filter(F.col("term_bucket").isin(affected))
+        .join(F.broadcast(tomb), id_col, "left_anti")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{tmp}/postings")
+    )
+    for b in affected:
+        dst = f"{path}/postings/term_bucket={b}"
+        src = f"{tmp}/postings/term_bucket={b}"
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.isdir(src):
+            shutil.move(src, dst)
+        # A bucket whose every row was a victim has no survivor dir —
+        # removing the old dir IS the compaction for it.
+    shutil.rmtree(tmp, ignore_errors=True)
+    _clear_bm25_tombstones(spark, path, id_col)
+    return affected
+
+
+def _clear_bm25_tombstones(spark, path: str, id_col: str) -> None:
+    empty = spark.createDataFrame([], f"{id_col} long")
+    empty.write.mode("overwrite").parquet(f"{path}/tombstones")

@@ -15053,3 +15053,35 @@ ORACLE["bm25_takedown_topk"] = ORACLE["bm25_takedown_topk"].replace(
     "{bm25_erased}",
     bm25_oracle_sql(BM25_QUERY_TERMS, where="doc_id % 100 >= 2"),
 )
+
+
+@register("bm25_compacted_topk", oracle=ORACLE["bm25_takedown_topk"])
+def q_bm25_compacted_topk(spark, sf_dir):
+    """The full index lifecycle, closed: build → takedown → COMPACT →
+    probe. compact_bm25_index physically purges the tombstoned posting
+    rows by rewriting ONLY the term-bucket directories that contain
+    victims (survivors swap in bucket-locally; untouched buckets are
+    never read) and then clears the tombstones — so this probe runs
+    WITHOUT the tombstone anti-join, making the oracle match a proof
+    that the purge itself is complete and exact, not merely masked.
+    Shares bm25_takedown_topk's erased-corpus oracle verbatim."""
+    from scikit_learn_imputer_spark.functions.retrieval import (
+        bm25_scores_from_index,
+        build_bm25_index,
+        compact_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+        takedown_bm25_index,
+    )
+
+    path = _scratch("bm25_compact")
+    d = _t(spark, sf_dir, "documents")
+    save_bm25_index(*build_bm25_index(d), path)
+    takedown_bm25_index(
+        spark, path, d.filter(F.col("doc_id") % 100 < 2).select("doc_id")
+    )
+    compact_bm25_index(spark, path)
+    postings, dfs, stats = load_bm25_index(spark, path)
+    # Deliberately NO tombstones: the physical purge must suffice.
+    s = bm25_scores_from_index(postings, dfs, stats, BM25_QUERY_TERMS)
+    return _bm25_top10(s)

@@ -79,6 +79,8 @@ INTENDED_NON_EQUI = {
                                    # the index's summable delta files
     "bm25_takedown_topk",          # same 1-row stats frame, after the
                                    # negative takedown deltas fold in
+    "bm25_compacted_topk",         # same 1-row stats frame, after the
+                                   # physical purge
 }
 
 HEAVY_BUILD = {

@@ -663,3 +663,52 @@ def test_bm25_takedown_is_idempotent(spark, sf_smoke):
     }
     assert got == fresh
     assert stats.collect()[0]["n_docs"] == remaining.count()
+
+
+def test_bm25_compaction_purges_physically_and_is_idempotent(spark, sf_smoke):
+    """After compaction: no victim posting row physically remains, the
+    tombstone frame is empty, only victim-bearing buckets were
+    rewritten, and a second compaction is a no-op."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.functions.retrieval import (
+        build_bm25_index,
+        compact_bm25_index,
+        load_bm25_tombstones,
+        python_term_bucket,
+        save_bm25_index,
+        takedown_bm25_index,
+    )
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_smoke, "documents")
+    victims = d.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    victim_ids = {r["doc_id"] for r in victims.collect()}
+    path = tempfile.mkdtemp(prefix="sli_bm25_compact_test_")
+    save_bm25_index(*build_bm25_index(d), path)
+
+    before = spark.read.parquet(f"{path}/postings")
+    victim_buckets = {
+        r["term_bucket"]
+        for r in before.filter(F.col("doc_id").isin(list(victim_ids)))
+        .select("term_bucket")
+        .distinct()
+        .collect()
+    }
+    # Materialize the survivor count BEFORE the swap deletes the files
+    # the lazy `before` frame points at.
+    keep = before.filter(~F.col("doc_id").isin(list(victim_ids))).count()
+    takedown_bm25_index(spark, path, victims)
+    purged = compact_bm25_index(spark, path)
+    assert set(purged) == victim_buckets
+
+    after = spark.read.parquet(f"{path}/postings")
+    assert after.filter(F.col("doc_id").isin(list(victim_ids))).count() == 0
+    # Survivor postings are untouched (same row count as an anti-join).
+    assert after.count() == keep
+    # Tombstones cleared -> empty frame, and a replay purges nothing.
+    tomb = load_bm25_tombstones(spark, path)
+    assert tomb is not None and tomb.count() == 0
+    assert compact_bm25_index(spark, path) == []
