@@ -100,7 +100,65 @@ FROM chunked GROUP BY doc_id, chunk_idx
 
 def cdc_chunks_oracle_sql(
     boundary_nibbles: tuple[str, ...] = ("0",),
+    where: str = "",
 ) -> str:
-    """DuckDB twin of :func:`cdc_chunks` over the ``documents`` view."""
+    """DuckDB twin of :func:`cdc_chunks` over the ``documents`` view.
+    ``where`` restricts the chunked corpus (incremental store/batch
+    splits)."""
     nibbles = ", ".join(f"'{n}'" for n in boundary_nibbles)
-    return CDC_CHUNKS_ORACLE.replace("{nibbles}", nibbles)
+    sql = CDC_CHUNKS_ORACLE.replace("{nibbles}", nibbles)
+    if where:
+        sql = sql.replace("FROM documents)", f"FROM documents WHERE {where})")
+    return sql
+
+
+def build_cdc_chunk_store(docs: DataFrame, path: str) -> None:
+    """Persist the distinct chunk digests of an already-ingested corpus
+    — the all-history store a production pipeline probes per batch
+    (the dedup/incremental.py fingerprint-store pattern, at chunk
+    granularity). Only 32-char digests land; text never does."""
+    cdc_chunks(docs).select("chunk_digest").distinct().write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def incremental_cdc_report(batch: DataFrame, store_path: str) -> DataFrame:
+    """Classify every chunk of an incoming batch against the persisted
+    store AND within the batch itself: per document, how many chunks
+    are genuinely new (their word mass is the batch's real novelty),
+    how many duplicate the store (history), and how many duplicate an
+    earlier batch chunk (ordered by (doc_id, chunk_idx) — the min-id
+    keeper rule at chunk granularity). One digest equi join against
+    the store plus one per-digest window bounded by the duplicate
+    count; the report is O(batch docs)."""
+    spark = batch.sparkSession
+    store = spark.read.parquet(store_path)
+    chunks = cdc_chunks(batch)
+    marked = chunks.join(
+        store.withColumn("__in_store", F.lit(1)),
+        "chunk_digest",
+        "left",
+    )
+    w = Window.partitionBy("chunk_digest").orderBy("doc_id", "chunk_idx")
+    classified = marked.withColumn("__rn", F.row_number().over(w)).select(
+        "doc_id",
+        "n_words",
+        F.when(F.col("__in_store").isNotNull(), F.lit("dup_store"))
+        .when(F.col("__rn") > 1, F.lit("dup_batch"))
+        .otherwise(F.lit("new"))
+        .alias("cls"),
+    )
+    big = lambda c: F.coalesce(F.sum(c), F.lit(0)).cast("bigint")  # noqa: E731
+    return classified.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        big((F.col("cls") == "new").cast("bigint")).alias("chunks_new"),
+        big((F.col("cls") == "dup_store").cast("bigint")).alias(
+            "chunks_dup_store"
+        ),
+        big((F.col("cls") == "dup_batch").cast("bigint")).alias(
+            "chunks_dup_batch"
+        ),
+        big(F.when(F.col("cls") == "new", F.col("n_words"))).alias(
+            "new_words"
+        ),
+    )

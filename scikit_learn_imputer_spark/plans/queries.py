@@ -15085,3 +15085,140 @@ def q_bm25_compacted_topk(spark, sf_dir):
     # Deliberately NO tombstones: the physical purge must suffice.
     s = bm25_scores_from_index(postings, dfs, stats, BM25_QUERY_TERMS)
     return _bm25_top10(s)
+
+
+@register(
+    "incremental_cdc_batch",
+    oracle="""
+WITH corpus_chunks AS ({cdc_corpus}),
+batch_chunks AS ({cdc_batch}),
+store AS (SELECT DISTINCT chunk_digest FROM corpus_chunks),
+marked AS (
+  SELECT b.doc_id, b.chunk_idx, b.n_words,
+         (s.chunk_digest IS NOT NULL) AS in_store,
+         row_number() OVER (PARTITION BY b.chunk_digest
+                            ORDER BY b.doc_id, b.chunk_idx) AS rn
+  FROM batch_chunks b LEFT JOIN store s USING (chunk_digest)
+),
+cls AS (
+  SELECT doc_id, n_words,
+         CASE WHEN in_store THEN 'dup_store'
+              WHEN rn > 1 THEN 'dup_batch'
+              ELSE 'new' END AS cls
+  FROM marked
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(coalesce(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS chunks_new,
+       CAST(coalesce(sum(CASE WHEN cls = 'dup_store' THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS chunks_dup_store,
+       CAST(coalesce(sum(CASE WHEN cls = 'dup_batch' THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS chunks_dup_batch,
+       CAST(coalesce(sum(CASE WHEN cls = 'new' THEN n_words END), 0)
+         AS BIGINT) AS new_words
+FROM cls GROUP BY doc_id
+""",
+)
+def q_incremental_cdc_batch(spark, sf_dir):
+    """Cross-batch incremental dedup at CHUNK granularity — what the
+    whole-doc fingerprint store cannot see: a batch document that is
+    30% boilerplate shared with history probes as 'new' at doc level
+    but its chunk report shows exactly which word mass is genuinely
+    novel. The already-ingested corpus (doc_id % 5 != 0) persists as a
+    distinct chunk-digest store; the batch (doc_id % 5 == 0) classifies
+    every chunk as new / duplicate-of-history / duplicate-within-batch
+    (min-(doc,chunk) keeper). One digest equi join + one per-digest
+    window bounded by duplicate count; only 32-char digests shuffle."""
+    from scikit_learn_imputer_spark.dedup.cdc import (
+        build_cdc_chunk_store,
+        incremental_cdc_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    path = _scratch("cdc_store")
+    build_cdc_chunk_store(corpus, path)
+    return incremental_cdc_report(batch, path)
+
+
+ORACLE["incremental_cdc_batch"] = (
+    ORACLE["incremental_cdc_batch"]
+    .replace("{cdc_corpus}", cdc_chunks_oracle_sql(where="doc_id % 5 <> 0"))
+    .replace("{cdc_batch}", cdc_chunks_oracle_sql(where="doc_id % 5 = 0"))
+)
+
+
+@register(
+    "retrieval_weighted_mixture",
+    oracle="""
+WITH raw AS ({bm25}),
+scores AS (SELECT doc_id, round(score, 6) AS score FROM raw),
+per_source AS (
+  SELECT d.source,
+         round(coalesce(avg(s.score), 0.0), 6) AS mean_score,
+         CAST(coalesce(sum(CASE WHEN s.score IS NOT NULL
+                  THEN len(list_filter(string_split(trim(d.text), ' '),
+                                       w -> w <> '')) END), 0) AS BIGINT)
+           AS matched_tokens
+  FROM documents d LEFT JOIN scores s USING (doc_id)
+  GROUP BY d.source
+),
+tot AS (SELECT sum(mean_score) AS z FROM per_source)
+SELECT source, mean_score, matched_tokens,
+       round(mean_score / (SELECT z FROM tot), 6) AS weight,
+       CAST(floor(20000 * mean_score / (SELECT z FROM tot)) AS BIGINT)
+         AS alloc_tokens
+FROM per_source
+""",
+)
+def q_retrieval_weighted_mixture(spark, sf_dir):
+    """Retrieval-targeted mixture plan: per-source sampling weights
+    proportional to the source's mean BM25 relevance to the target
+    query — the DSIR idea with an explicit retrieval signal, giving a
+    20k-token budget allocation that up-weights the sources whose text
+    actually matches the domain. Composes the oracled BM25 scoring
+    chain with one per-source aggregate and a 1-row normalizer
+    broadcast (temperature_mixture_sample precedent); weights divide
+    6-dp-rounded means so both engines allocate identically. The
+    matched token mass per source bounds what the allocation can
+    actually draw."""
+    d = _t(spark, sf_dir, "documents")
+    scores = bm25_scores(d, BM25_QUERY_TERMS).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    n_tokens = F.size(
+        F.filter(F.split(F.trim(F.col("text")), " "), lambda w: w != "")
+    ).cast("bigint")
+    per_source = (
+        d.select("doc_id", "source", n_tokens.alias("__n"))
+        .join(scores, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.round(F.coalesce(F.avg("score"), F.lit(0.0)), 6).alias(
+                "mean_score"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("score").isNotNull(), F.col("__n"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("matched_tokens"),
+        )
+    )
+    tot = per_source.agg(F.sum("mean_score").alias("__z"))
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "mean_score",
+        "matched_tokens",
+        F.round(F.col("mean_score") / F.col("__z"), 6).alias("weight"),
+        F.floor(20000 * F.col("mean_score") / F.col("__z"))
+        .cast("bigint")
+        .alias("alloc_tokens"),
+    )
+
+
+ORACLE["retrieval_weighted_mixture"] = ORACLE[
+    "retrieval_weighted_mixture"
+].replace("{bm25}", bm25_oracle_sql(BM25_QUERY_TERMS))

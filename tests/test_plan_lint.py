@@ -81,6 +81,9 @@ INTENDED_NON_EQUI = {
                                    # negative takedown deltas fold in
     "bm25_compacted_topk",         # same 1-row stats frame, after the
                                    # physical purge
+    "retrieval_weighted_mixture",  # same 1-row stats frame + a 1-row
+                                   # weight-normalizer broadcast
+                                   # (temperature_mixture_sample precedent)
 }
 
 HEAVY_BUILD = {
