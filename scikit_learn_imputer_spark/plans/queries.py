@@ -15222,3 +15222,49 @@ def q_retrieval_weighted_mixture(spark, sf_dir):
 ORACLE["retrieval_weighted_mixture"] = ORACLE[
     "retrieval_weighted_mixture"
 ].replace("{bm25}", bm25_oracle_sql(BM25_QUERY_TERMS))
+
+
+@register("stream_bm25_index_topk", oracle=ORACLE["bm25_topk"])
+def q_stream_bm25_index_topk(spark, sf_dir):
+    """STREAMING retrieval indexing: the documents table drains through
+    a foreachBatch appender (streaming/ingest.py:stream_bm25_index_ingest)
+    that indexes each micro-batch into the persisted BM25 index via the
+    summable-delta contract — the index is BOOTSTRAPPED EMPTY and built
+    entirely by the stream, one installment per batch. Probing the
+    folded index must equal querying a from-scratch build over the full
+    corpus whatever the batch boundaries were, so it shares bm25_topk's
+    oracle verbatim (the batch==stream contract of
+    stream_mixture_monitor, applied to an index artifact rather than an
+    aggregate)."""
+    from scikit_learn_imputer_spark.functions.retrieval import (
+        bm25_scores_from_index,
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+    from scikit_learn_imputer_spark.streaming.ingest import (
+        stream_bm25_index_ingest,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _scratch("bm25_stream_idx")
+    ck = _scratch("bm25_stream_ck")
+    # Bootstrap the index EMPTY (zero-doc frames) so every real document
+    # arrives through the stream.
+    empty = docs.filter(F.lit(False))
+    save_bm25_index(*build_bm25_index(empty), path)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select(*docs.columns)
+    )
+    q = stream_bm25_index_ingest(stream, path, ck).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    postings, dfs, stats = load_bm25_index(spark, path)
+    s = bm25_scores_from_index(postings, dfs, stats, BM25_QUERY_TERMS)
+    return _bm25_top10(s)

@@ -197,3 +197,37 @@ def stream_event_counts_ingest(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def stream_bm25_index_ingest(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous retrieval indexing: every arriving micro-batch of
+    documents appends into the persisted BM25 index via the summable
+    delta contract (functions/retrieval.py:append_bm25_index) — new
+    postings land in their term-bucket directories, df/stats/doclens
+    land as delta files the loader folds, nothing already indexed is
+    re-read. Because deltas are pure sums, the folded index after the
+    stream drains equals a from-scratch build over everything that
+    arrived, whatever the batch boundaries were — the batch==stream
+    contract, checked by the driver oracle. Replays are at-least-once
+    (same contract as append_to_store): exactly-once would key postings
+    sub-dirs by batch_id, which partitionBy(term_bucket) trades away
+    for partition pruning."""
+    from scikit_learn_imputer_spark.functions.retrieval import (
+        append_bm25_index,
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        append_bm25_index(batch, index_path, id_col=id_col,
+                          text_col=text_col)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -84,6 +84,8 @@ INTENDED_NON_EQUI = {
     "retrieval_weighted_mixture",  # same 1-row stats frame + a 1-row
                                    # weight-normalizer broadcast
                                    # (temperature_mixture_sample precedent)
+    "stream_bm25_index_topk",      # same 1-row stats frame, folded from
+                                   # the stream-appended delta files
 }
 
 HEAVY_BUILD = {
