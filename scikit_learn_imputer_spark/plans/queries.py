@@ -15268,3 +15268,92 @@ def q_stream_bm25_index_topk(spark, sf_dir):
     postings, dfs, stats = load_bm25_index(spark, path)
     s = bm25_scores_from_index(postings, dfs, stats, BM25_QUERY_TERMS)
     return _bm25_top10(s)
+
+
+@register(
+    "bm25_index_stats",
+    oracle="""
+WITH postings AS (
+  SELECT (('0x' || substr(md5(term), 1, 8))::UBIGINT % 64) AS term_bucket,
+         term, doc_id
+  FROM (
+    SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '),
+                                      w -> w <> '')) AS term
+    FROM documents
+  )
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(term_bucket AS INT) AS term_bucket,
+       CAST(count(*) AS BIGINT) AS n_postings,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+FROM postings GROUP BY 1
+""",
+)
+def q_bm25_index_stats(spark, sf_dir):
+    """Index ops dashboard: postings and vocabulary per term bucket —
+    the skew view an operator reads before sizing index partitions (a
+    hot bucket means one directory absorbs a disproportionate share of
+    every probe that hits it; the md5 bucketing keeps the expected
+    load uniform, and this query MEASURES it, the lsh_bucket_skew
+    precedent applied to the retrieval index). Derived from the same
+    build aggregates, O(64) output rows."""
+    from scikit_learn_imputer_spark.functions.retrieval import (
+        build_bm25_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    postings, _, _, _ = build_bm25_index(d)
+    return postings.groupBy("term_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_postings"),
+        F.countDistinct("term").cast("bigint").alias("n_terms"),
+    )
+
+
+@register(
+    "phrase_search",
+    oracle="""
+WITH pos AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, parts[CAST(i AS INT)] AS token
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS parts
+        FROM documents),
+       unnest(generate_series(1, len(parts))) AS t(i)
+  WHERE parts[CAST(i AS INT)] IN ('spark', 'window')
+),
+hits AS (
+  SELECT a.doc_id, a.pos
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.token = 'spark' AND b.token = 'window'
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM hits GROUP BY doc_id
+""",
+)
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase search ("spark window") through a POSITIONAL index
+    — the retrieval capability bag-of-words BM25 cannot express:
+    posexplode keeps token positions, the explode is filtered to the
+    phrase's two terms BEFORE anything shuffles (at 100 TB only the
+    phrase terms' positional postings move), and adjacency is one
+    self equi join on (doc_id, pos+1). Per matching doc: occurrence
+    count and first position — the snippet anchor a search UI needs."""
+    d = _t(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), " ")).alias(
+            "pos", "token"
+        ),
+    ).filter(F.col("token").isin("spark", "window"))
+    a = pos.filter(F.col("token") == "spark").select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = pos.filter(F.col("token") == "window").select(
+        "doc_id", (F.col("pos") - 1).alias("pos_a")
+    )
+    hits = a.join(b, ["doc_id", "pos_a"])
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.min("pos_a").cast("bigint").alias("first_pos"),
+    )
