@@ -712,3 +712,41 @@ def test_bm25_compaction_purges_physically_and_is_idempotent(spark, sf_smoke):
     tomb = load_bm25_tombstones(spark, path)
     assert tomb is not None and tomb.count() == 0
     assert compact_bm25_index(spark, path) == []
+
+
+def test_bm25_index_stats_matches_python_brute_force(spark, sf_smoke):
+    from scikit_learn_imputer_spark.functions.retrieval import (
+        python_term_bucket,
+    )
+
+    per_bucket = defaultdict(lambda: [0, set()])
+    for did, text, _ in _docs(sf_smoke):
+        for term in {w for w in text.strip().split(" ") if w}:
+            st = per_bucket[python_term_bucket(term)]
+            st[0] += 1
+            st[1].add(term)
+    got = QUERIES["bm25_index_stats"](spark, sf_smoke).collect()
+    assert {r["term_bucket"] for r in got} == set(per_bucket)
+    for r in got:
+        n_postings, terms = per_bucket[r["term_bucket"]]
+        assert r["n_postings"] == n_postings
+        assert r["n_terms"] == len(terms)
+
+
+def test_phrase_search_matches_python_brute_force(spark, sf_smoke):
+    expected = {}
+    for did, text, _ in _docs(sf_smoke):
+        words = [w for w in text.strip().split(" ") if w]
+        hits = [
+            i
+            for i in range(len(words) - 1)
+            if words[i] == "spark" and words[i + 1] == "window"
+        ]
+        if hits:
+            expected[did] = (len(hits), hits[0])
+    got = {
+        r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+        for r in QUERIES["phrase_search"](spark, sf_smoke).collect()
+    }
+    assert got == expected
+    assert expected, "phrase must actually occur at this sf"
