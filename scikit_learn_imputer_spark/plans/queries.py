@@ -15357,3 +15357,202 @@ def q_phrase_search(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
         F.min("pos_a").cast("bigint").alias("first_pos"),
     )
+
+
+BM25_QUERY_SET = {
+    "q_dup": ["dup"],
+    "q_spark_window": ["spark", "window"],
+    "q_vector_merge": ["vector", "merge"],
+}
+
+
+@register(
+    "bm25_multi_query",
+    oracle="""
+WITH qs(query_id, term) AS (VALUES {qvals}),
+base AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), w -> w <> '') AS words
+  FROM documents
+),
+lens AS (SELECT doc_id, CAST(len(words) AS DOUBLE) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens),
+postings AS (
+  SELECT b.doc_id, u.term
+  FROM base b, unnest(b.words) AS u(term)
+  WHERE u.term IN (SELECT DISTINCT term FROM qs)
+),
+tf AS (
+  SELECT p.doc_id, p.term, l.dl, CAST(count(*) AS DOUBLE) AS tf
+  FROM postings p JOIN lens l USING (doc_id)
+  GROUP BY 1, 2, 3
+),
+dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * (1.2 + 1))
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS w
+  FROM tf JOIN dfq USING (term) JOIN qs q USING (term), stats s
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(w), 6) AS score,
+         CAST(count(*) AS BIGINT) AS n_terms_matched
+  FROM w GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score, n_terms_matched,
+         CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, n_terms_matched, rank
+FROM ranked WHERE rank <= 3
+""",
+)
+def q_bm25_multi_query(spark, sf_dir):
+    """Batched retrieval — the production shape where MANY queries hit
+    the index in one pass: a broadcast (query_id, term) frame fans each
+    matching posting into its queries, per-(query, doc) scores
+    aggregate once, and per-query top-3 goes through a TWO-STAGE
+    bucketed window (per (query, doc_id%32 bucket) top-3 first, then
+    the global rank over the O(#queries x 32 x 3) survivors) — no
+    per-query data-sized window partition, the pack_shuffled_sequences
+    discipline applied to retrieval. Term df is computed once per term
+    over the union of query terms, not per query."""
+    d = _t(spark, sf_dir, "documents")
+    spark_qs = spark.createDataFrame(
+        [(q, t) for q, terms in sorted(BM25_QUERY_SET.items())
+         for t in terms],
+        "query_id string, term string",
+    )
+    all_terms = sorted({t for ts in BM25_QUERY_SET.values() for t in ts})
+    # Per-(query, doc) scores: postings filtered to the UNION term set
+    # once, then fanned per query by the broadcast (query_id, term) map.
+    words = F.filter(F.split(F.trim(F.col("text")), " "), lambda w: w != "")
+    base = d.select("doc_id", words.alias("__words")).withColumn(
+        "__dl", F.size("__words").cast("double")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    tf = (
+        base.select("doc_id", "__dl", F.explode("__words").alias("term"))
+        .filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term", "__dl")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    df_t = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    from scikit_learn_imputer_spark.functions.retrieval import bm25_weight
+
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(spark_qs), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            bm25_weight(
+                F.col("__tf"), F.col("__df"), F.col("__n"),
+                F.col("__dl"), F.col("__avgdl"), 1.2, 0.75,
+            ).alias("__w"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum("__w"), 6).alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+        )
+    )
+    # Two-stage per-query top-3: bucket window first, tiny global window.
+    wb = Window.partitionBy(
+        "query_id", (F.col("doc_id") % 32).alias("__b")
+    ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    survivors = scored.withColumn("__r", F.row_number().over(wb)).filter(
+        F.col("__r") <= 3
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(wq).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "doc_id", "score", "n_terms_matched", "rank")
+    )
+
+
+ORACLE["bm25_multi_query"] = ORACLE["bm25_multi_query"].replace(
+    "{qvals}",
+    ", ".join(
+        f"('{q}', '{t}')"
+        for q, terms in sorted(BM25_QUERY_SET.items())
+        for t in terms
+    ),
+)
+
+
+@register(
+    "k_anonymity_generalization_curve",
+    oracle="""
+WITH widths(width) AS (VALUES (250), (500), (1000), (2000), (4000)),
+classes AS (
+  SELECT w.width, c.c_nationkey, c.c_mktsegment,
+         CAST(floor(c.c_acctbal / w.width) AS BIGINT) AS bal_bucket,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM customer c CROSS JOIN widths w
+  GROUP BY 1, 2, 3, 4
+)
+SELECT width,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS risky_classes,
+       CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+         AS BIGINT) AS risky_rows,
+       round(CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+             AS DOUBLE) / sum(class_size), 6) AS risky_frac
+FROM classes GROUP BY width
+""",
+)
+def q_k_anonymity_generalization_curve(spark, sf_dir):
+    """The privacy/utility dial behind k_anonymity_audit: sweep the
+    balance-bucket generalization width (250 -> 4000) and report how
+    many rows stay re-identifiable (class < 5) at each — the curve a
+    privacy engineer reads to pick the MINIMAL coarsening that reaches
+    the k target, instead of over-generalizing and destroying utility.
+    One 5-way width explode (bounded literal), one (width, QI) hash
+    aggregate, O(5) output rows."""
+    c = _t(spark, sf_dir, "customer")
+    widths = F.array(*[F.lit(w) for w in (250, 500, 1000, 2000, 4000)])
+    classes = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.explode(widths).alias("width"),
+        )
+        .groupBy(
+            "width",
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / F.col("width"))
+            .cast("bigint")
+            .alias("bal_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("class_size"))
+    )
+    risky = F.col("class_size") < 5
+    return classes.groupBy("width").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(risky.cast("bigint")).cast("bigint").alias("risky_classes"),
+        F.sum(F.when(risky, F.col("class_size")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("risky_rows"),
+        F.round(
+            F.sum(F.when(risky, F.col("class_size")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum("class_size"),
+            6,
+        ).alias("risky_frac"),
+    )

@@ -86,6 +86,8 @@ INTENDED_NON_EQUI = {
                                    # (temperature_mixture_sample precedent)
     "stream_bm25_index_topk",      # same 1-row stats frame, folded from
                                    # the stream-appended delta files
+    "bm25_multi_query",            # same 1-row stats frame, fanned per
+                                   # broadcast (query_id, term) map
 }
 
 HEAVY_BUILD = {
