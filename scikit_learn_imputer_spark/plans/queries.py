@@ -15556,3 +15556,58 @@ def q_k_anonymity_generalization_curve(spark, sf_dir):
             6,
         ).alias("risky_frac"),
     )
+
+
+@register(
+    "top_shared_chunks",
+    oracle="""
+WITH chunks AS ({cdc}),
+per_digest AS (
+  SELECT c.chunk_digest,
+         CAST(count(*) AS BIGINT) AS occurrences,
+         CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+         CAST(min(c.n_words) AS BIGINT) AS n_words
+  FROM chunks c JOIN documents d USING (doc_id)
+  GROUP BY 1
+  HAVING count(*) > 1
+)
+SELECT chunk_digest, occurrences, n_docs, n_sources, n_words,
+       CAST(row_number() OVER (ORDER BY occurrences DESC, chunk_digest)
+            AS INT) AS rank
+FROM per_digest
+ORDER BY occurrences DESC, chunk_digest
+LIMIT 10
+""",
+)
+def q_top_shared_chunks(spark, sf_dir):
+    """Boilerplate provenance at chunk granularity: the 10 most
+    duplicated content-defined chunks corpus-wide, with how many
+    documents and how many distinct SOURCES each appears in — a chunk
+    shared across sources is template/licensing text that every
+    extractor copied, exactly what an operator inspects before writing
+    a removal rule (the action view behind cdc_chunk_dedup's per-source
+    rates). Digest groupBy then TakeOrderedAndProject top-10; the rank
+    window runs over the 10-row frame."""
+    d = _t(spark, sf_dir, "documents")
+    per_digest = (
+        cdc_chunks(d)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("chunk_digest")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("n_words").cast("bigint").alias("n_words"),
+        )
+        .filter(F.col("occurrences") > 1)
+    )
+    order = [F.col("occurrences").desc(), F.col("chunk_digest").asc()]
+    top = per_digest.orderBy(*order).limit(10)
+    w = Window.orderBy(*order)  # O(k)=10-row frame after the limit
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+ORACLE["top_shared_chunks"] = ORACLE["top_shared_chunks"].replace(
+    "{cdc}", cdc_chunks_oracle_sql()
+)
