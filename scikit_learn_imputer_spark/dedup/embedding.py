@@ -6,9 +6,11 @@ itself is a JVM higher-order expression (zip_with + aggregate), no UDF.
 A NumPy/BLAS twin computes the same oracle via a broadcast matrix product
 (guarded to ≤200k rows).
 
-At 100 TB you run ``near_pairs_lsh`` — MLlib's BucketedRandomProjectionLSH
-over normalized vectors (Euclidean on unit vectors ≡ cosine ordering) —
-which IS sub-quadratic; the exact paths exist to judge its recall.
+At 100 TB you run ``embedding_near_pairs_cells`` — bounded-size KMeans
+cells, pairs only within cells (measured sf exponent 0.20). MLlib's
+BucketedRandomProjectionLSH variant is kept as a recall baseline only:
+its FIXED bucket resolution makes candidates Θ(n²·p) (measured exponent
+1.96 at sf1 — BASELINE.md). The exact paths exist to judge recall.
 """
 
 from __future__ import annotations
@@ -96,7 +98,7 @@ def embedding_near_pairs_blas(
     if n > max_broadcast_rows:
         raise ValueError(
             f"exact pair join over {n} rows exceeds max_broadcast_rows="
-            f"{max_broadcast_rows}; use embedding_near_pairs_lsh at scale"
+            f"{max_broadcast_rows}; use embedding_near_pairs_cells at scale"
         )
     all_ids = np.array([r[0] for r in rows], dtype="int64")
     M = np.array([r[1] for r in rows], dtype="float64")

@@ -124,3 +124,57 @@ def quality_model_scores(
     ).localCheckpoint(eager=True)
     frame.unpersist()
     return out
+
+
+def quality_model_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Oracled audit of the (rows-only) distilled-gate holdout — the
+    ``imputer_output_audit`` pattern (VERDICT r11 #1): the oracle
+    computes, from the INPUT alone, what a correct holdout evaluation
+    must produce — holdout row count, the teacher's positive-label count
+    (the Gopher gate is SQL-expressible), every probability inside
+    [0, 1], every prediction binary and consistent with the 0.5
+    threshold on the UNROUNDED probability, and holdout accuracy at or
+    above the 0.8 anchor floor. The Spark side measures the ACTUAL MLlib
+    output, so a dropped holdout row, an out-of-range probability, an
+    argmax/threshold disagreement, or an accuracy regression each flips
+    the driver row red."""
+    frame = quality_training_frame(docs, id_col, text_col).persist()
+    train = frame.filter(F.col(id_col) % 10 < 8)
+    hold = frame.filter(F.col(id_col) % 10 >= 8)
+    model = train_quality_model(train, seed=seed)
+    scored = model.transform(hold)
+    prob = vector_to_array("probability")
+    p_good = F.when(F.size(prob) >= 2, F.element_at(prob, 2)).otherwise(
+        F.col("prediction").cast("double")
+    )
+    pred = F.col("prediction").cast("bigint")
+    label = F.col("label").cast("bigint")
+    audited = scored.select(
+        label.alias("label"), p_good.alias("p_good"), pred.alias("pred")
+    )
+    n = F.count(F.lit(1))
+    out = audited.agg(
+        n.cast("long").alias("n_holdout"),
+        F.sum("label").cast("long").alias("n_label_pos"),
+        F.sum(
+            ((F.col("p_good") >= 0.0) & (F.col("p_good") <= 1.0)).cast("long")
+        ).alias("probs_in_unit_interval"),
+        F.sum(F.col("pred").isin(0, 1).cast("long")).alias("preds_binary"),
+        F.sum(
+            (
+                F.col("pred")
+                == F.when(F.col("p_good") > 0.5, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long")
+        ).alias("preds_match_threshold"),
+        (
+            F.sum((F.col("pred") == F.col("label")).cast("long"))
+            >= F.ceil(n * F.lit(0.8))
+        ).alias("accuracy_ge_080"),
+    ).localCheckpoint(eager=True)
+    frame.unpersist()
+    return out

@@ -204,3 +204,119 @@ def load_ivf_index(spark, path: str):
     )
     centroids = [list(r["centroid"]) for r in cent_rows]
     return assigned, centroids
+
+
+# ---------------------------------------------------------------------
+# Engine-exact snapped KMeans (driver-hash-checkable IVF balance)
+# ---------------------------------------------------------------------
+
+def _snap_vectors(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vid, v): vectors snapped to integer micro-units —
+    ``floor(double(x) * 1e6)`` per component. float→double widening and
+    double floor are both exact IEEE ops, so any engine produces the
+    identical BIGINT[] from the same parquet floats."""
+    return corpus.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1e6)).cast("long"),
+        ).alias("v"),
+    )
+
+
+def _assign_cells_snapped(snapped: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Attach argmin-distance ``cell`` against broadcast integer centroid
+    literals — a pure whole-stage-codegen projection (no join, no
+    shuffle); ALL arithmetic is exact BIGINT, ties break to the lowest
+    cell id via struct sort on (dist, cell)."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(int(x)).cast("long") for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return snapped.withColumn("cell", F.array_sort(dists)[0]["cell"])
+
+
+def ivf_balance_snapped(
+    corpus: DataFrame,
+    nlist: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell-balance histogram from an ENGINE-EXACT integer Lloyd
+    build — the ``near_dup_pagerank_snapped`` technique applied to
+    KMeans so the balance audit is driver-hash-checkable end to end
+    (VERDICT r11 #1): vectors snap to BIGINT micro-units, init picks the
+    ``nlist`` vectors with the smallest md5(vid) (deterministic
+    pseudo-random seeding any engine reproduces), each Lloyd round is an
+    exact-integer argmin assignment (ties → lowest cell) followed by a
+    floor-division centroid update (empty cell keeps its centroid), and
+    the final assignment feeds one O(nlist) aggregate.
+
+    Scale shape is the production build's: centroids are O(nlist·dim)
+    driver state broadcast into a codegen projection each round; the
+    only shuffle per round is the nlist×dim-group component-sum
+    aggregate (map-side combined). The MLlib production build
+    (``build_ivf_index``) keeps its anchored entry; this is the exact
+    twin the driver hashes."""
+    snapped = _snap_vectors(corpus, id_col, vec_col).persist()
+    init_rows = (
+        snapped.withColumn("__h", F.md5(F.col("vid").cast("string")))
+        .orderBy("__h", "vid")
+        .limit(nlist)
+        .select("__h", "vid", "v")
+        .collect()
+    )
+    init_rows.sort(key=lambda r: (r["__h"], r["vid"]))
+    centroids = [[int(x) for x in r["v"]] for r in init_rows]
+    for _ in range(iters):
+        assigned = _assign_cells_snapped(snapped, centroids)
+        comp = (
+            assigned.select("cell", F.posexplode("v").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = {}
+        for r in comp:
+            # Python // is floor division on exact ints — mirrored in the
+            # oracle SQL by an explicit nonnegative-operand branch so both
+            # engines floor identically for negative sums.
+            new.setdefault(int(r["cell"]), {})[int(r["i"])] = int(r["s"]) // int(r["n"])
+        centroids = [
+            [new[ci][i] for i in range(len(centroids[ci]))]
+            if ci in new
+            else centroids[ci]
+            for ci in range(len(centroids))
+        ]
+    hist = (
+        _assign_cells_snapped(snapped, centroids)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    snapped.unpersist()
+    n_sum = F.sum("n").cast("double")
+    n_cnt = F.count(F.lit(1)).cast("double")
+    return hist.agg(
+        F.lit(nlist).alias("nlist"),
+        F.count(F.lit(1)).cast("long").alias("cells_used"),
+        F.sum("n").cast("long").alias("n_vectors"),
+        F.min("n").cast("long").alias("min_cell"),
+        F.max("n").cast("long").alias("max_cell"),
+        F.round(n_sum / n_cnt, 6).alias("mean_cell"),
+        F.round(F.max("n").cast("double") / (n_sum / n_cnt), 6).alias("imbalance"),
+        F.round(F.max("n").cast("double") / n_sum, 6).alias("max_cell_share"),
+    )

@@ -179,7 +179,7 @@ RERUN_SENSITIVE = [
     "quality_weighted_sample",
     "stratified_sample",
     "cosine_topk_lsh",
-    "near_pairs_lsh",
+    "embedding_near_pairs_brp",
     "near_pairs_cells",
     "minhash_candidates",
     "simhash_near_pairs_md5",

@@ -189,30 +189,50 @@ def test_learn_bpe_merges_early_stop_when_exhausted(spark):
     assert (rows[0]["lhs"], rows[0]["rhs"], rows[0]["merged"]) == ("a", "b", "ab")
 
 
-def test_quality_model_scores_anchor(spark, sf_smoke):
-    """ANCHOR for quality_model_scores (rows-only in the driver gate):
+def test_quality_model_holdout_anchor(spark, sf_smoke):
+    """ANCHOR for quality_model_holdout (rows-only in the driver gate):
     the distilled cheap-feature model must actually track the expensive
-    teacher gate on held-out docs, and be reproducible."""
-    rows = QUERIES["quality_model_scores"](spark, sf_smoke).collect()
+    teacher gate on held-out docs, and be reproducible. Its
+    SQL-expressible invariants are driver-hashed via the oracled
+    quality_model_scores audit."""
+    rows = QUERIES["quality_model_holdout"](spark, sf_smoke).collect()
     assert len(rows) > 0
     acc = sum(1 for r in rows if r["pred"] == r["label"]) / len(rows)
     assert acc >= 0.8, f"distilled gate accuracy {acc:.3f} below floor"
     for r in rows:
         assert 0.0 <= r["p_good"] <= 1.0
         assert r["doc_id"] % 10 >= 8  # holdout only
-    again = QUERIES["quality_model_scores"](spark, sf_smoke).collect()
+    again = QUERIES["quality_model_holdout"](spark, sf_smoke).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
 
 
-def test_ann_ivf_balance_anchor(spark, sf_smoke):
-    """ANCHOR for ann_ivf_balance (rows-only): cell mass conserves the
-    corpus, bounds hold, and the seeded build reproduces."""
-    rows = QUERIES["ann_ivf_balance"](spark, sf_smoke).collect()
+def test_ann_ivf_balance_mllib_anchor(spark, sf_smoke):
+    """ANCHOR for ann_ivf_balance_mllib (rows-only): cell mass conserves
+    the corpus, bounds hold, and the seeded build reproduces. The
+    engine-exact snapped twin (ann_ivf_balance) is driver-hashed."""
+    rows = QUERIES["ann_ivf_balance_mllib"](spark, sf_smoke).collect()
     assert len(rows) == 1
     r = rows[0]
     n_vecs = load_table(spark, sf_smoke, "embeddings").count()
     assert r["n_vectors"] == n_vecs
     assert 1 <= r["cells_used"] <= r["nlist"]
+    assert r["min_cell"] <= r["mean_cell"] <= r["max_cell"]
+    assert r["imbalance"] >= 1.0
+    assert 0.0 < r["max_cell_share"] <= 1.0
+    again = QUERIES["ann_ivf_balance_mllib"](spark, sf_smoke).collect()
+    assert [tuple(x) for x in again] == [tuple(x) for x in rows]
+
+
+def test_ivf_balance_snapped_matches_mllib_shape(spark, sf_smoke):
+    """The snapped exact-integer twin must describe the SAME corpus as
+    the MLlib build: identical n_vectors, same invariant bounds — and
+    the snapped build must itself be deterministic."""
+    rows = QUERIES["ann_ivf_balance"](spark, sf_smoke).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    n_vecs = load_table(spark, sf_smoke, "embeddings").count()
+    assert r["n_vectors"] == n_vecs
+    assert 1 <= r["cells_used"] <= r["nlist"] == 8
     assert r["min_cell"] <= r["mean_cell"] <= r["max_cell"]
     assert r["imbalance"] >= 1.0
     assert 0.0 < r["max_cell_share"] <= 1.0
