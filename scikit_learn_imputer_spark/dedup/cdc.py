@@ -73,7 +73,7 @@ WITH words AS (
   SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
          parts[CAST(i AS INT)] AS word
   FROM (SELECT doc_id, string_split(trim(text), ' ') AS parts
-        FROM documents),
+        FROM documents{where}),
        unnest(generate_series(1, len(parts))) AS t(i)
   WHERE parts[CAST(i AS INT)] <> ''
 ),
@@ -106,10 +106,11 @@ def cdc_chunks_oracle_sql(
     ``where`` restricts the chunked corpus (incremental store/batch
     splits)."""
     nibbles = ", ".join(f"'{n}'" for n in boundary_nibbles)
+    # Explicit placeholder, not a positional string replace — a reshaped
+    # template then fails loudly instead of silently desynchronizing
+    # (ADVICE r11).
     sql = CDC_CHUNKS_ORACLE.replace("{nibbles}", nibbles)
-    if where:
-        sql = sql.replace("FROM documents)", f"FROM documents WHERE {where})")
-    return sql
+    return sql.replace("{where}", f" WHERE {where}" if where else "")
 
 
 def build_cdc_chunk_store(docs: DataFrame, path: str) -> None:

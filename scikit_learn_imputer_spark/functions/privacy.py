@@ -58,3 +58,56 @@ def k_anonymity_histogram(
         *([F.col("min_distinct_sensitive")] if sensitive_col is not None
           else []),
     )
+
+
+def dp_laplace_release(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    secret_seed: str,
+    eps: float = 1.0,
+) -> DataFrame:
+    """PRODUCTION differential-privacy histogram release: per-class
+    counts with Laplace(sensitivity/eps) noise (count queries have
+    sensitivity 1), releasing ONLY the noised integer — never the true
+    count or the noise (ADVICE r11: emitting those lets anyone subtract
+    the noise back out, and a noise draw keyed by the public class
+    alone is recomputable by an attacker, i.e. zero actual privacy).
+    The draw is the md5-uniform of ``secret_seed || class`` pushed
+    through the Laplace inverse CDF — deterministic GIVEN the seed (so
+    the data owner can audit their own release) but unpredictable
+    without it; the seed must be generated once, kept with the release
+    owner, and never published. The registered
+    ``dp_release_calibration`` query is this pipeline with a KNOWN seed
+    and the diagnostic columns kept, for oracle/utility checking only.
+    Cost: one O(#classes) aggregate + a pure projection."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if not secret_seed:
+        raise ValueError("secret_seed must be non-empty")
+    if eps <= 0:
+        raise ValueError(f"eps must be positive, got {eps}")
+    from scikit_learn_imputer_spark.functions.text import uniform_hash_col
+
+    counts = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__true")
+    )
+    key = F.concat_ws(
+        ":", F.lit(secret_seed), *[F.col(c).cast("string") for c in group_cols]
+    )
+    v = uniform_hash_col(key) - F.lit(0.5)
+    noise = (
+        -F.signum(v)
+        * F.log(
+            F.greatest(
+                F.lit(1.0) - 2 * F.abs(v), F.lit(2.3283064365386963e-10)
+            )
+        )
+        / F.lit(float(eps))
+    )
+    return counts.select(
+        *group_cols,
+        F.greatest(
+            F.round(F.col("__true") + noise, 0).cast("bigint"), F.lit(0)
+        ).alias("released_count"),
+    )

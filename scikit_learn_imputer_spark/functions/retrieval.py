@@ -221,17 +221,19 @@ def save_bm25_index(
     doclens: DataFrame,
     path: str,
 ) -> None:
-    """Write the base index: postings parquet PARTITIONED BY term_bucket
-    (a query touches |query| buckets of 64 — the scan prunes the rest
-    at planning time), df/stats as small DELTA frames (load sums them,
-    so incremental appends need no read-modify-write), and the per-doc
-    length sidecar."""
-    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
-        f"{path}/postings"
-    )
-    dfs.write.mode("overwrite").parquet(f"{path}/dfs")
-    stats.write.mode("overwrite").parquet(f"{path}/stats")
-    doclens.write.mode("overwrite").parquet(f"{path}/doclens")
+    """Write the base index: postings parquet PARTITIONED BY
+    (term_bucket, ingest_batch) — a query touches |query| buckets of 64
+    (the scan prunes the rest at planning time), and the second-level
+    ingest key is what makes every later append/replay idempotent
+    (ADVICE r11; ``ingest_batch='base'`` for the full build). df/stats
+    land as small DELTA frames (load sums them, so incremental appends
+    need no read-modify-write), plus the per-doc length sidecar."""
+    postings.withColumn("ingest_batch", F.lit("base")).write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket", "ingest_batch").parquet(f"{path}/postings")
+    dfs.write.mode("overwrite").parquet(f"{path}/dfs/base")
+    stats.write.mode("overwrite").parquet(f"{path}/stats/base")
+    doclens.write.mode("overwrite").parquet(f"{path}/doclens/base")
 
 
 def append_bm25_index(
@@ -240,25 +242,49 @@ def append_bm25_index(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    append_id: str | None = None,
 ) -> None:
     """Incrementally index NEW documents into a persisted index without
-    touching the already-indexed corpus: the delta's postings append
-    into their term-bucket directories, and df/stats/doclens land as
-    additional delta files that the loader SUMS — pure parquet appends,
-    no read-modify-write, no rebuild, crash-safe in the same way the
-    batch_id-keyed sinks are (a replayed append of the same delta is
-    the one at-least-once hazard, same contract as append_to_store).
-    Assumes delta doc ids are new (dedup/decontam run upstream; a
-    previously taken-down id must NOT be re-ingested under the same id)."""
+    touching the already-indexed corpus: the delta's postings land
+    under their term-bucket directories keyed by this append's
+    ``ingest_batch`` (dynamic partition overwrite — only the
+    (bucket, this-append) partitions are written, pruning is
+    unaffected), and df/stats/doclens land as delta SUBDIRECTORIES the
+    loader folds. With an explicit ``append_id`` the whole append is
+    IDEMPOTENT (ADVICE r11): a replay after a crash overwrites exactly
+    its own partitions/subdirs instead of appending duplicates — the
+    idempotent_batch_sink contract; streaming ingest passes its
+    batch_id here. Without one, a fresh uuid keeps the old
+    at-least-once semantics for ad-hoc appends. One pass over NEW
+    documents; nothing already indexed is read. Assumes delta doc ids
+    are new (dedup/decontam run upstream; a previously taken-down id
+    must NOT be re-ingested under the same id)."""
+    import uuid
+
+    key = append_id if append_id is not None else uuid.uuid4().hex[:16]
     postings, dfs, stats, doclens = build_bm25_index(
         delta_docs, id_col=id_col, text_col=text_col
     )
-    postings.write.mode("append").partitionBy("term_bucket").parquet(
-        f"{path}/postings"
+    (
+        postings.withColumn("ingest_batch", F.lit(key))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("term_bucket", "ingest_batch")
+        .parquet(f"{path}/postings")
     )
-    dfs.write.mode("append").parquet(f"{path}/dfs")
-    stats.write.mode("append").parquet(f"{path}/stats")
-    doclens.write.mode("append").parquet(f"{path}/doclens")
+    dfs.write.mode("overwrite").parquet(f"{path}/dfs/append-{key}")
+    stats.write.mode("overwrite").parquet(f"{path}/stats/append-{key}")
+    doclens.write.mode("overwrite").parquet(f"{path}/doclens/append-{key}")
+
+
+def _read_deltas(spark, path: str) -> DataFrame:
+    """Fold-ready read of a delta directory tree (base file(s) at the
+    root and/or keyed subdirectories): recursiveFileLookup reads every
+    delta file without hive-partition inference, so append/takedown
+    subdirs and legacy root files coexist."""
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(path)
+    )
 
 
 def load_bm25_index(spark, path: str):
@@ -266,12 +292,12 @@ def load_bm25_index(spark, path: str):
     term, stats sums to one row and derives avgdl = sum_dl / n_docs
     (exact — integer-valued doubles)."""
     dfs = (
-        spark.read.parquet(f"{path}/dfs")
+        _read_deltas(spark, f"{path}/dfs")
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
     )
     stats = (
-        spark.read.parquet(f"{path}/stats")
+        _read_deltas(spark, f"{path}/stats")
         .agg(
             F.sum("n_docs").alias("n_docs"),
             F.sum("sum_dl").alias("sum_dl"),
@@ -330,7 +356,12 @@ def bm25_scores_from_index(
 
 
 def takedown_bm25_index(
-    spark, path: str, doc_ids: DataFrame, *, id_col: str = "doc_id"
+    spark,
+    path: str,
+    doc_ids: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    request_id: str | None = None,
 ) -> None:
     """Propagate a takedown/right-to-erasure request through the
     persisted index WITHOUT a rebuild — deletion is just the negative
@@ -339,45 +370,97 @@ def takedown_bm25_index(
     delta files that the loader's existing sums fold away. Corrections
     come from the doclens sidecar (so zero-posting documents still
     decrement n_docs) plus one semi-join over the affected term
-    buckets; untouched buckets are never read. IDEMPOTENT: ids already
-    tombstoned are excluded before any delta is computed, so a
-    replayed/overlapping request never double-subtracts. Physical purge
-    of the tombstoned posting rows is a later bucket-local compaction
-    (the dedup/incremental.py compaction contract); the index answers
-    as-if-deleted the moment this returns."""
+    buckets; untouched buckets are never read.
+
+    CRASH-ATOMIC idempotency (ADVICE r11 — the old append-then-tombstone
+    order double-subtracted if a crash landed between the writes and
+    the request replayed): every artifact of one request is keyed by a
+    ``request_id`` (caller-supplied, or content-derived as the md5 of
+    the sorted victim id set — identical on any replay) and written
+    with OVERWRITE into its own subdirectory, so a replay at ANY crash
+    point rewrites the same files with the same deterministic content
+    instead of appending. Overlapping DISTINCT requests still never
+    double-subtract: ids tombstoned by OTHER requests are excluded
+    before deltas are computed (a request's own prior partial writes
+    are deliberately NOT excluded — that is what makes its replay
+    recompute, not no-op into a half-applied state). The tombstone
+    subdir is written LAST: a request becomes visible to probes only
+    once its stat corrections are fully on disk. Takedown requests are
+    bounded (legal/erasure batches — already broadcast in every join
+    here), so the content digest is one O(request) driver aggregate.
+    Physical purge of the tombstoned posting rows is a later
+    bucket-local compaction (the dedup/incremental.py compaction
+    contract); the index answers as-if-deleted the moment this
+    returns."""
     ids = doc_ids.select(id_col).distinct()
-    existing = load_bm25_tombstones(spark, path, id_col=id_col)
+    if request_id is None:
+        # Content-addressed request key: same victim set -> same key on
+        # replay. One 1-row aggregate over the (bounded) request frame.
+        row = ids.agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(F.col(id_col).cast("string"))
+                    ),
+                )
+            ).alias("k")
+        ).collect()[0]
+        request_id = (row["k"] or "empty")[:16]
+    existing = _read_tombstones_raw(spark, path)
     if existing is not None:
-        ids = ids.join(F.broadcast(existing), id_col, "left_anti")
+        others = (
+            existing.filter(F.col("__req") != request_id)
+            .select(id_col)
+            .distinct()
+        )
+        ids = ids.join(F.broadcast(others), id_col, "left_anti")
     postings = spark.read.parquet(f"{path}/postings")
     victim = postings.join(F.broadcast(ids), id_col, "left_semi")
     neg_df = victim.groupBy("term").agg(
         (-F.count(F.lit(1)).cast("double")).alias("df")
     )
     victim_lens = (
-        spark.read.parquet(f"{path}/doclens")
+        _read_deltas(spark, f"{path}/doclens")
         .join(F.broadcast(ids), id_col, "left_semi")
     )
     neg_stats = victim_lens.agg(
         (-F.count(F.lit(1)).cast("double")).alias("n_docs"),
         (-F.coalesce(F.sum("dl"), F.lit(0.0))).alias("sum_dl"),
     )
-    neg_df.write.mode("append").parquet(f"{path}/dfs")
-    neg_stats.write.mode("append").parquet(f"{path}/stats")
-    ids.write.mode("append").parquet(f"{path}/tombstones")
+    neg_df.write.mode("overwrite").parquet(
+        f"{path}/dfs/takedown-{request_id}"
+    )
+    neg_stats.write.mode("overwrite").parquet(
+        f"{path}/stats/takedown-{request_id}"
+    )
+    ids.withColumn("__req", F.lit(request_id)).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/tombstones/takedown-{request_id}")
+
+
+def _read_tombstones_raw(spark, path: str) -> DataFrame | None:
+    """(id_col, __req) tombstone rows across all request subdirs, or
+    None when no takedown has ever run. Existence is probed with a
+    Spark read (not the driver's local filesystem), so object-store
+    index paths behave like local ones."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{path}/tombstones"
+        )
+    except AnalysisException:
+        return None
 
 
 def load_bm25_tombstones(
     spark, path: str, *, id_col: str = "doc_id"
 ) -> DataFrame | None:
-    """Read the tombstone frame, or None when no takedown has run yet.
-    Existence is probed with a Spark read (not the driver's local
-    filesystem), so object-store index paths behave like local ones."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        tomb = spark.read.parquet(f"{path}/tombstones")
-    except AnalysisException:
+    """Read the tombstone id set for probe anti-joins, or None when no
+    takedown has run yet."""
+    tomb = _read_tombstones_raw(spark, path)
+    if tomb is None:
         return None
     return tomb.select(id_col).distinct()
 
@@ -422,8 +505,10 @@ def compact_bm25_index(spark, path: str, *, id_col: str = "doc_id") -> list:
     (
         postings.filter(F.col("term_bucket").isin(affected))
         .join(F.broadcast(tomb), id_col, "left_anti")
+        # Survivors re-land under their original ingest_batch so the
+        # two-level (term_bucket, ingest_batch) layout stays uniform.
         .write.mode("overwrite")
-        .partitionBy("term_bucket")
+        .partitionBy("term_bucket", "ingest_batch")
         .parquet(f"{tmp}/postings")
     )
     for b in affected:
@@ -440,5 +525,8 @@ def compact_bm25_index(spark, path: str, *, id_col: str = "doc_id") -> list:
 
 
 def _clear_bm25_tombstones(spark, path: str, id_col: str) -> None:
-    empty = spark.createDataFrame([], f"{id_col} long")
+    # Overwrite of the ROOT removes every request subdir; the schema
+    # matches the per-request tombstone frames so later recursive reads
+    # never mix column sets.
+    empty = spark.createDataFrame([], f"{id_col} long, __req string")
     empty.write.mode("overwrite").parquet(f"{path}/tombstones")

@@ -380,11 +380,15 @@ FROM supplier
 """,
 )
 def q_avg_rank_suppliers(spark, sf_dir):
-    """W3/W4: pandas-average-rank semantics (ties get mean position)."""
+    """W3/W4: pandas-average-rank semantics (ties get mean position),
+    via the BANDED two-pass (VERDICT r11 #3 — the table is data-sized,
+    so ranks derive from the per-value aggregate with windows
+    partitioned by a 1000-unit balance band; no unpartitioned window
+    over the data). Identical arithmetic to the global-window form."""
     from scikit_learn_imputer_spark.functions.stats import avg_rank
 
     df = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
-    return avg_rank(df, "s_acctbal", ascending=True)
+    return avg_rank(df, "s_acctbal", ascending=True, band_width=1000.0)
 
 
 # =====================================================================
@@ -13025,28 +13029,143 @@ def q_funnel_budget_sweep(spark, sf_dir):
     funnel evaluated at 2k/5k/20k-token mixture budgets in one plan — how many docs,
     tokens, sequences and shards each budget buys, and where the budget
     saturates (rates hit 1.0 and the mixture stage stops filtering).
-    The corpus and stratified stages repeat per budget by construction
-    (they are budget-independent anchors that make each sweep row
-    self-contained). 21 exact-integer rows; the stratified scan and
-    decontam encode are the
-    only corpus-sized work per branch and Catalyst shares nothing
-    across branches it can't prove equal — at 100 TB you'd cache the
-    stratified frame once; at bench scale the three passes are
-    cheaper than a cache materialization."""
+    SINGLE-PASS over budgets (VERDICT r11 #6): budget is a DIMENSION of
+    the aggregation, not a plan branch — the per-source rates for all
+    three budgets unpivot into one O(#sources×#budgets) broadcast frame,
+    ONE survivor-sized join+filter+groupBy(budget) computes every
+    mixture aggregate, and the budget-independent corpus/stratified/
+    decontaminated stage aggregates are computed once (persisted 1-row
+    frames) and fanned to the three budget labels by an explode over
+    the single row. 21 exact-integer rows; identical values to the
+    per-branch form."""
+    from scikit_learn_imputer_spark.functions.text import (
+        token_count_col,
+        uniform_hash_col,
+    )
+
+    budgets = (2000, 5000, 20000)
     docs, kept, dk = _loader_funnel_base(spark, sf_dir)
     # The stratified and decontaminated frames are budget-independent;
-    # persist so the three branches share ONE stratified scan and ONE
-    # Arrow decontam encode (measured 17s -> ~8s at sf0.1 unpersisted
-    # vs persisted). O(survivor) rows of (id, source, n_tokens).
+    # persist so every stage shares ONE stratified scan and ONE Arrow
+    # decontam encode. O(survivor) rows of (id, source, n_tokens).
     kept = kept.persist()
     dk = dk.persist()
-    parts = []
-    for b in (2000, 5000, 20000):
-        parts.append(
-            _loader_funnel_rows(
-                spark, sf_dir, float(b), base=(docs, kept, dk)
-            ).withColumn("budget", F.lit(b).cast("bigint"))
+    # Budget-independent 1-row stage aggregates, computed ONCE and
+    # persisted (VERDICT r11 #6 — the per-branch form re-tokenized the
+    # corpus and re-aggregated the survivors once PER budget); each is
+    # then fanned to the three budget labels with an explode over the
+    # single row.
+    def agg1(df):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("nd"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("nt"),
+        ).persist()
+
+    corpus1 = agg1(
+        docs.select(
+            "doc_id",
+            token_count_col(F.col("text")).cast("bigint").alias("n_tokens"),
         )
+    )
+    strat1 = agg1(kept)
+    decon1 = agg1(dk)
+    b_arr = F.array(*[F.lit(b).cast("bigint") for b in budgets])
+    # Per-source mixture rates for ALL budgets in one O(#sources) frame
+    # (budget unpivoted via explode), broadcast into ONE survivor-sized
+    # join+filter+aggregate — the single corpus-sized stage of the plan.
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_s = F.pow("__n_s", F.lit(0.7))
+    per_src = dk.groupBy("source").agg(
+        F.sum("n_tokens").cast("double").alias("__n_s")
+    )
+    rates_all = per_src.withColumn("__tot", F.sum(w_s).over(wall)).select(
+        "source",
+        F.explode(b_arr).alias("budget"),
+        "__n_s",
+        "__tot",
+    ).select(
+        "source",
+        "budget",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("budget").cast("double")
+                * (w_s / F.col("__tot"))
+                / F.col("__n_s"),
+            ),
+            6,
+        ).alias("__r"),
+    )
+    u2 = uniform_hash_col(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+    )
+    mix_raw = (
+        dk.join(F.broadcast(rates_all), "source")
+        .filter(u2 < F.col("__r"))
+        .groupBy("budget")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nd"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("nt"),
+        )
+    )
+    # An empty mixture group must still emit its zero rows (groupBy
+    # drops empty groups; the oracle's per-branch aggregate does not).
+    budgets_df = spark.createDataFrame(
+        [(b,) for b in budgets], "budget bigint"
+    )
+    mix_agg = budgets_df.join(mix_raw, "budget", "left").select(
+        "budget",
+        F.coalesce("nd", F.lit(0)).cast("bigint").alias("nd"),
+        F.coalesce("nt", F.lit(0)).cast("bigint").alias("nt"),
+    )
+
+    def fan(agg_frame, order, stage):
+        """1-row budget-independent aggregate -> one stage row PER
+        budget (explode over the single row; no recompute)."""
+        return agg_frame.select(
+            F.explode(b_arr).alias("budget"),
+            F.lit(order).cast("bigint").alias("stage_order"),
+            F.lit(stage).alias("stage"),
+            F.col("nd").alias("n_docs"),
+            F.col("nt").alias("n_tokens"),
+            F.lit(0).cast("bigint").alias("n_units"),
+        )
+
+    def mrow(order, stage, units=None):
+        return mix_agg.select(
+            "budget",
+            F.lit(order).cast("bigint").alias("stage_order"),
+            F.lit(stage).alias("stage"),
+            (F.lit(0).cast("bigint") if units is not None else F.col("nd"))
+            .alias("n_docs"),
+            (F.lit(0).cast("bigint") if units is not None else F.col("nt"))
+            .alias("n_tokens"),
+            (units if units is not None else F.lit(0).cast("bigint"))
+            .alias("n_units"),
+        )
+
+    n_seqs = F.when(
+        F.col("nt") > 0, F.floor((F.col("nt") - 1) / 512) + 1
+    ).otherwise(F.lit(0)).cast("bigint")
+    n_shards = F.when(
+        F.col("nt") > 0,
+        F.floor(F.floor((F.col("nt") - 1) / 512) / 16) + 1,
+    ).otherwise(F.lit(0)).cast("bigint")
+    parts = [
+        fan(corpus1, 1, "corpus"),
+        fan(strat1, 2, "stratified"),
+        fan(decon1, 3, "decontaminated"),
+        mrow(4, "mixture"),
+        mrow(5, "sequences", n_seqs),
+        mrow(6, "shards", n_shards),
+        mrow(7, "workers", F.least(F.lit(4).cast("bigint"), n_shards)),
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -14898,7 +15017,7 @@ def q_lang_source_matrix(spark, sf_dir):
 
 
 @register(
-    "dp_noisy_histogram",
+    "dp_release_calibration",
     oracle="""
 WITH counts AS (
   SELECT c_nationkey, c_mktsegment,
@@ -14926,18 +15045,22 @@ SELECT c_nationkey, c_mktsegment, true_count,
 FROM noised
 """,
 )
-def q_dp_noisy_histogram(spark, sf_dir):
-    """Differential-privacy release calibration: the (nation, segment)
-    customer histogram with Laplace(1/eps) noise at eps=1, sensitivity 1
-    — the ONE new primitive privacy release needs beyond k-anonymity.
-    The noise draw is the engine's deterministic md5-uniform pushed
-    through the Laplace inverse CDF (-sign(v)·ln(1-2|v|), v=u-0.5,
-    floor-guarded at 2^-32 where the CDF tail would hit ln(0)), so both
-    engines — and an auditor re-running the release — reproduce the
-    published numbers bit-for-bit; a production release would swap the
-    md5 key for a secret seed and drop true_count/noise from the
-    output. Pure projection over an O(#classes) aggregate; the utility
-    check (|noise| distribution vs eps) reads directly off the result."""
+def q_dp_release_calibration(spark, sf_dir):
+    """Differential-privacy release CALIBRATION (renamed from
+    dp_noisy_histogram, ADVICE r11 — this is the audit twin, NOT a
+    usable privacy release: the noise is keyed by the public class and
+    true_count/noise are emitted, so anyone can subtract the noise back
+    out; the name now says so): the (nation, segment) customer
+    histogram with Laplace(1/eps) noise at eps=1, sensitivity 1. The
+    draw is the engine's deterministic md5-uniform pushed through the
+    Laplace inverse CDF (-sign(v)·ln(1-2|v|), v=u-0.5, floor-guarded at
+    2^-32 where the CDF tail would hit ln(0)), so both engines — and an
+    auditor re-running the calibration — reproduce the numbers
+    bit-for-bit. The PRODUCTION release is
+    functions/privacy.py:dp_laplace_release: a caller-held secret seed
+    in the hash key, only the noised integer released. Pure projection
+    over an O(#classes) aggregate; the utility check (|noise|
+    distribution vs eps) reads directly off the result."""
     from scikit_learn_imputer_spark.functions.text import uniform_hash_col
 
     c = _t(spark, sf_dir, "customer")
@@ -15452,9 +15575,11 @@ def q_stream_bm25_index_topk(spark, sf_dir):
 
 @register(
     "bm25_index_stats",
+    # N_TERM_BUCKETS interpolated below (ADVICE r11: a hardcoded modulus
+    # silently desynchronizes if the constant changes).
     oracle="""
 WITH postings AS (
-  SELECT (('0x' || substr(md5(term), 1, 8))::UBIGINT % 64) AS term_bucket,
+  SELECT (('0x' || substr(md5(term), 1, 8))::UBIGINT % {n_buckets}) AS term_bucket,
          term, doc_id
   FROM (
     SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '),
@@ -15489,12 +15614,23 @@ def q_bm25_index_stats(spark, sf_dir):
     )
 
 
+def _interp_bm25_bucket_count():
+    from scikit_learn_imputer_spark.functions.retrieval import N_TERM_BUCKETS
+
+    ORACLE["bm25_index_stats"] = ORACLE["bm25_index_stats"].replace(
+        "{n_buckets}", str(N_TERM_BUCKETS)
+    )
+
+
+_interp_bm25_bucket_count()
+
+
 @register(
     "phrase_search",
-    oracle="""
+    oracle=r"""
 WITH pos AS (
   SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, parts[CAST(i AS INT)] AS token
-  FROM (SELECT doc_id, string_split(trim(text), ' ') AS parts
+  FROM (SELECT doc_id, str_split_regex(trim(text), '\s+') AS parts
         FROM documents),
        unnest(generate_series(1, len(parts))) AS t(i)
   WHERE parts[CAST(i AS INT)] IN ('spark', 'window')
@@ -15518,11 +15654,16 @@ def q_phrase_search(spark, sf_dir):
     phrase's two terms BEFORE anything shuffles (at 100 TB only the
     phrase terms' positional postings move), and adjacency is one
     self equi join on (doc_id, pos+1). Per matching doc: occurrence
-    count and first position — the snippet anchor a search UI needs."""
+    count and first position — the snippet anchor a search UI needs.
+    Positions index the WHITESPACE-RUN tokenization (split on \\s+, no
+    empty tokens — ADVICE r11: a single-space split leaves empties
+    occupying positions, silently breaking pos+1 adjacency on any
+    corpus with doubled spaces; query, oracle, and the brute-force test
+    all tokenize identically)."""
     d = _t(spark, sf_dir, "documents")
     pos = d.select(
         "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), " ")).alias(
+        F.posexplode(F.split(F.trim(F.col("text")), "\\s+")).alias(
             "pos", "token"
         ),
     ).filter(F.col("token").isin("spark", "window"))

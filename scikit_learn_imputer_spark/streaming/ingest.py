@@ -214,17 +214,22 @@ def stream_bm25_index_ingest(
     re-read. Because deltas are pure sums, the folded index after the
     stream drains equals a from-scratch build over everything that
     arrived, whatever the batch boundaries were — the batch==stream
-    contract, checked by the driver oracle. Replays are at-least-once
-    (same contract as append_to_store): exactly-once would key postings
-    sub-dirs by batch_id, which partitionBy(term_bucket) trades away
-    for partition pruning."""
+    contract, checked by the driver oracle. EXACTLY-ONCE under replays
+    (ADVICE r11): the append is keyed by the batch_id — postings land
+    under (term_bucket, ingest_batch=stream-<id>) via dynamic partition
+    overwrite (pruning on term_bucket is unaffected) and df/stats/
+    doclens land in batch-keyed subdirs — so a foreachBatch replay
+    after a crash overwrites its own partitions instead of inflating
+    tf/df, the same idempotent_batch_sink contract as
+    stream_event_counts_ingest."""
     from scikit_learn_imputer_spark.functions.retrieval import (
         append_bm25_index,
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         append_bm25_index(batch, index_path, id_col=id_col,
-                          text_col=text_col)
+                          text_col=text_col,
+                          append_id=f"stream-{batch_id}")
 
     return (
         docs_stream.writeStream.foreachBatch(process)

@@ -143,3 +143,76 @@ def test_no_buildtime_collects_in_query_registry():
         and not line.strip().startswith("#")
     ]
     assert offenders == [], f"build-time Spark actions in registry: {offenders}"
+
+
+# Queries where a Window over an Exchange SinglePartition IS the design
+# because the windowed frame is BOUNDED — bucket/band metadata (offsets
+# frames of the banded two-pass: O(256) md5 buckets or O(#bands)), or
+# O(domain) report frames (days, years, nations, columns, shards,
+# sources, budgets) — never token- or document-sized data (VERDICT r11
+# #3). Every entry documents its bound; a new query that ranks a
+# data-sized frame through an unpartitioned window fails the lint until
+# it is either banded (operators/fill.py:147 / operators/shuffle.py:71 /
+# functions/stats.py:avg_rank band_width) or justified here.
+INTENDED_GLOBAL_WINDOW = {
+    "avg_rank_suppliers",        # banded two-pass: offsets over O(#balance-bands)
+    "corpus_training_manifest",  # shard manifest rank: O(#shards) metadata
+    "daily_revenue_ma7",         # O(#days) time-bucket frame
+    "dataloader_assignment",     # O(#shards) manifest + O(256) shuffle offsets
+    "entropy_by_column",         # O(#columns x #values) report frame
+    "epoch_seed_independence",   # O(256) seeded-shuffle bucket offsets x2 seeds
+    "epoch_source_fairness",     # O(256) bucket offsets + O(#sources x #epochs)
+    "funnel_budget_sweep",       # O(#sources) rate frame + 1-row stage aggs
+    "loader_resume_state",       # O(256) bucket offsets + O(#shards) manifest
+    "mixture_shuffled_pack_audit",  # O(256) offsets + O(#sources) mixture frame
+    "pack_mixing_histogram",     # O(256) seeded-shuffle bucket offsets
+    "pack_shuffle_dispersion",   # O(256) offsets + 1-row dispersion scalars
+    "pack_shuffled_sequences",   # O(256) seeded-shuffle bucket offsets
+    "revenue_share_by_nation",   # O(#nations) report frame
+    "shard_source_mix",          # O(256) offsets + O(#shards x #sources)
+    "shuffle_dispersion",        # O(256) offsets + 1-row scalars
+    "shuffle_sequences",         # O(256) seeded-shuffle bucket offsets
+    "shuffled_cu_seqlens",       # O(256) offsets; cu_seqlens per-sequence local
+    "shuffled_loader_resume",    # O(256) offsets + O(#shards) manifest
+    "shuffled_repack_delta",     # O(256) offsets x2 (before/after repack)
+    "shuffled_sequence_doc_spans",  # O(256) seeded-shuffle bucket offsets
+    "shuffled_tokenized_sequences",  # O(256) seeded-shuffle bucket offsets
+    "training_loader_funnel",    # O(#sources) rate frame + 1-row stage aggs
+    "training_shards",           # O(256) offsets + O(#shards) manifest
+    "vocab_coverage",            # banded two-pass: offsets over O(#freq-bands)
+    "yoy_revenue_growth",        # O(#years) time-bucket frame
+}
+
+
+def _unpartitioned_window_count(plan: str) -> int:
+    """Window (or WindowGroupLimit) physical nodes whose input exchange
+    is SinglePartition — the shape that serializes a data-sized frame
+    through one task. Bounded-metadata windows match too; they are
+    whitelisted above with their bound."""
+    import re as _re
+
+    lines = plan.splitlines()
+    n = 0
+    for i, ln in enumerate(lines):
+        if _re.search(r"\bWindow(GroupLimit)? ", ln):
+            for j in range(i + 1, min(i + 4, len(lines))):
+                if "Exchange SinglePartition" in lines[j]:
+                    n += 1
+                    break
+                if _re.search(r"\bExchange hashpartitioning", lines[j]):
+                    break
+    return n
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - HEAVY_BUILD))
+def test_no_unpartitioned_window_over_unbounded_frame(spark, sf_smoke, name):
+    df = QUERIES[name](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    k = _unpartitioned_window_count(plan)
+    if name not in INTENDED_GLOBAL_WINDOW:
+        assert k == 0, (
+            f"{name}: {k} unpartitioned window(s) over a frame not "
+            f"whitelisted as bounded — band it (fill.py:147 / "
+            f"shuffle.py:71 / stats.py:avg_rank band_width) or document "
+            f"its bound in INTENDED_GLOBAL_WINDOW"
+        )

@@ -305,7 +305,7 @@ def test_lang_source_matrix_matches_python_brute_force(spark, sf_smoke):
         assert r["lang_entropy"] == pytest.approx(round(h, 6), abs=1e-6)
 
 
-def test_dp_noisy_histogram_matches_python_brute_force(spark, sf_smoke):
+def test_dp_release_calibration_matches_python_brute_force(spark, sf_smoke):
     rows = duckdb.sql(
         f"SELECT c_nationkey, c_mktsegment, count(*) FROM "
         f"'{sf_smoke}/customer.parquet' GROUP BY 1, 2"
@@ -319,7 +319,7 @@ def test_dp_noisy_histogram_matches_python_brute_force(spark, sf_smoke):
         noise = -sign * math.log(max(1 - 2 * abs(v), 2**-32))
         expected[(nat, seg)] = (cnt, round(noise, 6), round(cnt + noise, 6))
 
-    got = QUERIES["dp_noisy_histogram"](spark, sf_smoke).collect()
+    got = QUERIES["dp_release_calibration"](spark, sf_smoke).collect()
     assert {(r["c_nationkey"], r["c_mktsegment"]) for r in got} == set(
         expected
     )
@@ -734,9 +734,13 @@ def test_bm25_index_stats_matches_python_brute_force(spark, sf_smoke):
 
 
 def test_phrase_search_matches_python_brute_force(spark, sf_smoke):
+    # .split() == whitespace-RUN tokenization with no empty tokens —
+    # the exact semantics of the query's split(trim, '\s+') (ADVICE
+    # r11: positions must index filtered tokens or doubled spaces break
+    # pos+1 adjacency).
     expected = {}
     for did, text, _ in _docs(sf_smoke):
-        words = [w for w in text.strip().split(" ") if w]
+        words = text.split()
         hits = [
             i
             for i in range(len(words) - 1)
@@ -750,3 +754,147 @@ def test_phrase_search_matches_python_brute_force(spark, sf_smoke):
     }
     assert got == expected
     assert expected, "phrase must actually occur at this sf"
+
+
+def test_dp_laplace_release_threads_secret_and_hides_diagnostics(spark, sf_smoke):
+    """ADVICE r11: the PRODUCTION DP release must (a) expose ONLY the
+    noised integer — no true_count/noise columns to subtract back out —
+    (b) produce different noise under different secret seeds, (c) be
+    reproducible under the same seed, and (d) validate its params."""
+    import pytest as _pytest
+
+    from scikit_learn_imputer_spark.functions.privacy import dp_laplace_release
+    from scikit_learn_imputer_spark.sources.tables import load_table
+
+    c = load_table(spark, sf_smoke, "customer")
+    rel_a = dp_laplace_release(
+        c, ["c_nationkey", "c_mktsegment"], secret_seed="seed-a"
+    )
+    assert set(rel_a.columns) == {
+        "c_nationkey", "c_mktsegment", "released_count"
+    }
+    a = {(r[0], r[1]): r[2] for r in rel_a.collect()}
+    b = {
+        (r[0], r[1]): r[2]
+        for r in dp_laplace_release(
+            c, ["c_nationkey", "c_mktsegment"], secret_seed="seed-b"
+        ).collect()
+    }
+    a2 = {
+        (r[0], r[1]): r[2]
+        for r in dp_laplace_release(
+            c, ["c_nationkey", "c_mktsegment"], secret_seed="seed-a"
+        ).collect()
+    }
+    assert a == a2, "same seed must reproduce the release"
+    assert a != b, "different seeds must draw different noise"
+    assert all(v >= 0 for v in a.values()), "counts clamp at zero"
+    # Utility: noise is Laplace(1/eps=1) — releases stay near truth.
+    true = {
+        (r[0], r[1]): r[2]
+        for r in duckdb.sql(
+            f"SELECT c_nationkey, c_mktsegment, count(*) FROM "
+            f"'{sf_smoke}/customer.parquet' GROUP BY 1, 2"
+        ).fetchall()
+    }
+    assert set(a) == set(true)
+    within = sum(1 for k in a if abs(a[k] - true[k]) <= 5)
+    assert within >= len(a) * 0.9
+    with _pytest.raises(ValueError, match="secret_seed"):
+        dp_laplace_release(c, ["c_nationkey"], secret_seed="")
+    with _pytest.raises(ValueError, match="eps"):
+        dp_laplace_release(c, ["c_nationkey"], secret_seed="s", eps=0)
+    with _pytest.raises(ValueError, match="group_cols"):
+        dp_laplace_release(c, [], secret_seed="s")
+
+
+def test_bm25_takedown_partial_crash_replay_does_not_double_subtract(spark, sf_smoke):
+    """ADVICE r11 (medium): a crash between the negative-delta writes
+    and the tombstone write, followed by a replay, must NOT
+    double-subtract df/stats. Simulated by deleting the request's
+    tombstone subdir after a completed takedown (= crash just before
+    the LAST write) and replaying the identical request: the
+    request-keyed overwrite must leave exactly one correction."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.functions.retrieval import (
+        bm25_scores_from_index,
+        build_bm25_index,
+        load_bm25_index,
+        load_bm25_tombstones,
+        save_bm25_index,
+        takedown_bm25_index,
+    )
+    from scikit_learn_imputer_spark.plans.queries import _t
+
+    path = tempfile.mkdtemp(prefix="sli_takedown_crash_")
+    d = _t(spark, sf_smoke, "documents")
+    victims = d.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    save_bm25_index(*build_bm25_index(d), path)
+    takedown_bm25_index(spark, path, victims, request_id="req-1")
+    # Simulate the crash: the tombstone (written last) never landed.
+    shutil.rmtree(f"{path}/tombstones/takedown-req-1")
+    takedown_bm25_index(spark, path, victims, request_id="req-1")  # replay
+
+    survivors = d.join(victims, "doc_id", "left_anti")
+    ref_path = tempfile.mkdtemp(prefix="sli_takedown_ref_")
+    save_bm25_index(*build_bm25_index(survivors), ref_path)
+
+    postings, dfs, stats = load_bm25_index(spark, path)
+    tomb = load_bm25_tombstones(spark, path)
+    got = bm25_scores_from_index(
+        postings, dfs, stats, BM25_QUERY_TERMS, tombstones=tomb
+    )
+    rp, rd, rs = load_bm25_index(spark, ref_path)
+    want = bm25_scores_from_index(rp, rd, rs, BM25_QUERY_TERMS)
+    g = {r["doc_id"]: round(r["score"], 6) for r in got.collect()}
+    w = {r["doc_id"]: round(r["score"], 6) for r in want.collect()}
+    assert g == w, "replay after partial crash corrupted df/stats"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ref_path, ignore_errors=True)
+
+
+def test_bm25_append_with_append_id_is_idempotent(spark, sf_smoke):
+    """ADVICE r11 (low): a keyed append (the streaming ingest path)
+    replayed with the SAME id must leave the index identical — postings
+    not duplicated, df/stats not inflated."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.functions.retrieval import (
+        append_bm25_index,
+        bm25_scores_from_index,
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+    from scikit_learn_imputer_spark.plans.queries import _t
+
+    path = tempfile.mkdtemp(prefix="sli_append_idem_")
+    d = _t(spark, sf_smoke, "documents")
+    base = d.filter(F.col("doc_id") % 2 == 0)
+    delta = d.filter(F.col("doc_id") % 2 == 1)
+    save_bm25_index(*build_bm25_index(base), path)
+    append_bm25_index(delta, path, append_id="stream-7")
+    append_bm25_index(delta, path, append_id="stream-7")  # replay
+
+    postings, dfs, stats = load_bm25_index(spark, path)
+    n_postings = postings.count()
+    ref_path = tempfile.mkdtemp(prefix="sli_append_ref_")
+    save_bm25_index(*build_bm25_index(d), ref_path)
+    rp, rd, rs = load_bm25_index(spark, ref_path)
+    assert n_postings == rp.count(), "replayed append duplicated postings"
+    g = {r["doc_id"]: round(r["score"], 6)
+         for r in bm25_scores_from_index(
+             postings, dfs, stats, BM25_QUERY_TERMS).collect()}
+    w = {r["doc_id"]: round(r["score"], 6)
+         for r in bm25_scores_from_index(
+             rp, rd, rs, BM25_QUERY_TERMS).collect()}
+    assert g == w, "replayed append inflated df/stats"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ref_path, ignore_errors=True)
