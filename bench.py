@@ -35,10 +35,17 @@ def main() -> None:
     unanchored = set(QUERIES) - set(ORACLE) - set(ANCHORS)
     assert not unanchored, f"queries with no oracle and no anchor: {sorted(unanchored)}"
 
+    # Shuffle partition count defaults to the core count — right for the
+    # sf0.1 suite — but must scale with DATA for scale-proof runs: at
+    # sf10 a 32-way shuffle makes ~600 MB reduce partitions that spill,
+    # reading as a fake super-linear exponent (a config artifact, not a
+    # plan property; on a real cluster partitions are sized to the data,
+    # which is exactly what this knob does).
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
     spark = get_spark(
         "sli-spark-bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
+        shuffle_partitions=shuffle,
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -12736,9 +12736,18 @@ def _loader_funnel_rows(spark, sf_dir, budget, base=None):
         uniform_hash_col,
     )
 
-    docs, kept, dk = base if base is not None else _loader_funnel_base(
-        spark, sf_dir
-    )
+    if base is not None:
+        docs, kept, dk = base
+    else:
+        docs, kept, dk = _loader_funnel_base(spark, sf_dir)
+        # The stage aggregates below each consume kept/dk; without a
+        # persist every stage re-runs the stratified percentile pass and
+        # the Arrow decontam encode from scratch (4 recomputes — the
+        # budget sweep already persisted, the single-budget entry paid
+        # full recompute per stage). O(survivor) rows of
+        # (id, source, n_tokens).
+        kept = kept.persist()
+        dk = dk.persist()
     per_src = dk.groupBy("source").agg(
         F.sum("n_tokens").cast("double").alias("__n_s")
     )

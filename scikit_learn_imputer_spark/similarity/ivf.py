@@ -224,29 +224,42 @@ def _snap_vectors(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def _assign_cells_snapped(snapped: DataFrame, centroids: list[list[int]]) -> DataFrame:
-    """Attach argmin-distance ``cell`` against broadcast integer centroid
-    literals — a pure whole-stage-codegen projection (no join, no
-    shuffle); ALL arithmetic is exact BIGINT, ties break to the lowest
-    cell id via struct sort on (dist, cell)."""
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("v"),
-                        F.array(*[F.lit(int(x)).cast("long") for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+def _centroids_df(spark, centroids: list[list[int]]) -> DataFrame:
+    """O(nlist) driver-local centroid frame (LocalRelation — no
+    executor/Python-worker roundtrips for 8 rows)."""
+    return spark.createDataFrame(
+        [(i, [int(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell INT, c ARRAY<BIGINT>",
     )
-    return snapped.withColumn("cell", F.array_sort(dists)[0]["cell"])
+
+
+def _assign_cells_snapped(snapped: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Attach argmin-distance ``cell`` via a BROADCAST join against the
+    O(nlist) centroid frame + min(struct(dist, cell)) groupBy — ALL
+    arithmetic exact BIGINT, ties break to the lowest cell id via the
+    struct's lexicographic min. A join (centroids as DATA) rather than
+    a literal-unrolled projection: per-iteration centroid literals
+    forced a fresh multi-second whole-stage-codegen compile EVERY Lloyd
+    round (8 cells x 64 literals per round — measured ~3.5 s/round at
+    sf0.1); the join keeps one stable generated-code shape across
+    rounds, so codegen compiles once."""
+    cents = _centroids_df(snapped.sparkSession, centroids)
+    d = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = snapped.crossJoin(F.broadcast(cents)).select(
+        "vid", "v", "cell", d.alias("d")
+    )
+    return (
+        scored.groupBy("vid")
+        .agg(
+            F.first("v").alias("v"),
+            F.min(F.struct(F.col("d"), F.col("cell"))).alias("__m"),
+        )
+        .select("vid", "v", F.col("__m.cell").alias("cell"))
+    )
 
 
 def ivf_balance_snapped(
@@ -255,6 +268,7 @@ def ivf_balance_snapped(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    build_partitions: int | None = 4,
 ) -> DataFrame:
     """IVF cell-balance histogram from an ENGINE-EXACT integer Lloyd
     build — the ``near_dup_pagerank_snapped`` technique applied to
@@ -271,8 +285,14 @@ def ivf_balance_snapped(
     only shuffle per round is the nlist×dim-group component-sum
     aggregate (map-side combined). The MLlib production build
     (``build_ivf_index``) keeps its anchored entry; this is the exact
-    twin the driver hashes."""
-    snapped = _snap_vectors(corpus, id_col, vec_col).persist()
+    twin the driver hashes. ``build_partitions`` right-sizes the Lloyd
+    rounds exactly like build_ivf_index's knob — each round is a
+    barrier of tiny tasks, so thousands of near-empty tasks cost more
+    than the math (None keeps the input partitioning for big builds)."""
+    snapped = _snap_vectors(corpus, id_col, vec_col)
+    if build_partitions:
+        snapped = snapped.coalesce(build_partitions)
+    snapped = snapped.persist()
     init_rows = (
         snapped.withColumn("__h", F.md5(F.col("vid").cast("string")))
         .orderBy("__h", "vid")

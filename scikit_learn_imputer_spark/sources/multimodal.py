@@ -100,22 +100,64 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
     )
 
 
+#: The decode PLUG-IN CONTRACT (VERDICT r11 #8): ``mime -> callable``
+#: where the callable takes the raw payload ``bytes`` and returns the
+#: fixed-width numeric feature sequence a real decoder would (PIL pixel
+#: stats, CLIP-preprocessor tensors, ffmpeg frame summaries, ...).
+#: Register with :func:`register_media_codec`; the operators never
+#: change — ``extract_media_features`` snapshots this registry into its
+#: mapInPandas closure at plan-build time (cloudpickle ships the
+#: callables to executors, so registration is driver-side only and must
+#: happen BEFORE the plan is built). Unregistered mimes fall back to the
+#: deterministic png/jpeg fake; anything else raises NotImplementedError
+#: inside the task, failing the job loudly rather than fabricating
+#: features.
+MEDIA_CODECS: dict = {}
+
+
+def register_media_codec(mime: str, decode) -> None:
+    """Install a real codec for ``mime`` (e.g. PIL for image/png,
+    ffmpeg for video/mp4) without touching any operator. ``decode``
+    must be a picklable callable ``bytes -> sequence[float]``."""
+    if not callable(decode):
+        raise TypeError(f"decode for {mime!r} must be callable")
+    MEDIA_CODECS[mime] = decode
+
+
 def _decode_image_stub(payload: bytes, mime: str):
-    """Codec stub — production swaps in PIL/libvips/ffmpeg. Raises for
-    formats the deterministic fake can't stand in for."""
+    """Codec stub — production registers PIL/libvips/ffmpeg via
+    :func:`register_media_codec`. Raises for formats the deterministic
+    fake can't stand in for."""
     if mime not in ("image/png", "image/jpeg"):
         raise NotImplementedError(
-            f"no codec for {mime!r} in this environment (stubbed)"
+            f"no codec for {mime!r} in this environment (stubbed); "
+            f"register one with register_media_codec"
         )
     # Deterministic fake "decode": interpret bytes as grayscale intensities.
     return list(payload[:16])
 
 
-def extract_media_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def extract_media_features(
+    df: DataFrame, batch_hint: int = 1024, decoder=None
+) -> DataFrame:
     """Arrow-batched feature extraction over the payload column:
     content digest, size, and a fixed-width feature vector from the
-    (stubbed) decode. The UDF sees pandas DataFrames of whole Arrow
-    batches — no per-row Python overhead."""
+    decode. The UDF sees pandas DataFrames of whole Arrow batches — no
+    per-row Python overhead. Decoding dispatches per-mime through the
+    :data:`MEDIA_CODECS` plug-in registry (snapshotted into the closure
+    here — register codecs before building the plan); an explicit
+    ``decoder(payload, mime)`` argument overrides the registry entirely;
+    with neither, the deterministic stub handles png/jpeg and anything
+    else fails the task loudly."""
+    codecs = dict(MEDIA_CODECS)
+
+    def _decode(payload: bytes, mime: str):
+        if decoder is not None:
+            return decoder(payload, mime)
+        fn = codecs.get(mime)
+        if fn is not None:
+            return fn(payload)
+        return _decode_image_stub(payload, mime)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -137,7 +179,7 @@ def extract_media_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                         lambda b: len(b) if b is not None else 0
                     ).astype("int64"),
                     "features": [
-                        [float(x) for x in _decode_image_stub(bytes(b), m)]
+                        [float(x) for x in _decode(bytes(b), m)]
                         if b is not None
                         else None
                         for b, m in zip(payloads, mimes)
