@@ -130,3 +130,38 @@ def imputation_variance_long(
     return stats_per_dataset.groupBy("variable").agg(
         F.var_samp("value").alias("imputation_variance")
     )
+
+
+def exact_rank_quantile_select(
+    sorted_col: str, fracs: list[tuple[int, int]], names: list[str]
+):
+    """Threshold Columns for EXACT lower-rank quantiles over a
+    sorted-array column: ``t = sorted(values)[((n-1) * num) div den]``
+    per ``(num, den)`` fraction — pure element selection of existing
+    values, NO interpolation. Use for every quantile that feeds a
+    COMPARISON (decile bucketing, winsorize clips, top-decile filters):
+    the round-12 sf1 sweep caught Spark's interpolating ``percentile``
+    and DuckDB's ``quantile_cont`` disagreeing by one ULP when
+    ``(n-1)*q`` lands on a data index (0.672022 vs
+    0.6720220000000001), flipping ``s >= t`` for rows whose value
+    EQUALS the threshold. Exact integer index arithmetic + element
+    lookup is bit-identical on any engine. O(group) aggregate memory —
+    the same shape as the exact percentile it replaces. Usage:
+
+        df.groupBy(g).agg(F.sort_array(F.collect_list(v)).alias("__vs"))
+          .select(g, *exact_rank_quantile_select("__vs", fracs, names))
+
+    DuckDB twin: ``(list_sort(list(v) FILTER (v IS NOT NULL)))
+    [CAST(((count(v) - 1) * num) // den AS BIGINT) + 1]``.
+    """
+    out = []
+    for (num, den), name in zip(fracs, names):
+        out.append(
+            F.element_at(
+                sorted_col,
+                (
+                    F.expr(f"(size({sorted_col}) - 1) * {num} div {den}") + 1
+                ).cast("int"),
+            ).alias(name)
+        )
+    return out

@@ -139,10 +139,26 @@ def stratified_quality_sample(
         token_count_col(F.col(text_col)).cast("bigint").alias("n_tokens"),
         F.round(quality_score_col(F.col(text_col)), 6).alias("__s"),
     )
+    # EXACT lower-rank decile thresholds: t_k = sorted(s)[((n-1)*k) div 10]
+    # — pure element selection of already-6dp-rounded values, NO
+    # interpolation (functions/stats.py:exact_rank_quantile_select for
+    # the cross-engine ULP hazard the round-12 sf1 sweep caught in the
+    # interpolating percentile this replaces).
+    from scikit_learn_imputer_spark.functions.stats import (
+        exact_rank_quantile_select,
+    )
+
     thr = base.groupBy(source_col).agg(
-        F.percentile(
-            "__s", F.array(*[F.lit(q / 10.0) for q in range(1, 10)])
-        ).alias("__ts")
+        F.sort_array(F.collect_list("__s")).alias("__vs")
+    ).select(
+        source_col,
+        F.array(
+            *exact_rank_quantile_select(
+                "__vs",
+                [(k, 10) for k in range(1, 10)],
+                [f"__t{k}" for k in range(1, 10)],
+            )
+        ).alias("__ts"),
     )
     decile = (
         F.lit(1) + F.size(F.filter("__ts", lambda t: F.col("__s") >= t))

@@ -7993,9 +7993,11 @@ def q_yoy_revenue_growth(spark, sf_dir):
     "winsorize_acctbal",
     oracle="""
 WITH q AS (
-  SELECT quantile_cont(c_acctbal, 0.05) AS p5,
-         quantile_cont(c_acctbal, 0.95) AS p95
-  FROM customer
+  SELECT vs[CAST(((n - 1) * 1) // 20 AS BIGINT) + 1] AS p5,
+         vs[CAST(((n - 1) * 19) // 20 AS BIGINT) + 1] AS p95
+  FROM (SELECT list_sort(list(c_acctbal) FILTER (c_acctbal IS NOT NULL)) AS vs,
+               CAST(count(c_acctbal) AS BIGINT) AS n
+        FROM customer)
 )
 SELECT c_custkey,
        round(least(greatest(c_acctbal, p5), p95), 4) AS acctbal_wins
@@ -8004,14 +8006,19 @@ FROM customer, q
 )
 def q_winsorize_acctbal(spark, sf_dir):
     """Winsorization (clip at the 5th/95th percentile) — outlier taming
-    for feature pipelines: one exact-percentile aggregate broadcast as a
-    one-row frame, then a pure least/greatest projection. At 100 TB the
-    percentile swaps to approx_percentile; the exact form anchors
-    correctness."""
+    for feature pipelines: one EXACT-RANK quantile aggregate
+    (stats.py:exact_rank_quantile_select — the clip bound feeds a
+    comparison, so interpolated thresholds are the cross-engine ULP
+    hazard of the round-12 sf1 sweep) broadcast as a one-row frame,
+    then a pure least/greatest projection. At 100 TB the quantile swaps
+    to approx_percentile; the exact form anchors correctness."""
+    from scikit_learn_imputer_spark.functions.stats import (
+        exact_rank_quantile_select,
+    )
+
     c = _t(spark, sf_dir, "customer")
-    q = c.agg(
-        F.percentile("c_acctbal", F.lit(0.05)).alias("p5"),
-        F.percentile("c_acctbal", F.lit(0.95)).alias("p95"),
+    q = c.agg(F.sort_array(F.collect_list("c_acctbal")).alias("__vs")).select(
+        *exact_rank_quantile_select("__vs", [(1, 20), (19, 20)], ["p5", "p95"])
     )
     return (
         c.crossJoin(F.broadcast(q))
@@ -8825,7 +8832,10 @@ lm AS (
          sum(m)::DOUBLE / count(*) / 1e6 AS lm_score
   FROM terms GROUP BY doc_id
 ),
-thr AS (SELECT quantile_cont(lm_score, 0.25) AS t FROM lm)
+thr AS (SELECT vs[CAST(((n - 1) * 1) // 4 AS BIGINT) + 1] AS t
+       FROM (SELECT list_sort(list(lm_score) FILTER (lm_score IS NOT NULL)) AS vs,
+                    CAST(count(lm_score) AS BIGINT) AS n
+             FROM lm))
 SELECT doc_id, n_bigrams, round(lm_score, 6) AS lm_score
 FROM lm, thr
 WHERE lm_score >= t
@@ -8840,9 +8850,11 @@ def q_corpus_preprocess_pipeline(spark, sf_dir):
     bigram-LM scoring trained ON the surviving corpus (in-plan join
     path — no driver collect anywhere in this query) → drop the bottom
     lm-score quartile via a self-calibrating 1-row broadcast threshold
-    (non-vacuous at every SF by construction). Spark `percentile` ≡
-    DuckDB `quantile_cont`; per-term micro-nat integer sums keep the LM
-    aggregate order-invariant, so the whole five-stage composite is
+    (non-vacuous at every SF by construction). The threshold is an
+    EXACT-RANK quantile (stats.py:exact_rank_quantile_select — the
+    interpolating percentile ULP-diverges from the oracle exactly at
+    threshold-equal scores); per-term micro-nat integer sums keep the
+    LM aggregate order-invariant, so the whole five-stage composite is
     oracle-checkable end to end."""
     from scikit_learn_imputer_spark.dedup.exact import exact_dedup
     from scikit_learn_imputer_spark.functions.lm import (
@@ -8863,7 +8875,13 @@ def q_corpus_preprocess_pipeline(spark, sf_dir):
     # this persist is a parquet checkpoint, not an in-memory cache.
     deduped = exact_dedup(gated).persist()
     lm = _bigram_lm_scores_join(deduped, char_bigram_counts(deduped))
-    thr = lm.agg(F.percentile("lm_score", F.lit(0.25)).alias("t"))
+    from scikit_learn_imputer_spark.functions.stats import (
+        exact_rank_quantile_select,
+    )
+
+    thr = lm.agg(
+        F.sort_array(F.collect_list("lm_score")).alias("__vs")
+    ).select(*exact_rank_quantile_select("__vs", [(1, 4)], ["t"]))
     kept = lm.crossJoin(F.broadcast(thr)).filter(
         F.col("lm_score") >= F.col("t")
     )
@@ -9274,8 +9292,11 @@ lm AS (
   FROM terms GROUP BY doc_id
 ),
 thr AS (
-  SELECT quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ts
-  FROM lm
+  SELECT list_transform(range(1, 10),
+                        k -> vs[CAST(((n - 1) * k) // 10 AS BIGINT) + 1]) AS ts
+  FROM (SELECT list_sort(list(s) FILTER (s IS NOT NULL)) AS vs,
+               CAST(count(s) AS BIGINT) AS n
+        FROM lm)
 )
 SELECT CAST(1 + len(list_filter(thr.ts, t -> lm.s >= t)) AS INTEGER) AS decile,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -9288,20 +9309,29 @@ GROUP BY 1
 )
 def q_lm_score_deciles(spark, sf_dir):
     """Perplexity-filter calibration: bigram-LM scores bucketed into
-    deciles by BROADCAST thresholds (Spark percentile ≡ DuckDB
-    quantile_cont on the same rounded inputs) with per-decile doc
-    counts and score ranges — how a CCNet-style filter picks its
-    head/middle/tail cut WITHOUT a data-sized global window: the only
-    global op is a 9-value percentile aggregate; bucketing is a
-    map-side comparison against the broadcast thresholds."""
+    deciles by BROADCAST thresholds with per-decile doc counts and
+    score ranges — how a CCNet-style filter picks its head/middle/tail
+    cut WITHOUT a data-sized global window: the only global op is a
+    9-value EXACT-RANK quantile aggregate
+    (functions/stats.py:exact_rank_quantile_select — interpolating
+    percentiles diverge from the oracle by one ULP at threshold-equal
+    scores, the round-12 sf1 sweep finding); bucketing is a map-side
+    comparison against the broadcast thresholds."""
     from scikit_learn_imputer_spark.functions.lm import bigram_lm_scores
+    from scikit_learn_imputer_spark.functions.stats import (
+        exact_rank_quantile_select,
+    )
 
     lm = bigram_lm_scores(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.round("lm_score", 6).alias("__s")
     )
-    thr = lm.agg(
-        F.percentile(
-            "__s", F.array(*[F.lit(q / 10.0) for q in range(1, 10)])
+    thr = lm.agg(F.sort_array(F.collect_list("__s")).alias("__vs")).select(
+        F.array(
+            *exact_rank_quantile_select(
+                "__vs",
+                [(k, 10) for k in range(1, 10)],
+                [f"__t{k}" for k in range(1, 10)],
+            )
         ).alias("__ts")
     )
     decile = F.lit(1) + F.size(
@@ -12611,6 +12641,10 @@ def _strat_sample_sql(extra_base_cols=""):
     score source HERE, once. training_loader_funnel embeds its own
     copy inside the composed funnel body (its text is string-surgered
     by funnel_budget_sweep) — keep that one in sync when retuning."""
+    # Thresholds are EXACT lower-rank quantiles (sorted[((n-1)*k)//10]),
+    # not quantile_cont — the interpolating form diverged from Spark by
+    # one ULP at sf1 and flipped threshold-equal docs (see
+    # functions/stats.py:exact_rank_quantile_select).
     return (
         """WITH tqx AS ({tq}),
 base AS (
@@ -12621,9 +12655,15 @@ base AS (
 ),
 thr AS (
   SELECT source,
-         quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+         list_transform(range(1, 10),
+                        k -> vs[CAST(((n - 1) * k) // 10 AS BIGINT) + 1])
            AS ts
-  FROM base GROUP BY source
+  FROM (
+    SELECT source,
+           list_sort(list(s) FILTER (s IS NOT NULL)) AS vs,
+           CAST(count(s) AS BIGINT) AS n
+    FROM base GROUP BY source
+  )
 )"""
     )
 
@@ -12838,9 +12878,15 @@ corpus AS (
 ),
 thr AS (
   SELECT source,
-         quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+         list_transform(range(1, 10),
+                        k -> vs[CAST(((n - 1) * k) // 10 AS BIGINT) + 1])
            AS ts
-  FROM base GROUP BY source
+  FROM (
+    SELECT source,
+           list_sort(list(s) FILTER (s IS NOT NULL)) AS vs,
+           CAST(count(s) AS BIGINT) AS n
+    FROM base GROUP BY source
+  )
 ),
 sk AS (
   SELECT base.doc_id, base.source, base.n_tokens,
@@ -14844,7 +14890,10 @@ WITH raw AS ({bm25}),
 scores AS (
   SELECT doc_id, round(score, 6) AS score FROM raw
 ),
-thr AS (SELECT quantile_cont(score, 0.9) AS thr FROM scores),
+thr AS (SELECT vs[CAST(((n - 1) * 9) // 10 AS BIGINT) + 1] AS thr
+       FROM (SELECT list_sort(list(score) FILTER (score IS NOT NULL)) AS vs,
+                    CAST(count(score) AS BIGINT) AS n
+             FROM scores)),
 joined AS (
   SELECT d.source, s.score FROM documents d
   LEFT JOIN scores s USING (doc_id)
@@ -14866,15 +14915,19 @@ def q_bm25_source_relevance(spark, sf_dir):
     bm25_topk scoring chain (postings semi-filtered to the broadcast
     query terms), rounds scores to 6 dp BEFORE the corpus-level
     top-decile threshold so the cutoff compare is engine-portable, and
-    the threshold itself is a 1-row broadcast percentile frame
-    (winsorize_acctbal precedent). Report is O(#sources)."""
+    the threshold itself is a 1-row broadcast EXACT-RANK quantile frame
+    (stats.py:exact_rank_quantile_select). Report is O(#sources)."""
+    from scikit_learn_imputer_spark.functions.stats import (
+        exact_rank_quantile_select,
+    )
+
     d = _t(spark, sf_dir, "documents")
     scores = bm25_scores(d, BM25_QUERY_TERMS).select(
         "doc_id", F.round("score", 6).alias("score")
     )
     thr = scores.agg(
-        F.percentile("score", F.lit(0.9)).alias("__thr")
-    )
+        F.sort_array(F.collect_list("score")).alias("__vs")
+    ).select(*exact_rank_quantile_select("__vs", [(9, 10)], ["__thr"]))
     joined = (
         d.select("doc_id", "source")
         .join(scores, on="doc_id", how="left")

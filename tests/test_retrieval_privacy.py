@@ -228,10 +228,12 @@ def _bm25_python(sf_dir):
 
 
 def test_bm25_source_relevance_matches_python_brute_force(spark, sf_smoke):
-    import numpy as np
-
     scores = _bm25_python(sf_smoke)
-    thr = float(np.percentile(sorted(scores.values()), 90))
+    # EXACT lower-rank p90 — sorted[((n-1)*9)//10], matching the
+    # engine's exact_rank_quantile_select (np.percentile interpolates,
+    # the cross-engine ULP hazard the round-12 sf1 sweep retired).
+    vs = sorted(scores.values())
+    thr = vs[((len(vs) - 1) * 9) // 10]
     per_source = defaultdict(lambda: [0, 0, [], 0])
     for did, _, source in _docs(sf_smoke):
         st = per_source[source]

@@ -359,13 +359,14 @@ def test_stratified_quality_sample_decile_and_keep_contract(spark, sf_smoke):
         assert r["kept"] == (u < r["decile"] ** 2 / 100.0)
         per.setdefault((r["source"], r["decile"]), 0)
         per[(r["source"], r["decile"])] += 1
-    # decile balance: within each source, max/min decile occupancy is
-    # bounded (quantile_cont splits near-evenly; ties can skew a bit)
+    # decile balance: within each source, decile occupancy is near-even
+    # (exact lower-rank thresholds split +-1 around n/10; ties and the
+    # +-1 index rounding skew a bit more at sf0.001's ~20-doc sources)
     srcs = {s for s, _ in per}
     for s in srcs:
         sizes = [per.get((s, d), 0) for d in range(1, 11)]
         assert all(v > 0 for v in sizes)
-        assert max(sizes) <= 3 * min(sizes)
+        assert max(sizes) <= 3 * min(sizes) + 2
     # partitioning independence
     again = {
         r["doc_id"]: (r["decile"], r["kept"])
