@@ -88,6 +88,9 @@ INTENDED_NON_EQUI = {
                                    # the stream-appended delta files
     "bm25_multi_query",            # same 1-row stats frame, fanned per
                                    # broadcast (query_id, term) map
+    "ann_ivf_balance",             # broadcast O(nlist)=8-row centroid
+                                   # frame per Lloyd round (stable-codegen
+                                   # join replacing per-round literals)
 }
 
 HEAVY_BUILD = {
