@@ -320,7 +320,7 @@ def main() -> None:
     slots = sorted(names.index(n) for n in chain)
     for slot, n in zip(slots, chain):
         names[slot] = n
-    for name in names:
+    for pos, name in enumerate(names):
         fn = overrides.get(name) or QUERIES[name]
         t_off = round(time.time() - suite_t0, 3)
         samples: list[float] = []
@@ -338,7 +338,12 @@ def main() -> None:
                 break
             samples.append(time.time() - start)
             r += 1
-            if adaptive and r == 1 and samples[0] < 2.0:
+            # Second rep (min reported) for sub-2s entries AND for the
+            # first few suite positions: the shuffled order means
+            # whatever lands at the head absorbs the residual cold-start
+            # the warmup doesn't cover (the seed-12 run put an 18s
+            # first-rep on a 9s query) — the min strips it.
+            if adaptive and r == 1 and (samples[0] < 2.0 or pos < 4):
                 want_reps = 2
         if failed:
             timings[name] = -1.0
