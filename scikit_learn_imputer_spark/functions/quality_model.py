@@ -126,6 +126,161 @@ def quality_model_scores(
     return out
 
 
+# Micro-unit snap and per-feature band widths (in snapped units) for the
+# engine-exact stump's exact-rank decile thresholds. Widths only shape
+# the banded two-pass (#bands is metadata-sized either way); chars and
+# tokens span ~1e7..1e10 micro-units, ratios/score stay within 1e6.
+_SNAP = 1_000_000
+_BAND_WIDTHS = (1e8, 1e8, 1e6, 1e5, 1e5, 1e5)
+
+
+def snapped_features_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, label, x0..x5): the quality_training_frame with every cheap
+    feature snapped to BIGINT micro-units (round(f * 1e6)) — the
+    source_quality_matrix snap, so downstream integer arithmetic is
+    bit-identical on any engine."""
+    frame = quality_training_frame(docs, id_col, text_col)
+    return frame.select(
+        id_col,
+        F.col("label").cast("bigint").alias("label"),
+        *[
+            F.round(F.col(c) * _SNAP).cast("bigint").alias(f"x{i}")
+            for i, c in enumerate(CHEAP_FEATURES)
+        ],
+    )
+
+
+def quality_model_holdout_snapped(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """ENGINE-EXACT distilled-gate holdout: the ``ivf_balance_snapped``
+    technique applied to model distillation (VERDICT r12 #4), so the
+    per-doc holdout frame is driver-hash-checkable end to end. The
+    model is a decision stump with empirical leaf probabilities,
+    trained on the SAME cheap features and split as the RandomForest
+    (which stays registered as the anchored production twin,
+    quality_model_holdout_rf):
+
+    - features snap to BIGINT micro-units;
+    - candidate thresholds are the EXACT lower-rank train deciles per
+      feature (stats.py:exact_rank_quantiles — distributed, banded);
+    - each of the 54 candidates is scored by its best-achievable train
+      accuracy with per-leaf majority labels, in ONE map-side-combined
+      aggregate over the feature-long frame (54 groups);
+    - ties break on (accuracy DESC, feature index ASC, decile ASC);
+    - holdout scoring: pred = leaf majority (tie -> 0), p_good =
+      (1e6 * leaf_pos div leaf_n) / 1e6 — integer floor-div then one
+      exact double divide, identical on any engine; an empty train
+      leaf scores (0.5, 0).
+
+    Returns (id, label, p_good, pred) for the modular 20% holdout —
+    the same shape as the RF holdout frame. Scale shape: two passes
+    over the snapped frame (deciles + candidate aggregate; the frame is
+    persisted), a 54-row broadcast argmin, and a map-only scoring
+    projection; the 9x feature-long expansion collapses map-side."""
+    snapped = snapped_features_frame(docs, id_col, text_col).persist()
+    train = snapped.filter(F.col(id_col) % 10 < 8)
+    hold = snapped.filter(F.col(id_col) % 10 >= 8)
+
+    from scikit_learn_imputer_spark.functions.stats import (
+        exact_rank_quantiles,
+    )
+
+    fracs = [(k, 10) for k in range(1, 10)]
+    tnames = [f"t{k}" for k in range(1, 10)]
+    thr_parts = []
+    for i in range(len(CHEAP_FEATURES)):
+        q = exact_rank_quantiles(
+            train, f"x{i}", fracs, tnames, band_width=_BAND_WIDTHS[i]
+        )
+        thr_parts.append(
+            q.select(
+                F.lit(i).alias("fidx"),
+                F.posexplode(F.array(*tnames)).alias("tidx0", "t"),
+            ).select(
+                "fidx", (F.col("tidx0") + 1).alias("tidx"), "t"
+            )
+        )
+    from functools import reduce
+
+    thresholds = reduce(DataFrame.unionByName, thr_parts)
+
+    train_long = train.select(
+        "label",
+        F.posexplode(
+            F.array(*[f"x{i}" for i in range(len(CHEAP_FEATURES))])
+        ).alias("fidx", "x"),
+    )
+    ge = (F.col("x") >= F.col("t")).cast("bigint")
+    cand = (
+        train_long.join(F.broadcast(thresholds), "fidx")
+        .groupBy("fidx", "tidx", "t")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").alias("pos"),
+            F.sum(ge).alias("n_ge"),
+            F.sum(F.col("label") * ge).alias("pos_ge"),
+        )
+    )
+    acc = F.greatest(
+        F.col("pos_ge"), F.col("n_ge") - F.col("pos_ge")
+    ) + F.greatest(
+        F.col("pos") - F.col("pos_ge"),
+        (F.col("n") - F.col("n_ge")) - (F.col("pos") - F.col("pos_ge")),
+    )
+    best = (
+        cand.select(
+            "fidx",
+            "tidx",
+            "t",
+            "n_ge",
+            "pos_ge",
+            (F.col("n") - F.col("n_ge")).alias("n_lt"),
+            (F.col("pos") - F.col("pos_ge")).alias("pos_lt"),
+            acc.alias("__acc"),
+        )
+        .orderBy(F.col("__acc").desc(), "fidx", "tidx")
+        .limit(1)
+    )
+    x_sel = F.element_at(
+        F.array(*[f"x{i}" for i in range(len(CHEAP_FEATURES))]),
+        (F.col("fidx") + 1).cast("int"),
+    )
+    in_ge = x_sel >= F.col("t")
+    leaf_n = F.when(in_ge, F.col("n_ge")).otherwise(F.col("n_lt"))
+    leaf_pos = F.when(in_ge, F.col("pos_ge")).otherwise(F.col("pos_lt"))
+    # Intermediate aliases keep the div expression SQL-side integer
+    # division (bit-exact), not a Python float divide.
+    scored = hold.crossJoin(F.broadcast(best)).select(
+        F.col(id_col),
+        "label",
+        leaf_n.alias("__leaf_n"),
+        leaf_pos.alias("__leaf_pos"),
+    )
+    result = scored.select(
+        F.col(id_col),
+        "label",
+        F.when(
+            F.col("__leaf_n") > 0,
+            F.expr("1000000 * __leaf_pos div __leaf_n") / F.lit(1e6),
+        )
+        .otherwise(F.lit(0.5))
+        .alias("p_good"),
+        F.when(
+            (F.col("__leaf_n") > 0)
+            & (2 * F.col("__leaf_pos") > F.col("__leaf_n")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("pred"),
+    ).localCheckpoint(eager=True)
+    snapped.unpersist()
+    return result
+
+
 def quality_model_audit(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -165,10 +320,20 @@ def quality_model_audit(
             ((F.col("p_good") >= 0.0) & (F.col("p_good") <= 1.0)).cast("long")
         ).alias("probs_in_unit_interval"),
         F.sum(F.col("pred").isin(0, 1).cast("long")).alias("preds_binary"),
+        # Tie-tolerant (ADVICE r12): p_good is raw1/(raw0+raw1) after
+        # floating-point division, so a holdout row where raw1 barely
+        # exceeds raw0 can round to EXACTLY 0.5 — argmax says 1, the
+        # strict > 0.5 rule says 0. At a tie either verdict is
+        # argmax-consistent, so the check accepts both sides there.
         F.sum(
             (
-                F.col("pred")
-                == F.when(F.col("p_good") > 0.5, F.lit(1)).otherwise(F.lit(0))
+                (
+                    F.col("pred")
+                    == F.when(F.col("p_good") > 0.5, F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                )
+                | (F.col("p_good") == 0.5)
             ).cast("long")
         ).alias("preds_match_threshold"),
         (

@@ -391,7 +391,28 @@ def takedown_bm25_index(
     Physical purge of the tombstoned posting rows is a later
     bucket-local compaction (the dedup/incremental.py compaction
     contract); the index answers as-if-deleted the moment this
-    returns."""
+    returns.
+
+    REPLAY ACROSS COMPACTION (ADVICE r12 medium): compaction clears the
+    tombstones after purging, so a late replay of a fully-applied
+    request used to recompute its negative df delta from the PURGED
+    postings (empty) and overwrite the request's correction away —
+    permanently inflating idf for every victim term. Two guards close
+    that: (1) the replay short-circuits when the request's OWN
+    tombstone rows are present (tombstones are written last, so their
+    presence proves the request fully applied); (2) an ``applied/``
+    ledger — one request-keyed marker, written LAST here and
+    (re)written by :func:`compact_bm25_index` for every request it
+    clears — makes that proof survive the tombstone clear, so a
+    post-compaction replay no-ops too. A ``request_id`` therefore names
+    an IMMUTABLE victim set: replaying an applied id with different ids
+    is a caller error (the default content-derived key makes that
+    impossible). Known residual limitation (documented, not silently
+    wrong): a DIFFERENT request listing an already-purged victim after
+    compaction re-subtracts that victim's doclens contribution — the
+    cross-request exclusion reads tombstones, which compaction clears;
+    a permanent id ledger would instead make re-ingested docs
+    untakedownable, so fixing it needs erasure epochs (future work)."""
     ids = doc_ids.select(id_col).distinct()
     if request_id is None:
         # Content-addressed request key: same victim set -> same key on
@@ -408,6 +429,8 @@ def takedown_bm25_index(
         ).collect()[0]
         request_id = (row["k"] or "empty")[:16]
     existing = _read_tombstones_raw(spark, path)
+    if _takedown_fully_applied(spark, path, request_id, existing):
+        return
     if existing is not None:
         others = (
             existing.filter(F.col("__req") != request_id)
@@ -437,6 +460,52 @@ def takedown_bm25_index(
     ids.withColumn("__req", F.lit(request_id)).write.mode(
         "overwrite"
     ).parquet(f"{path}/tombstones/takedown-{request_id}")
+    _mark_takedown_applied(spark, path, request_id)
+
+
+def _takedown_fully_applied(
+    spark, path: str, request_id: str, tombstones: DataFrame | None
+) -> bool:
+    """True iff this request already ran to completion: its own
+    tombstone rows are present (written last at takedown time) or its
+    applied-ledger marker exists (written after the tombstone, and
+    rewritten by compaction before it clears the tombstones). Either
+    proof makes a replay a safe no-op; absence of both means the
+    request never completed, so the replay recomputes from the
+    (necessarily unpurged — compaction only runs on completed
+    tombstones) postings. O(#requests) checks on bounded frames."""
+    if tombstones is not None:
+        own = tombstones.filter(F.col("__req") == request_id).limit(1)
+        if own.count() > 0:
+            return True
+    applied = _read_applied_raw(spark, path)
+    if applied is not None:
+        mark = applied.filter(F.col("__req") == request_id).limit(1)
+        if mark.count() > 0:
+            return True
+    return False
+
+
+def _mark_takedown_applied(spark, path: str, request_id: str) -> None:
+    """Request-keyed 1-row marker in the ``applied/`` ledger; OVERWRITE
+    into its own subdir, so replays and compaction rewrites are
+    idempotent."""
+    spark.createDataFrame([(request_id,)], "__req string").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/applied/takedown-{request_id}")
+
+
+def _read_applied_raw(spark, path: str) -> DataFrame | None:
+    """(__req) marker rows across all applied-request subdirs, or None
+    when no takedown has ever completed."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{path}/applied"
+        )
+    except AnalysisException:
+        return None
 
 
 def _read_tombstones_raw(spark, path: str) -> DataFrame | None:
@@ -499,6 +568,7 @@ def compact_bm25_index(spark, path: str, *, id_col: str = "doc_id") -> list:
     if not affected:
         # Nothing physical to purge (e.g. all victims were zero-posting
         # docs); still clear the tombstones so probes drop the anti-join.
+        _mark_cleared_requests_applied(spark, path)
         _clear_bm25_tombstones(spark, path, id_col)
         return []
     tmp = tempfile.mkdtemp(prefix="sli_bm25_compact_")
@@ -520,8 +590,32 @@ def compact_bm25_index(spark, path: str, *, id_col: str = "doc_id") -> list:
         # A bucket whose every row was a victim has no survivor dir —
         # removing the old dir IS the compaction for it.
     shutil.rmtree(tmp, ignore_errors=True)
+    # Markers BEFORE the clear: once the tombstones are gone, the
+    # applied ledger is the only surviving proof that these requests
+    # completed — without it a late replay would recompute its negative
+    # df delta from the now-purged postings (empty) and erase the
+    # request's correction (ADVICE r12 medium). A crash between the two
+    # writes leaves both proofs present — still a no-op replay.
+    _mark_cleared_requests_applied(spark, path)
     _clear_bm25_tombstones(spark, path, id_col)
     return affected
+
+
+def _mark_cleared_requests_applied(spark, path: str) -> None:
+    """(Re)write the applied-ledger marker for every request whose
+    tombstone is about to clear. O(#requests) driver loop over the
+    bounded request set (legal/erasure batches); each marker is an
+    idempotent per-request overwrite."""
+    tomb = _read_tombstones_raw(spark, path)
+    if tomb is None:
+        return
+    reqs = [
+        r["__req"]
+        for r in tomb.select("__req").distinct().collect()  # O(#requests)
+        if r["__req"] is not None
+    ]
+    for req in reqs:
+        _mark_takedown_applied(spark, path, req)
 
 
 def _clear_bm25_tombstones(spark, path: str, id_col: str) -> None:

@@ -132,36 +132,92 @@ def imputation_variance_long(
     )
 
 
-def exact_rank_quantile_select(
-    sorted_col: str, fracs: list[tuple[int, int]], names: list[str]
-):
-    """Threshold Columns for EXACT lower-rank quantiles over a
-    sorted-array column: ``t = sorted(values)[((n-1) * num) div den]``
-    per ``(num, den)`` fraction — pure element selection of existing
-    values, NO interpolation. Use for every quantile that feeds a
-    COMPARISON (decile bucketing, winsorize clips, top-decile filters):
-    the round-12 sf1 sweep caught Spark's interpolating ``percentile``
-    and DuckDB's ``quantile_cont`` disagreeing by one ULP when
-    ``(n-1)*q`` lands on a data index (0.672022 vs
-    0.6720220000000001), flipping ``s >= t`` for rows whose value
-    EQUALS the threshold. Exact integer index arithmetic + element
-    lookup is bit-identical on any engine. O(group) aggregate memory —
-    the same shape as the exact percentile it replaces. Usage:
+def exact_rank_quantiles(
+    df: DataFrame,
+    col: str,
+    fracs: list[tuple[int, int]],
+    names: list[str],
+    band_width: float,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """DISTRIBUTED exact lower-rank quantile thresholds:
+    ``t = sorted(values)[((n - 1) * num) div den]`` per ``(num, den)``
+    fraction — pure element selection of existing values, NO
+    interpolation. Use for every quantile that feeds a COMPARISON
+    (decile bucketing, winsorize clips, top-decile filters): the
+    round-12 sf1 sweep caught Spark's interpolating ``percentile`` and
+    DuckDB's ``quantile_cont`` disagreeing by one ULP when ``(n-1)*q``
+    lands on a data index (0.672022 vs 0.6720220000000001), flipping
+    ``s >= t`` for rows whose value EQUALS the threshold. Exact integer
+    rank arithmetic + element lookup is bit-identical on any engine.
 
-        df.groupBy(g).agg(F.sort_array(F.collect_list(v)).alias("__vs"))
-          .select(g, *exact_rank_quantile_select("__vs", fracs, names))
+    Scale shape (VERDICT r12 #1 — replaces the single-task
+    ``agg(sort_array(collect_list(v)))`` buffer): the corpus is first
+    reduced to a ``(value, count)`` aggregate (values here are
+    fixed-precision — 2-decimal balances, 6-decimal scores — so the
+    distinct-value frame is DOMAIN-bounded, never corpus-sized), then
+    the k-th element is selected by cumulative count using the banded
+    two-pass (``avg_rank`` band_width pattern): per-band offsets
+    cumulate over the O(#bands) bucket-metadata frame, the per-value
+    cumulative window is partitioned by band, and the threshold is the
+    unique value whose covered rank range [lo+1, lo+n] contains
+    ``k = ((total - 1) * num) div den + 1``. No task ever buffers more
+    than one band of DISTINCT values.
 
-    DuckDB twin: ``(list_sort(list(v) FILTER (v IS NOT NULL)))
+    Returns a 1-row frame of threshold columns ``names`` (or one row
+    per group when ``group_cols`` is given) — broadcast it into the
+    comparison. NULL values are excluded, matching ``list(v) FILTER
+    (v IS NOT NULL)`` on the oracle side.
+
+    DuckDB twin (unchanged from the array form — same values):
+    ``(list_sort(list(v) FILTER (v IS NOT NULL)))
     [CAST(((count(v) - 1) * num) // den AS BIGINT) + 1]``.
     """
-    out = []
+    if band_width <= 0:
+        raise ValueError(f"band_width must be positive, got {band_width}")
+    gc = list(group_cols)
+    nonnull = df.filter(F.col(col).isNotNull())
+    vals = nonnull.groupBy(*gc, col).agg(F.count(F.lit(1)).alias("__n"))
+    vals = vals.withColumn(
+        "__band", F.floor(F.col(col) / F.lit(float(band_width)))
+    )
+    bands = vals.groupBy(*gc, "__band").agg(F.sum("__n").alias("__bn"))
+    woff = Window.partitionBy(*gc).orderBy(F.col("__band").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bands.select(
+        *gc,
+        "__band",
+        F.coalesce(F.sum("__bn").over(woff), F.lit(0).cast("bigint")).alias(
+            "__off"
+        ),
+        F.sum("__bn").over(Window.partitionBy(*gc)).alias("__total"),
+    )
+    wloc = Window.partitionBy(*gc, "__band").orderBy(
+        F.col(col).asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.join(F.broadcast(offsets), [*gc, "__band"]).select(
+        *gc,
+        col,
+        "__n",
+        "__total",
+        (
+            F.col("__off")
+            + F.coalesce(F.sum("__n").over(wloc), F.lit(0).cast("bigint"))
+        ).alias("__lo"),
+    )
+    aggs = []
     for (num, den), name in zip(fracs, names):
-        out.append(
-            F.element_at(
-                sorted_col,
-                (
-                    F.expr(f"(size({sorted_col}) - 1) * {num} div {den}") + 1
-                ).cast("int"),
+        k = F.expr(f"(__total - 1) * {num} div {den}") + F.lit(1)
+        aggs.append(
+            F.max(
+                F.when(
+                    (F.col("__lo") < k)
+                    & (k <= F.col("__lo") + F.col("__n")),
+                    F.col(col),
+                )
             ).alias(name)
         )
-    return out
+    if gc:
+        return ranked.groupBy(*gc).agg(*aggs)
+    return ranked.agg(*aggs)

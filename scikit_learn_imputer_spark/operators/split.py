@@ -141,24 +141,25 @@ def stratified_quality_sample(
     )
     # EXACT lower-rank decile thresholds: t_k = sorted(s)[((n-1)*k) div 10]
     # — pure element selection of already-6dp-rounded values, NO
-    # interpolation (functions/stats.py:exact_rank_quantile_select for
-    # the cross-engine ULP hazard the round-12 sf1 sweep caught in the
-    # interpolating percentile this replaces).
+    # interpolation (functions/stats.py:exact_rank_quantiles for the
+    # cross-engine ULP hazard the round-12 sf1 sweep caught in the
+    # interpolating percentile this replaces). Grouped by source and
+    # computed on the per-source (value, count) aggregate, so no task
+    # ever buffers one source's documents (VERDICT r12 #1 shape).
     from scikit_learn_imputer_spark.functions.stats import (
-        exact_rank_quantile_select,
+        exact_rank_quantiles,
     )
 
-    thr = base.groupBy(source_col).agg(
-        F.sort_array(F.collect_list("__s")).alias("__vs")
+    thr = exact_rank_quantiles(
+        base,
+        "__s",
+        [(k, 10) for k in range(1, 10)],
+        [f"__t{k}" for k in range(1, 10)],
+        band_width=0.05,
+        group_cols=(source_col,),
     ).select(
         source_col,
-        F.array(
-            *exact_rank_quantile_select(
-                "__vs",
-                [(k, 10) for k in range(1, 10)],
-                [f"__t{k}" for k in range(1, 10)],
-            )
-        ).alias("__ts"),
+        F.array(*[f"__t{k}" for k in range(1, 10)]).alias("__ts"),
     )
     decile = (
         F.lit(1) + F.size(F.filter("__ts", lambda t: F.col("__s") >= t))

@@ -189,20 +189,22 @@ def test_learn_bpe_merges_early_stop_when_exhausted(spark):
     assert (rows[0]["lhs"], rows[0]["rhs"], rows[0]["merged"]) == ("a", "b", "ab")
 
 
-def test_quality_model_holdout_anchor(spark, sf_smoke):
-    """ANCHOR for quality_model_holdout (rows-only in the driver gate):
-    the distilled cheap-feature model must actually track the expensive
-    teacher gate on held-out docs, and be reproducible. Its
-    SQL-expressible invariants are driver-hashed via the oracled
-    quality_model_scores audit."""
-    rows = QUERIES["quality_model_holdout"](spark, sf_smoke).collect()
+def test_quality_model_holdout_rf_anchor(spark, sf_smoke):
+    """ANCHOR for quality_model_holdout_rf (rows-only in the driver
+    gate): the production RandomForest distilled gate must actually
+    track the expensive teacher gate on held-out docs, and be
+    reproducible. Its SQL-expressible invariants are driver-hashed via
+    the oracled quality_model_scores audit, and the per-doc scoring
+    contract via the engine-exact stump twin (quality_model_holdout,
+    driver-hashed)."""
+    rows = QUERIES["quality_model_holdout_rf"](spark, sf_smoke).collect()
     assert len(rows) > 0
     acc = sum(1 for r in rows if r["pred"] == r["label"]) / len(rows)
     assert acc >= 0.8, f"distilled gate accuracy {acc:.3f} below floor"
     for r in rows:
         assert 0.0 <= r["p_good"] <= 1.0
         assert r["doc_id"] % 10 >= 8  # holdout only
-    again = QUERIES["quality_model_holdout"](spark, sf_smoke).collect()
+    again = QUERIES["quality_model_holdout_rf"](spark, sf_smoke).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
 
 

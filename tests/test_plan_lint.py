@@ -91,6 +91,8 @@ INTENDED_NON_EQUI = {
     "ann_ivf_balance",             # broadcast O(nlist)=8-row centroid
                                    # frame per Lloyd round (stable-codegen
                                    # join replacing per-round literals)
+    "quality_model_holdout",       # broadcast 1-row best-stump frame
+                                   # (engine-exact snapped twin, r13)
 }
 
 HEAVY_BUILD = {
@@ -184,6 +186,17 @@ INTENDED_GLOBAL_WINDOW = {
     "training_shards",           # O(256) offsets + O(#shards) manifest
     "vocab_coverage",            # banded two-pass: offsets over O(#freq-bands)
     "yoy_revenue_growth",        # O(#years) time-bucket frame
+    # exact_rank_quantiles (stats.py): band-offset windows over the
+    # O(#bands) bucket-metadata frame of the distributed exact-rank
+    # selection (VERDICT r12 #1 — replaced the single-task
+    # sort_array(collect_list) buffer). The per-value cumulative window
+    # is partitioned by band; only the O(#bands) offsets cumulate
+    # globally (avg_rank_suppliers / vocab_coverage precedent).
+    "winsorize_acctbal",         # offsets over O(110) acctbal bands
+    "corpus_preprocess_pipeline",  # offsets over O(#lm-score-bands)
+    "lm_score_deciles",          # offsets over O(#lm-score-bands)
+    "bm25_source_relevance",     # offsets over O(#score-bands)
+    "quality_model_holdout",     # offsets over O(#feature-bands) x6
 }
 
 
@@ -205,6 +218,44 @@ def _unpartitioned_window_count(plan: str) -> int:
                 if _re.search(r"\bExchange hashpartitioning", lines[j]):
                     break
     return n
+
+
+# Queries where a GLOBAL (keys=[]) collect_list/collect_set aggregate IS
+# the design because the collected frame is BOUNDED metadata — O(256)
+# bloom words, O(#shards) manifests, O(#bands) offsets — never corpus
+# rows. VERDICT r12 #1: a global collect over a data-sized input
+# materializes the corpus in ONE task (the exact-quantile buffer this
+# round removed); any new query that trips this lint must either reduce
+# to a (value, count) / banded selection (stats.py:exact_rank_quantiles)
+# or document its bound here.
+INTENDED_GLOBAL_COLLECT = {
+    "decontaminate_bloom_corpus",  # O(m/64)=O(256) bloom bitmap words
+    "decontam_method_agreement",   # same bounded bloom-bitmap collect
+}
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - HEAVY_BUILD))
+def test_no_global_collect_over_unbounded_frame(spark, sf_smoke, name):
+    """No registered query may buffer its input through a global
+    ``agg(collect_list/collect_set(...))`` (keys=[]) — the single-task
+    OOM shape at 100 TB — unless the collected frame is whitelisted as
+    bounded metadata."""
+    import re as _re
+
+    df = QUERIES[name](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    hits = [
+        ln.strip()[:160]
+        for ln in plan.splitlines()
+        if _re.search(r"Aggregate.*keys=\[\],.*collect_(list|set)", ln)
+    ]
+    if name not in INTENDED_GLOBAL_COLLECT:
+        assert hits == [], (
+            f"{name}: global collect_list/set over a frame not whitelisted "
+            f"as bounded — reduce to a (value,count)/banded selection "
+            f"(stats.py:exact_rank_quantiles) or document the bound in "
+            f"INTENDED_GLOBAL_COLLECT: {hits}"
+        )
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - HEAVY_BUILD))

@@ -837,8 +837,10 @@ def test_bm25_takedown_partial_crash_replay_does_not_double_subtract(spark, sf_s
     victims = d.filter(F.col("doc_id") % 10 == 0).select("doc_id")
     save_bm25_index(*build_bm25_index(d), path)
     takedown_bm25_index(spark, path, victims, request_id="req-1")
-    # Simulate the crash: the tombstone (written last) never landed.
+    # Simulate the crash: neither the tombstone nor the applied-ledger
+    # marker (both written after the df/stats corrections) landed.
     shutil.rmtree(f"{path}/tombstones/takedown-req-1")
+    shutil.rmtree(f"{path}/applied/takedown-req-1")
     takedown_bm25_index(spark, path, victims, request_id="req-1")  # replay
 
     survivors = d.join(victims, "doc_id", "left_anti")
@@ -898,5 +900,88 @@ def test_bm25_append_with_append_id_is_idempotent(spark, sf_smoke):
          for r in bm25_scores_from_index(
              rp, rd, rs, BM25_QUERY_TERMS).collect()}
     assert g == w, "replayed append inflated df/stats"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ref_path, ignore_errors=True)
+
+
+def test_bm25_takedown_replay_after_compaction_is_noop(spark, sf_smoke):
+    """ADVICE r12 (medium): a late replay of a fully-applied takedown
+    AFTER compaction has purged its posting rows and cleared the
+    tombstones must NOT recompute the negative df delta from the purged
+    (empty) postings — that would overwrite the request's correction
+    away and permanently inflate idf for every victim term. The
+    applied-request ledger (written at takedown, rewritten by
+    compaction before the tombstone clear) short-circuits the replay;
+    scores must equal a from-scratch survivor index both before and
+    after the replay."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.functions.retrieval import (
+        bm25_scores_from_index,
+        build_bm25_index,
+        compact_bm25_index,
+        load_bm25_index,
+        load_bm25_tombstones,
+        save_bm25_index,
+        takedown_bm25_index,
+    )
+    from scikit_learn_imputer_spark.plans.queries import _t
+
+    path = tempfile.mkdtemp(prefix="sli_takedown_compact_replay_")
+    d = _t(spark, sf_smoke, "documents")
+    victims = d.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    save_bm25_index(*build_bm25_index(d), path)
+    takedown_bm25_index(spark, path, victims, request_id="req-legal-1")
+    assert compact_bm25_index(spark, path) != []
+
+    # The ledger survived the tombstone clear.
+    applied = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{path}/applied"
+    )
+    assert [r["__req"] for r in applied.collect()] == ["req-legal-1"]
+
+    def scores():
+        postings, dfs, stats = load_bm25_index(spark, path)
+        tomb = load_bm25_tombstones(spark, path)
+        got = bm25_scores_from_index(
+            postings, dfs, stats, BM25_QUERY_TERMS, tombstones=tomb
+        )
+        return {r["doc_id"]: round(r["score"], 6) for r in got.collect()}
+
+    ref_path = tempfile.mkdtemp(prefix="sli_takedown_compact_ref_")
+    save_bm25_index(
+        *build_bm25_index(d.join(victims, "doc_id", "left_anti")), ref_path
+    )
+    rp, rd, rs = load_bm25_index(spark, ref_path)
+    want = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in bm25_scores_from_index(
+            rp, rd, rs, BM25_QUERY_TERMS
+        ).collect()
+    }
+    assert scores() == want, "compaction corrupted the index"
+
+    # The replay that used to erase the df correction.
+    takedown_bm25_index(spark, path, victims, request_id="req-legal-1")
+    assert scores() == want, (
+        "post-compaction replay overwrote the takedown's df correction"
+    )
+    # Content-addressed replay (no explicit id) of the same victim set
+    # resolves to a DIFFERENT key and must re-subtract nothing either:
+    # its victims have no postings left and their tombstone exclusion is
+    # gone — this documents the residual doclens limitation, so pin the
+    # df/idf half only: df deltas for victim terms stay intact.
+    dfs_sum = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{path}/dfs")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .filter(F.col("df") < 0)
+        .count()
+    )
+    assert dfs_sum == 0, "folded df went negative after replay"
     shutil.rmtree(path, ignore_errors=True)
     shutil.rmtree(ref_path, ignore_errors=True)
