@@ -111,3 +111,55 @@ def phash_near_pairs(
         bits=BITS,
         chunks=CHUNKS,
     )
+
+
+def phash_signatures_decoded(
+    df: DataFrame,
+    decode_gray,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, phash BIGINT) from a REAL codec (VERDICT r12 #6): the same
+    61-sample/60-gradient-bit dHash as :func:`phash_signatures`, but
+    the pixel stage is ``decode_gray(payload) -> flat grayscale ints``
+    (e.g. ``sources/codecs.py:bmp_gray_pixels``, or a PIL decode in
+    production) running Arrow-batched inside ``mapInPandas`` — the
+    codec-plug-in twin of the pure-JVM fake-decode path. Same
+    downstream banding: feed the result straight into
+    ``banded_hamming_pairs``. Empty decodes (no pixels) are dropped,
+    matching the fake path's empty-string rule."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("phash", LongType(), True),
+        ]
+    )
+
+    def sig_of(gray: list) -> int | None:
+        n = len(gray)
+        if n == 0:
+            return None
+        # pixel j = gray[floor(j * n / PIXELS)] — identical sampling
+        # arithmetic to the JVM path's substring positions.
+        px = [gray[(j * n) // PIXELS] for j in range(PIXELS)]
+        sig = 0
+        for j in range(BITS):
+            if px[j] > px[j + 1]:
+                sig |= 1 << j
+        return sig
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = [
+                sig_of(decode_gray(bytes(b))) if b is not None else None
+                for b in pdf[payload_col]
+            ]
+            out = pd.DataFrame({id_col: pdf[id_col], "phash": sigs})
+            yield out[out["phash"].notna()]
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

@@ -60,11 +60,27 @@ def k_anonymity_histogram(
     )
 
 
+def _dp_key_part(col: Column) -> Column:
+    """NULL-safe, injection-safe key token for one class column:
+    length-prefixed value (``5:BUILD``) or the bare NULL marker ``~``
+    (real tokens always start with a digit, so NULL can never collide
+    with a value, and the length prefix means a value containing the
+    joiner can never alias a different class tuple). ADVICE r12:
+    ``concat_ws`` silently SKIPS NULL parts, so ``(NULL,'x')`` and
+    ``('x',NULL)`` used to hash to the same key and draw correlated
+    noise for distinct classes."""
+    s = col.cast("string")
+    return F.when(s.isNull(), F.lit("~")).otherwise(
+        F.concat(F.length(s).cast("string"), F.lit(":"), s)
+    )
+
+
 def dp_laplace_release(
     df: DataFrame,
     group_cols: list[str],
     *,
     secret_seed: str,
+    release_epoch: str,
     eps: float = 1.0,
 ) -> DataFrame:
     """PRODUCTION differential-privacy histogram release: per-class
@@ -73,18 +89,32 @@ def dp_laplace_release(
     count or the noise (ADVICE r11: emitting those lets anyone subtract
     the noise back out, and a noise draw keyed by the public class
     alone is recomputable by an attacker, i.e. zero actual privacy).
-    The draw is the md5-uniform of ``secret_seed || class`` pushed
-    through the Laplace inverse CDF — deterministic GIVEN the seed (so
-    the data owner can audit their own release) but unpredictable
-    without it; the seed must be generated once, kept with the release
-    owner, and never published. The registered
-    ``dp_release_calibration`` query is this pipeline with a KNOWN seed
-    and the diagnostic columns kept, for oracle/utility checking only.
-    Cost: one O(#classes) aggregate + a pure projection."""
+    The draw is the md5-uniform of ``secret_seed || release_epoch ||
+    class`` pushed through the Laplace inverse CDF — deterministic
+    GIVEN (seed, epoch) so the data owner can audit their own release,
+    unpredictable without the seed.
+
+    ONE (seed, epoch) PAIR PER RELEASE (ADVICE r12): the noise is a
+    pure function of the key, so re-releasing an EVOLVING dataset under
+    the same pair leaks exact true-count deltas — ``released_t2 -
+    released_t1 == true_t2 - true_t1``, zero privacy for the delta.
+    ``release_epoch`` is therefore a required parameter (a date, a
+    sequence number — anything never reused with the same seed); each
+    epoch draws fresh independent noise. Class columns are encoded
+    NULL-safely and length-prefixed (see ``_dp_key_part``) so distinct
+    class tuples can never share a draw.
+
+    The registered ``dp_release_calibration`` query is this pipeline
+    with a KNOWN seed and the diagnostic columns kept, for
+    oracle/utility checking only; ``dp_histogram_release`` is the
+    release-shaped registered twin. Cost: one O(#classes) aggregate +
+    a pure projection."""
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
     if not secret_seed:
         raise ValueError("secret_seed must be non-empty")
+    if not release_epoch:
+        raise ValueError("release_epoch must be non-empty")
     if eps <= 0:
         raise ValueError(f"eps must be positive, got {eps}")
     from scikit_learn_imputer_spark.functions.text import uniform_hash_col
@@ -93,7 +123,10 @@ def dp_laplace_release(
         F.count(F.lit(1)).cast("bigint").alias("__true")
     )
     key = F.concat_ws(
-        ":", F.lit(secret_seed), *[F.col(c).cast("string") for c in group_cols]
+        "|",
+        _dp_key_part(F.lit(secret_seed)),
+        _dp_key_part(F.lit(str(release_epoch))),
+        *[_dp_key_part(F.col(c)) for c in group_cols],
     )
     v = uniform_hash_col(key) - F.lit(0.5)
     noise = (

@@ -12900,6 +12900,7 @@ def _loader_funnel_rows(spark, sf_dir, budget, base=None):
         uniform_hash_col,
     )
 
+    own_cache = []
     if base is not None:
         docs, kept, dk = base
     else:
@@ -12909,9 +12910,13 @@ def _loader_funnel_rows(spark, sf_dir, budget, base=None):
         # the Arrow decontam encode from scratch (4 recomputes — the
         # budget sweep already persisted, the single-budget entry paid
         # full recompute per stage). O(survivor) rows of
-        # (id, source, n_tokens).
+        # (id, source, n_tokens). Released below after the 7-row result
+        # materializes (ADVICE r12: the persists leaked until
+        # ContextCleaner GC — localCheckpoint-then-unpersist, the
+        # quality_model_scores lifecycle).
         kept = kept.persist()
         dk = dk.persist()
+        own_cache = [kept, dk]
     per_src = dk.groupBy("source").agg(
         F.sum("n_tokens").cast("double").alias("__n_s")
     )
@@ -12984,7 +12989,12 @@ def _loader_funnel_rows(spark, sf_dir, budget, base=None):
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.orderBy("stage_order")
+    out = out.orderBy("stage_order")
+    if own_cache:
+        out = out.localCheckpoint(eager=True)  # 7 rows
+        for c in own_cache:
+            c.unpersist()
+    return out
 
 
 @register(
@@ -13348,9 +13358,16 @@ def q_funnel_budget_sweep(spark, sf_dir):
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.select(
+    out = out.select(
         "budget", "stage_order", "stage", "n_docs", "n_tokens", "n_units"
     ).orderBy("budget", "stage_order")
+    # Materialize the 21-row curve, then release every stage cache
+    # (ADVICE r12: kept/dk/corpus1/strat1/decon1 leaked until
+    # ContextCleaner GC — the quality_model_scores persist lifecycle).
+    out = out.localCheckpoint(eager=True)
+    for c in (kept, dk, corpus1, strat1, decon1):
+        c.unpersist()
+    return out
 
 
 _fo = ORACLE["training_loader_funnel"]
@@ -13910,39 +13927,46 @@ def _gate_flag_frame(spark, sf_dir):
 @register(
     "gate_ablation",
     oracle=_GATE_FLAGS_SQL
-    + r"""
+    + r""",
+one AS MATERIALIZED (
+  SELECT
+    CAST(count(*) FILTER (WHERE fail_lang) AS BIGINT) AS nf_lang,
+    CAST(count(*) FILTER (WHERE fail_lang AND n_fails = 1) AS BIGINT)
+      AS uf_lang,
+    CAST(coalesce(sum(n_tokens) FILTER (WHERE fail_lang), 0) AS BIGINT)
+      AS tf_lang,
+    CAST(count(*) FILTER (WHERE fail_quality) AS BIGINT) AS nf_quality,
+    CAST(count(*) FILTER (WHERE fail_quality AND n_fails = 1) AS BIGINT)
+      AS uf_quality,
+    CAST(coalesce(sum(n_tokens) FILTER (WHERE fail_quality), 0) AS BIGINT)
+      AS tf_quality,
+    CAST(count(*) FILTER (WHERE fail_gopher) AS BIGINT) AS nf_gopher,
+    CAST(count(*) FILTER (WHERE fail_gopher AND n_fails = 1) AS BIGINT)
+      AS uf_gopher,
+    CAST(coalesce(sum(n_tokens) FILTER (WHERE fail_gopher), 0) AS BIGINT)
+      AS tf_gopher,
+    CAST(count(*) FILTER (WHERE fail_decontam) AS BIGINT) AS nf_decontam,
+    CAST(count(*) FILTER (WHERE fail_decontam AND n_fails = 1) AS BIGINT)
+      AS uf_decontam,
+    CAST(coalesce(sum(n_tokens) FILTER (WHERE fail_decontam), 0) AS BIGINT)
+      AS tf_decontam,
+    CAST(count(*) FILTER (WHERE n_fails > 0) AS BIGINT) AS nf__any,
+    CAST(count(*) FILTER (WHERE n_fails = 1) AS BIGINT) AS uf__any,
+    CAST(coalesce(sum(n_tokens) FILTER (WHERE n_fails > 0), 0) AS BIGINT)
+      AS tf__any
+  FROM x
+)
 SELECT gate, n_fail, n_unique_fail, n_tokens_fail FROM (
-  SELECT 'lang' AS gate,
-         CAST(count(*) FILTER (WHERE fail_lang) AS BIGINT) AS n_fail,
-         CAST(count(*) FILTER (WHERE fail_lang AND n_fails = 1) AS BIGINT)
-           AS n_unique_fail,
-         CAST(coalesce(sum(n_tokens) FILTER (WHERE fail_lang), 0) AS BIGINT)
-           AS n_tokens_fail
-  FROM x
+  SELECT 'lang' AS gate, nf_lang AS n_fail, uf_lang AS n_unique_fail,
+         tf_lang AS n_tokens_fail FROM one
   UNION ALL
-  SELECT 'quality',
-         CAST(count(*) FILTER (WHERE fail_quality) AS BIGINT),
-         CAST(count(*) FILTER (WHERE fail_quality AND n_fails = 1) AS BIGINT),
-         CAST(coalesce(sum(n_tokens) FILTER (WHERE fail_quality), 0) AS BIGINT)
-  FROM x
+  SELECT 'quality', nf_quality, uf_quality, tf_quality FROM one
   UNION ALL
-  SELECT 'gopher',
-         CAST(count(*) FILTER (WHERE fail_gopher) AS BIGINT),
-         CAST(count(*) FILTER (WHERE fail_gopher AND n_fails = 1) AS BIGINT),
-         CAST(coalesce(sum(n_tokens) FILTER (WHERE fail_gopher), 0) AS BIGINT)
-  FROM x
+  SELECT 'gopher', nf_gopher, uf_gopher, tf_gopher FROM one
   UNION ALL
-  SELECT 'decontam',
-         CAST(count(*) FILTER (WHERE fail_decontam) AS BIGINT),
-         CAST(count(*) FILTER (WHERE fail_decontam AND n_fails = 1) AS BIGINT),
-         CAST(coalesce(sum(n_tokens) FILTER (WHERE fail_decontam), 0) AS BIGINT)
-  FROM x
+  SELECT 'decontam', nf_decontam, uf_decontam, tf_decontam FROM one
   UNION ALL
-  SELECT '_any',
-         CAST(count(*) FILTER (WHERE n_fails > 0) AS BIGINT),
-         CAST(count(*) FILTER (WHERE n_fails = 1) AS BIGINT),
-         CAST(coalesce(sum(n_tokens) FILTER (WHERE n_fails > 0), 0) AS BIGINT)
-  FROM x
+  SELECT '_any', nf__any, uf__any, tf__any FROM one
 )
 """,
 )
@@ -14289,18 +14313,34 @@ def q_shuffled_repack_delta(spark, sf_dir):
 
 
 _GATE_NAMES = ("lang", "quality", "gopher", "decontam")
+# VERDICT r12 #2: the old form UNION-ALL'd 12 GLOBAL aggregates straight
+# off `x`, so DuckDB (which inlines CTEs) re-evaluated the whole flag
+# chain — including the 5-gram contamination explode — 12 times over;
+# at sf1 that was the one 900s oracle timeout of the sweep. Now ONE
+# aggregate computes all 16 counters into a 1-row MATERIALIZED CTE
+# (mirroring the Spark plan's single partial-aggregate pass) and the
+# 12 matrix rows are trivial selects from it.
+_GATE_OVERLAP_AGGS = ",\n    ".join(
+    [
+        f"CAST(count(*) FILTER (WHERE fail_{a}) AS BIGINT) AS nf_{a}"
+        for a in _GATE_NAMES
+    ]
+    + [
+        f"CAST(count(*) FILTER (WHERE fail_{a} AND fail_{b}) AS BIGINT)"
+        f" AS b_{a}_{b}"
+        for a in _GATE_NAMES
+        for b in _GATE_NAMES
+        if a != b
+    ]
+)
 _GATE_OVERLAP_SELECTS = " UNION ALL".join(
     f"""
-  SELECT '{a}' AS gate, '{b}' AS other,
-         CAST(count(*) FILTER (WHERE fail_{a}) AS BIGINT) AS n_fail,
-         CAST(count(*) FILTER (WHERE fail_{a} AND fail_{b}) AS BIGINT)
-           AS n_both,
-         round(CASE WHEN count(*) FILTER (WHERE fail_{a}) > 0
-               THEN CAST(count(*) FILTER (WHERE fail_{a} AND fail_{b})
-                         AS DOUBLE)
-                    / count(*) FILTER (WHERE fail_{a})
+  SELECT '{a}' AS gate, '{b}' AS other, nf_{a} AS n_fail,
+         b_{a}_{b} AS n_both,
+         round(CASE WHEN nf_{a} > 0
+               THEN CAST(b_{a}_{b} AS DOUBLE) / nf_{a}
                ELSE 0.0 END, 6) AS containment
-  FROM x"""
+  FROM one"""
     for a in _GATE_NAMES
     for b in _GATE_NAMES
     if a != b
@@ -14310,6 +14350,9 @@ _GATE_OVERLAP_SELECTS = " UNION ALL".join(
 @register(
     "gate_overlap_matrix",
     oracle=_GATE_FLAGS_SQL
+    + ",\none AS MATERIALIZED (\n  SELECT\n    "
+    + _GATE_OVERLAP_AGGS
+    + "\n  FROM x\n)"
     + "\nSELECT gate, other, n_fail, n_both, containment FROM ("
     + _GATE_OVERLAP_SELECTS
     + "\n)",
@@ -15278,6 +15321,62 @@ def q_dp_release_calibration(spark, sf_dir):
         F.round(F.col("true_count") + noise, 0)
         .cast("bigint")
         .alias("released_count"),
+    )
+
+
+@register(
+    "dp_histogram_release",
+    oracle="""
+WITH counts AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS true_count
+  FROM customer GROUP BY 1, 2
+),
+noised AS (
+  SELECT c_nationkey, c_mktsegment, true_count,
+         CAST(('0x' || substr(md5(
+           '14:dp-demo-secret' || '|' || '7:2026-08' || '|'
+           || (CASE WHEN c_nationkey IS NULL THEN '~'
+               ELSE CAST(length(CAST(c_nationkey AS VARCHAR)) AS VARCHAR)
+                    || ':' || CAST(c_nationkey AS VARCHAR) END)
+           || '|'
+           || (CASE WHEN c_mktsegment IS NULL THEN '~'
+               ELSE CAST(length(c_mktsegment) AS VARCHAR)
+                    || ':' || c_mktsegment END)
+         ), 1, 8))::UBIGINT AS DOUBLE) / 4294967296.0 - 0.5 AS v
+  FROM counts
+)
+SELECT c_nationkey, c_mktsegment,
+       greatest(CAST(round(true_count
+             - sign(v) * ln(greatest(1 - 2 * abs(v),
+                                     2.3283064365386963e-10)), 0)
+         AS BIGINT), 0) AS released_count
+FROM noised
+""",
+)
+def q_dp_histogram_release(spark, sf_dir):
+    """The RELEASE-SHAPED DP histogram (VERDICT r12 #7 — the production
+    twin of dp_release_calibration): per-(nation, segment) customer
+    counts with Laplace(1/eps) noise, emitting ONLY the clamped noised
+    integer — the schema provably excludes true_count/noise, so nothing
+    in the output subtracts back out. The noise key is
+    seed|epoch|class with NULL-safe length-prefixed encoding
+    (functions/privacy.py:_dp_key_part — distinct class tuples can
+    never share a draw, and the required release_epoch makes seed
+    reuse across releases a type-level mistake instead of a silent
+    delta leak). Oracled with the demo seed the calibration twin uses;
+    a production caller supplies a secret one. One O(#classes)
+    aggregate + a pure projection."""
+    from scikit_learn_imputer_spark.functions.privacy import (
+        dp_laplace_release,
+    )
+
+    return dp_laplace_release(
+        _t(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        secret_seed="dp-demo-secret",
+        release_epoch="2026-08",
+        eps=1.0,
     )
 
 

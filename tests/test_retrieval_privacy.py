@@ -769,27 +769,33 @@ def test_dp_laplace_release_threads_secret_and_hides_diagnostics(spark, sf_smoke
     from scikit_learn_imputer_spark.sources.tables import load_table
 
     c = load_table(spark, sf_smoke, "customer")
+    rel = lambda seed, epoch: {
+        (r[0], r[1]): r[2]
+        for r in dp_laplace_release(
+            c,
+            ["c_nationkey", "c_mktsegment"],
+            secret_seed=seed,
+            release_epoch=epoch,
+        ).collect()
+    }
     rel_a = dp_laplace_release(
-        c, ["c_nationkey", "c_mktsegment"], secret_seed="seed-a"
+        c,
+        ["c_nationkey", "c_mktsegment"],
+        secret_seed="seed-a",
+        release_epoch="e1",
     )
     assert set(rel_a.columns) == {
         "c_nationkey", "c_mktsegment", "released_count"
     }
     a = {(r[0], r[1]): r[2] for r in rel_a.collect()}
-    b = {
-        (r[0], r[1]): r[2]
-        for r in dp_laplace_release(
-            c, ["c_nationkey", "c_mktsegment"], secret_seed="seed-b"
-        ).collect()
-    }
-    a2 = {
-        (r[0], r[1]): r[2]
-        for r in dp_laplace_release(
-            c, ["c_nationkey", "c_mktsegment"], secret_seed="seed-a"
-        ).collect()
-    }
-    assert a == a2, "same seed must reproduce the release"
+    b = rel("seed-b", "e1")
+    a2 = rel("seed-a", "e1")
+    assert a == a2, "same (seed, epoch) must reproduce the release"
     assert a != b, "different seeds must draw different noise"
+    # ADVICE r12: a fresh epoch under the SAME seed must draw fresh
+    # noise, otherwise re-releases of an evolving dataset leak exact
+    # true-count deltas.
+    assert a != rel("seed-a", "e2"), "epochs must decorrelate releases"
     assert all(v >= 0 for v in a.values()), "counts clamp at zero"
     # Utility: noise is Laplace(1/eps=1) — releases stay near truth.
     true = {
@@ -803,11 +809,52 @@ def test_dp_laplace_release_threads_secret_and_hides_diagnostics(spark, sf_smoke
     within = sum(1 for k in a if abs(a[k] - true[k]) <= 5)
     assert within >= len(a) * 0.9
     with _pytest.raises(ValueError, match="secret_seed"):
-        dp_laplace_release(c, ["c_nationkey"], secret_seed="")
+        dp_laplace_release(
+            c, ["c_nationkey"], secret_seed="", release_epoch="e1"
+        )
+    with _pytest.raises(ValueError, match="release_epoch"):
+        dp_laplace_release(
+            c, ["c_nationkey"], secret_seed="s", release_epoch=""
+        )
     with _pytest.raises(ValueError, match="eps"):
-        dp_laplace_release(c, ["c_nationkey"], secret_seed="s", eps=0)
+        dp_laplace_release(
+            c, ["c_nationkey"], secret_seed="s", release_epoch="e1", eps=0
+        )
     with _pytest.raises(ValueError, match="group_cols"):
-        dp_laplace_release(c, [], secret_seed="s")
+        dp_laplace_release(c, [], secret_seed="s", release_epoch="e1")
+
+
+def test_dp_key_encoding_never_aliases_distinct_classes(spark):
+    """ADVICE r12: concat_ws skips NULLs, so (NULL,'x') and ('x',NULL)
+    used to share a noise draw; and un-prefixed joins let ('a|b', 'c')
+    alias ('a', 'b|c'). The length-prefixed NULL-safe key must give
+    every distinct class tuple its own independent draw."""
+    from scikit_learn_imputer_spark.functions.privacy import dp_laplace_release
+
+    rows = [(None, "x"), ("x", None), ("a|b", "c"), ("a", "b|c"),
+            ("1:x", "y"), ("x", "y")] * 50
+    df = spark.createDataFrame(rows, "g1 string, g2 string")
+    out = dp_laplace_release(
+        df, ["g1", "g2"], secret_seed="s", release_epoch="e1"
+    ).collect()
+    assert len(out) == 6
+    # All classes hold 50 true rows; aliasing would force equal draws.
+    released = [r["released_count"] for r in out]
+    assert len(set(released)) > 1, "class keys collided"
+    # Directly pin the key tokens: every pair must hash distinctly.
+    from pyspark.sql import functions as F
+    from scikit_learn_imputer_spark.functions.privacy import _dp_key_part
+
+    keys = (
+        df.select(
+            F.concat_ws(
+                "|", _dp_key_part(F.col("g1")), _dp_key_part(F.col("g2"))
+            ).alias("k")
+        )
+        .distinct()
+        .collect()
+    )
+    assert len({r["k"] for r in keys}) == 6
 
 
 def test_bm25_takedown_partial_crash_replay_does_not_double_subtract(spark, sf_smoke):
