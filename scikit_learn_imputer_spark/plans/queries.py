@@ -3832,7 +3832,7 @@ def q_decontaminate_ngram_corpus(spark, sf_dir):
 def _token_ngram_decontam_oracle(n: int = 8) -> str:
     g = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
     return f"""WITH RECURSIVE {_bpe_encode_ctes()},
-idt AS (
+idt AS MATERIALIZED (
   SELECT doc_id, str_split(ids, ' ') AS t FROM edocs WHERE ids <> ''
 ),
 bg AS (
@@ -12771,7 +12771,7 @@ def _strat_sample_sql(extra_base_cols=""):
     # functions/stats.py:exact_rank_quantile_select).
     return (
         """WITH tqx AS ({tq}),
-base AS (
+base AS MATERIALIZED (
   SELECT d.doc_id, d.source, t.q_tokens AS n_tokens, t.q_score AS s"""
         + extra_base_cols
         + """
@@ -13002,7 +13002,7 @@ def _loader_funnel_rows(spark, sf_dir, budget, base=None):
     oracle="""
 WITH RECURSIVE {bpe},
 tqx AS ({tq}),
-base AS (
+base AS MATERIALIZED (
   SELECT d.doc_id, d.source, t.q_tokens AS n_tokens, t.q_score AS s
   FROM documents d JOIN tqx t USING (doc_id)
 ),
@@ -13030,7 +13030,7 @@ sk AS (
               1, 8))::UBIGINT AS DOUBLE) / 4294967296.0 AS u
   FROM base JOIN thr USING (source)
 ),
-kept AS (
+kept AS MATERIALIZED (
   SELECT doc_id, source, n_tokens FROM sk
   WHERE u < (decile * decile) / 100.0
 ),
@@ -13039,7 +13039,7 @@ strat AS (
          CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS nt
   FROM kept
 ),
-idt AS (
+idt AS MATERIALIZED (
   SELECT doc_id, str_split(ids, ' ') AS t FROM edocs WHERE ids <> ''
 ),
 bg AS (
@@ -13056,7 +13056,7 @@ contam AS (
     FROM idt WHERE doc_id % 100 >= 2
   ) WHERE g IN (SELECT g FROM bg)
 ),
-dk AS (
+dk AS MATERIALIZED (
   SELECT doc_id, source, n_tokens FROM kept
   WHERE doc_id % 100 >= 2
     AND doc_id NOT IN (SELECT doc_id FROM contam)
@@ -13082,7 +13082,7 @@ mix AS (
   WHERE CAST(('0x' || substr(md5('mix:' || CAST(k.doc_id AS VARCHAR)),
        1, 8))::UBIGINT AS DOUBLE) / 4294967296.0 < r
 ),
-ma AS (
+ma AS MATERIALIZED (
   SELECT CAST(count(*) AS BIGINT) AS nd,
          CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS nt
   FROM mix
@@ -13371,11 +13371,81 @@ def q_funnel_budget_sweep(spark, sf_dir):
 
 
 _fo = ORACLE["training_loader_funnel"]
+# Budget-as-DIMENSION oracle (VERDICT r12 #2): the old form composed the
+# whole funnel oracle once PER budget (3x every CTE — DuckDB inlines, so
+# 3x the recursive encode, 3x the 16-gram explodes; it OOM'd at sf1 even
+# with the sweep tool's chunked encode). Now the budget-independent
+# prefix (everything through the per-source token masses `ns`) appears
+# ONCE — exactly the Spark plan's shape — and only the O(#sources x
+# #budgets) rate frame, the single survivor-sized mixture filter, and
+# the 21 stage rows carry the budget dimension. `ma` LEFT JOINs from the
+# budgets spine so an empty mixture still emits its zero rows (the
+# Spark side's budgets_df left join).
+_fb_head = _fo[: _fo.index("rates AS (")]
 ORACLE["funnel_budget_sweep"] = (
-    ORACLE["funnel_budget_sweep"]
-    .replace("{f2000}", _fo.replace("5000.0", "2000.0"))
-    .replace("{f5000}", _fo)
-    .replace("{f20000}", _fo.replace("5000.0", "20000.0"))
+    _fb_head
+    + """budgets AS (SELECT unnest([2000.0, 5000.0, 20000.0]) AS budget),
+rates AS (
+  SELECT b.budget, ns.source,
+         round(least(1.0, b.budget * (pow(n_s, 0.7)
+               / sum(pow(n_s, 0.7)) OVER (PARTITION BY b.budget)) / n_s),
+               6) AS r
+  FROM ns CROSS JOIN budgets b
+),
+mix AS (
+  SELECT r.budget, k.doc_id, k.n_tokens
+  FROM dk k JOIN rates r USING (source)
+  WHERE CAST(('0x' || substr(md5('mix:' || CAST(k.doc_id AS VARCHAR)),
+       1, 8))::UBIGINT AS DOUBLE) / 4294967296.0 < r.r
+),
+ma AS MATERIALIZED (
+  SELECT b.budget,
+         CAST(coalesce(m.nd, 0) AS BIGINT) AS nd,
+         CAST(coalesce(m.nt, 0) AS BIGINT) AS nt
+  FROM budgets b
+  LEFT JOIN (
+    SELECT budget, count(*) AS nd, coalesce(sum(n_tokens), 0) AS nt
+    FROM mix GROUP BY budget
+  ) m USING (budget)
+)
+SELECT CAST(budget AS BIGINT) AS budget, stage_order, stage,
+       n_docs, n_tokens, n_units
+FROM (
+  SELECT b.budget, CAST(1 AS BIGINT) AS stage_order, 'corpus' AS stage,
+         c.nd AS n_docs, c.nt AS n_tokens, CAST(0 AS BIGINT) AS n_units
+  FROM corpus c CROSS JOIN budgets b
+  UNION ALL
+  SELECT b.budget, CAST(2 AS BIGINT), 'stratified', s.nd, s.nt,
+         CAST(0 AS BIGINT)
+  FROM strat s CROSS JOIN budgets b
+  UNION ALL
+  SELECT b.budget, CAST(3 AS BIGINT), 'decontaminated', d.nd, d.nt,
+         CAST(0 AS BIGINT)
+  FROM decon d CROSS JOIN budgets b
+  UNION ALL
+  SELECT budget, CAST(4 AS BIGINT), 'mixture', nd, nt, CAST(0 AS BIGINT)
+  FROM ma
+  UNION ALL
+  SELECT budget, CAST(5 AS BIGINT), 'sequences', CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT),
+         CAST(CASE WHEN nt > 0 THEN (nt - 1) // 512 + 1 ELSE 0 END
+           AS BIGINT)
+  FROM ma
+  UNION ALL
+  SELECT budget, CAST(6 AS BIGINT), 'shards', CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT),
+         CAST(CASE WHEN nt > 0 THEN ((nt - 1) // 512) // 16 + 1 ELSE 0 END
+           AS BIGINT)
+  FROM ma
+  UNION ALL
+  SELECT budget, CAST(7 AS BIGINT), 'workers', CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT),
+         CAST(least(4, CASE WHEN nt > 0 THEN ((nt - 1) // 512) // 16 + 1
+                       ELSE 0 END) AS BIGINT)
+  FROM ma
+)
+ORDER BY budget, stage_order
+"""
 )
 
 

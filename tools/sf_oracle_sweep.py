@@ -186,17 +186,40 @@ def main() -> None:
         shuffle_partitions=args.shuffle_partitions,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    con.execute(f"SET memory_limit='{args.mem}'; SET threads TO {args.threads};")
     tables = [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
-    for t in tables:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{args.sf_dir}/{t}.parquet')"
+
+    # FRESH CONNECTION PER ORACLE: one OOM permanently exhausts a shared
+    # DuckDB allocator, cascading bogus failures into every later query
+    # (observed in the first r13 sf1 run). Views are free to recreate;
+    # only the chunked BPE table costs a rebuild, and just for the two
+    # funnel oracles.
+    def fresh_con(with_bpe: bool):
+        c = duckdb.connect()
+        # temp_directory enables OUT-OF-CORE operators (hash joins /
+        # aggregates spill instead of OOM-ing — the funnel oracles' gram
+        # hashes exceed RAM at sf1); preserve_insertion_order=false
+        # releases the ordering buffers pipeline-by-pipeline.
+        c.execute(
+            f"SET memory_limit='{args.mem}'; SET threads TO {args.threads}; "
+            f"SET temp_directory='/tmp/sli_sweep_spill'; "
+            f"SET preserve_insertion_order=false;"
         )
+        for t in tables:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{args.sf_dir}/{t}.parquet')"
+            )
+        if with_bpe:
+            t0 = time.time()
+            _build_ewids(c, args.sf_dir)
+            print(
+                f"sweep: chunked BPE encode {round(time.time() - t0, 1)}s",
+                file=sys.stderr, flush=True,
+            )
+        return c
 
     qs, orc = entry.queries(), entry.oracle_sql()
     names = sorted(qs)
@@ -205,13 +228,6 @@ def main() -> None:
         unknown = sorted(set(want) - set(names))
         assert not unknown, f"--only unknown: {unknown}"
         names = [n for n in names if n in set(want)]
-
-    need_bpe = any(n in CHUNKED_BPE and n in orc for n in names)
-    if need_bpe:
-        t0 = time.time()
-        _build_ewids(con, args.sf_dir)
-        print(f"sweep: chunked BPE encode {round(time.time() - t0, 1)}s",
-              file=sys.stderr, flush=True)
 
     results: dict[str, dict] = {}
     for name in names:
@@ -240,8 +256,18 @@ def main() -> None:
         if name in CHUNKED_BPE:
             sql = _chunked_bpe_rewrite(sql)
         t0 = time.time()
+        try:
+            con = fresh_con(with_bpe=name in CHUNKED_BPE)
+        except Exception as exc:
+            results[name] = {
+                "status": "oracle_error",
+                "err": f"connect/scaffold: {str(exc)[:160]}",
+            }
+            print(f"{name} oracle_error (scaffold)", flush=True)
+            continue
         rows, cols, err = _run_oracle(con, sql, args.timeout)
         t_duck = round(time.time() - t0, 1)
+        con.close()
         if err is not None:
             results[name] = {
                 "status": "oracle_error",
