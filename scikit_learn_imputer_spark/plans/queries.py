@@ -1499,7 +1499,7 @@ tq AS (
          ({qscore}) AS q_score
   FROM documents
 ),
-feat AS (
+feat AS MATERIALIZED (
   SELECT t.doc_id,
          CAST(CASE WHEN r.n_tokens BETWEEN 30 AND 95
                AND r.top2_frac <= 0.12 AND r.top3_frac <= 0.10
@@ -1519,7 +1519,7 @@ feat AS (
          CAST(round(t.q_score * 1e6) AS BIGINT) AS x5
   FROM tq t JOIN rep r USING (doc_id)
 ),
-tl AS (
+tl AS MATERIALIZED (
   SELECT label, 0 AS fidx, x0 AS x FROM feat WHERE doc_id % 10 < 8
   UNION ALL SELECT label, 1, x1 FROM feat WHERE doc_id % 10 < 8
   UNION ALL SELECT label, 2, x2 FROM feat WHERE doc_id % 10 < 8
