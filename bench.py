@@ -432,10 +432,12 @@ def main() -> None:
             reread = time.time() - start
             spread[name]["reread"] = round(reread, 3)
             spread[name]["reps"] += 1.0
+            # After a re-read the reported value is min(first, reread)
+            # either way — label it so (ADVICE r12 like-for-like).
+            spread[name]["stat"] = "min"
             if reread < timings[name]:
                 spread[name]["first"] = timings[name]
                 timings[name] = round(reread, 3)
-                spread[name]["stat"] = "min"
             print(
                 f"bench: reread {name} {round(reread, 3)}s "
                 f"(reported {timings[name]}s)",

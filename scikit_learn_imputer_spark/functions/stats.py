@@ -169,6 +169,25 @@ def exact_rank_quantiles(
     comparison. NULL values are excluded, matching ``list(v) FILTER
     (v IS NOT NULL)`` on the oracle side.
 
+    EAGER: the offsets pass and the rank pass both consume the
+    ``(value, count)`` aggregate, and without materialization each
+    consumer re-runs the whole UPSTREAM chain (a bigram-LM scoring
+    pass, a quality-feature projection) — the r13 bench showed 1.5-4x
+    regressions on exactly that shape. The aggregate is persisted for
+    the two passes, the tiny result (1 row, or O(#groups)) is
+    localCheckpoint-materialized, and the cache is released before
+    returning (the quality_model_scores persist lifecycle). Upstream
+    therefore evaluates ONCE here — the same traversal count as the
+    single-task collect_list form this replaces.
+
+    Known constant: the banded machinery is ~6 small stages + 2 jobs,
+    ~2-4 s of pure scheduling latency on local mode at toy SFs
+    (measured r13: invariant to input size between 5k and 50k distinct
+    values). That constant is the price of every window being
+    partitioned; it vanishes against real work at scale, and the
+    single-task buffer it replaced was the r12 verdict's #1
+    scale-killer.
+
     DuckDB twin (unchanged from the array form — same values):
     ``(list_sort(list(v) FILTER (v IS NOT NULL)))
     [CAST(((count(v) - 1) * num) // den AS BIGINT) + 1]``.
@@ -180,7 +199,7 @@ def exact_rank_quantiles(
     vals = nonnull.groupBy(*gc, col).agg(F.count(F.lit(1)).alias("__n"))
     vals = vals.withColumn(
         "__band", F.floor(F.col(col) / F.lit(float(band_width)))
-    )
+    ).persist()
     bands = vals.groupBy(*gc, "__band").agg(F.sum("__n").alias("__bn"))
     woff = Window.partitionBy(*gc).orderBy(F.col("__band").asc()).rowsBetween(
         Window.unboundedPreceding, -1
@@ -218,6 +237,7 @@ def exact_rank_quantiles(
                 )
             ).alias(name)
         )
-    if gc:
-        return ranked.groupBy(*gc).agg(*aggs)
-    return ranked.agg(*aggs)
+    out = ranked.groupBy(*gc).agg(*aggs) if gc else ranked.agg(*aggs)
+    out = out.localCheckpoint(eager=True)  # 1 row (or O(#groups))
+    vals.unpersist()
+    return out
