@@ -415,9 +415,15 @@ def main() -> None:
         for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])
         if spread[n]["reps"] == 1.0 and timings[n] > 0
     ][:10]
+    # band_report records only what ACTUALLY ran: with adaptive off
+    # (SPARK_GRAFT_BENCH_REPS set) no re-read executes, and a re-read
+    # that raised must not be reported as a correction (the executed
+    # list is rebuilt from spread['reread'] after the loop).
     band_report: dict[str, object] = {
-        "suspects_vs_prev": band_suspects,
-        "expensive_reread": expensive_heads,
+        "adaptive": adaptive,
+        "suspects_vs_prev": band_suspects if adaptive else [],
+        "reread_planned": expensive_heads if adaptive else [],
+        "reread_done": [],
     }
     if adaptive:
         for name in dict.fromkeys(band_suspects + expensive_heads):
@@ -443,6 +449,9 @@ def main() -> None:
                 f"(reported {timings[name]}s)",
                 file=sys.stderr,
             )
+        band_report["reread_done"] = sorted(
+            n for n in spread if "reread" in spread[n]
+        )
     total = sum(v for v in timings.values() if v >= 0)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

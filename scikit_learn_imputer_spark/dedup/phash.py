@@ -159,7 +159,16 @@ def phash_signatures_decoded(
                 sig_of(decode_gray(bytes(b))) if b is not None else None
                 for b in pdf[payload_col]
             ]
-            out = pd.DataFrame({id_col: pdf[id_col], "phash": sigs})
+            # Nullable Int64, NOT a plain list: pandas promotes a mixed
+            # int/None list to float64, which silently ROUNDS every
+            # signature above 2^53 — one NULL payload in a batch would
+            # corrupt all its neighbours' 60-bit hashes.
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "phash": pd.array(sigs, dtype="Int64"),
+                }
+            )
             yield out[out["phash"].notna()]
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)

@@ -126,12 +126,14 @@ def quality_model_scores(
     return out
 
 
-# Micro-unit snap and per-feature band widths (in snapped units) for the
-# engine-exact stump's exact-rank decile thresholds. Widths only shape
-# the banded two-pass (#bands is metadata-sized either way); chars and
-# tokens span ~1e7..1e10 micro-units, ratios/score stay within 1e6.
+# Micro-unit snap and the band width (in snapped units) for the
+# engine-exact stump's exact-rank decile thresholds. The width only
+# shapes the banded two-pass (#bands stays metadata-sized: the widest
+# feature domain, chars at ~1e10 micro-units, gives ~1e4 bands); one
+# width serves every feature because the deciles come from ONE grouped
+# exact_rank_quantiles call over the feature-long frame.
 _SNAP = 1_000_000
-_BAND_WIDTHS = (1e8, 1e8, 1e6, 1e5, 1e5, 1e5)
+_THR_BAND_WIDTH = 1e6
 
 
 def snapped_features_frame(
@@ -190,29 +192,26 @@ def quality_model_holdout_snapped(
 
     fracs = [(k, 10) for k in range(1, 10)]
     tnames = [f"t{k}" for k in range(1, 10)]
-    thr_parts = []
-    for i in range(len(CHEAP_FEATURES)):
-        q = exact_rank_quantiles(
-            train, f"x{i}", fracs, tnames, band_width=_BAND_WIDTHS[i]
-        )
-        thr_parts.append(
-            q.select(
-                F.lit(i).alias("fidx"),
-                F.posexplode(F.array(*tnames)).alias("tidx0", "t"),
-            ).select(
-                "fidx", (F.col("tidx0") + 1).alias("tidx"), "t"
-            )
-        )
-    from functools import reduce
-
-    thresholds = reduce(DataFrame.unionByName, thr_parts)
-
     train_long = train.select(
         "label",
         F.posexplode(
             F.array(*[f"x{i}" for i in range(len(CHEAP_FEATURES))])
         ).alias("fidx", "x"),
     )
+    # ONE grouped two-pass over the feature-long frame (r13 review:
+    # six serial per-feature calls each paid the banded machinery's
+    # fixed scheduling constant — identical threshold values, 6x the
+    # eager jobs).
+    thresholds = exact_rank_quantiles(
+        train_long,
+        "x",
+        fracs,
+        tnames,
+        band_width=_THR_BAND_WIDTH,
+        group_cols=("fidx",),
+    ).select(
+        "fidx", F.posexplode(F.array(*tnames)).alias("tidx0", "t")
+    ).select("fidx", (F.col("tidx0") + 1).alias("tidx"), "t")
     ge = (F.col("x") >= F.col("t")).cast("bigint")
     cand = (
         train_long.join(F.broadcast(thresholds), "fidx")

@@ -8973,7 +8973,7 @@ def q_corpus_preprocess_pipeline(spark, sf_dir):
     path — no driver collect anywhere in this query) → drop the bottom
     lm-score quartile via a self-calibrating 1-row broadcast threshold
     (non-vacuous at every SF by construction). The threshold is an
-    EXACT-RANK quantile (stats.py:exact_rank_quantile_select — the
+    EXACT-RANK quantile (stats.py:exact_rank_quantiles — the
     interpolating percentile ULP-diverges from the oracle exactly at
     threshold-equal scores); per-term micro-nat integer sums keep the
     LM aggregate order-invariant, so the whole five-stage composite is
@@ -12768,7 +12768,7 @@ def _strat_sample_sql(extra_base_cols=""):
     # Thresholds are EXACT lower-rank quantiles (sorted[((n-1)*k)//10]),
     # not quantile_cont — the interpolating form diverged from Spark by
     # one ULP at sf1 and flipped threshold-equal docs (see
-    # functions/stats.py:exact_rank_quantile_select).
+    # functions/stats.py:exact_rank_quantiles).
     return (
         """WITH tqx AS ({tq}),
 base AS MATERIALIZED (
@@ -12881,42 +12881,33 @@ def _loader_funnel_base(spark, sf_dir):
     return docs, kept, dk
 
 
-def _loader_funnel_rows(spark, sf_dir, budget, base=None):
-    """Shared construction for training_loader_funnel and the budget
-    sweep: the 7 exact-integer stage rows for one mixture token
-    budget (see q_training_loader_funnel for the full design
-    notes). VERDICT r10 #6: the token-id decontamination gate
-    (decontaminate_token_ngrams, the 16-id-gram net) threads between
-    the stratified sample and the mixture, so the funnel reports the
-    eval-contamination mass removed before any budget is spent —
-    benchmark members themselves (doc_id % 100 < 2) and every
-    stratified survivor sharing a 16-id-gram with them drop here. The
-    Arrow encode runs over the stratified SURVIVORS only (plus the
-    bounded benchmark side), not the corpus. ``base`` passes a
-    precomputed (docs, kept, dk) so a sweep shares (and persists) the
-    budget-independent stages across branches."""
+def _loader_funnel_rows(spark, sf_dir, budget):
+    """The 7 exact-integer loader-funnel stage rows for one mixture
+    token budget (see q_training_loader_funnel for the full design
+    notes; the budget SWEEP builds its budget-as-dimension plan inline
+    and shares only _loader_funnel_base). VERDICT r10 #6: the token-id
+    decontamination gate (decontaminate_token_ngrams, the 16-id-gram
+    net) threads between the stratified sample and the mixture, so the
+    funnel reports the eval-contamination mass removed before any
+    budget is spent — benchmark members themselves (doc_id % 100 < 2)
+    and every stratified survivor sharing a 16-id-gram with them drop
+    here. The Arrow encode runs over the stratified SURVIVORS only
+    (plus the bounded benchmark side), not the corpus."""
     from scikit_learn_imputer_spark.functions.text import (
         token_count_col,
         uniform_hash_col,
     )
 
-    own_cache = []
-    if base is not None:
-        docs, kept, dk = base
-    else:
-        docs, kept, dk = _loader_funnel_base(spark, sf_dir)
-        # The stage aggregates below each consume kept/dk; without a
-        # persist every stage re-runs the stratified percentile pass and
-        # the Arrow decontam encode from scratch (4 recomputes — the
-        # budget sweep already persisted, the single-budget entry paid
-        # full recompute per stage). O(survivor) rows of
-        # (id, source, n_tokens). Released below after the 7-row result
-        # materializes (ADVICE r12: the persists leaked until
-        # ContextCleaner GC — localCheckpoint-then-unpersist, the
-        # quality_model_scores lifecycle).
-        kept = kept.persist()
-        dk = dk.persist()
-        own_cache = [kept, dk]
+    docs, kept, dk = _loader_funnel_base(spark, sf_dir)
+    # The stage aggregates below each consume kept/dk; without a
+    # persist every stage re-runs the stratified percentile pass and
+    # the Arrow decontam encode from scratch (4 recomputes). O(survivor)
+    # rows of (id, source, n_tokens). Released below after the 7-row
+    # result materializes (ADVICE r12: the persists leaked until
+    # ContextCleaner GC — localCheckpoint-then-unpersist, the
+    # quality_model_scores lifecycle).
+    kept = kept.persist()
+    dk = dk.persist()
     per_src = dk.groupBy("source").agg(
         F.sum("n_tokens").cast("double").alias("__n_s")
     )
@@ -12989,11 +12980,9 @@ def _loader_funnel_rows(spark, sf_dir, budget, base=None):
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    out = out.orderBy("stage_order")
-    if own_cache:
-        out = out.localCheckpoint(eager=True)  # 7 rows
-        for c in own_cache:
-            c.unpersist()
+    out = out.orderBy("stage_order").localCheckpoint(eager=True)  # 7 rows
+    kept.unpersist()
+    dk.unpersist()
     return out
 
 

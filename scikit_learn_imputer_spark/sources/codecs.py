@@ -26,6 +26,9 @@ def encode_bmp(rows_rgb: list[list[tuple[int, int, int]]]) -> bytes:
     if h == 0 or len({len(r) for r in rows_rgb}) != 1:
         raise ValueError("rows_rgb must be non-empty and rectangular")
     w = len(rows_rgb[0])
+    if w == 0:
+        # decode_bmp rejects w=0; refuse to emit what we cannot read back
+        raise ValueError("rows_rgb rows must be non-empty")
     pad = (-3 * w) % 4
     row_size = 3 * w + pad
     img_size = row_size * h

@@ -146,3 +146,37 @@ def test_phash_on_real_bmp_finds_near_dup_and_ignores_distinct(spark):
     assert (0, 1) in got or (1, 0) in got
     assert (0, 2) in got or (2, 0) in got  # identical sigs pair at d=0
     assert not any(3 in p for p in got), "unrelated image must not pair"
+
+
+def test_encode_bmp_rejects_zero_width():
+    with pytest.raises(ValueError, match="non-empty"):
+        encode_bmp([[], []])
+
+
+def test_phash_decoded_survives_null_payload_in_batch(spark):
+    """r13 review: pandas promotes a mixed int/None sigs list to
+    float64, silently rounding every 60-bit hash above 2^53 — one NULL
+    payload used to corrupt its whole Arrow batch. The nullable-Int64
+    column must keep neighbours bit-exact."""
+    from scikit_learn_imputer_spark.dedup.phash import (
+        phash_signatures_decoded,
+    )
+
+    img = encode_bmp(_gradient_image())
+    df_with_null = spark.createDataFrame(
+        [(0, img), (1, None), (2, img)],
+        "media_id long, payload binary",
+    ).coalesce(1)  # one partition -> one Arrow batch holds the NULL
+    df_clean = spark.createDataFrame(
+        [(0, img)], "media_id long, payload binary"
+    )
+    got = {
+        r["media_id"]: r["phash"]
+        for r in phash_signatures_decoded(df_with_null, bmp_gray_pixels).collect()
+    }
+    (want,) = [
+        r["phash"]
+        for r in phash_signatures_decoded(df_clean, bmp_gray_pixels).collect()
+    ]
+    assert set(got) == {0, 2}  # NULL row dropped
+    assert got[0] == want and got[2] == want, "batch neighbours corrupted"

@@ -44,3 +44,17 @@ def test_chunked_rewrite_fails_loudly_on_drift():
 
     with pytest.raises(AssertionError, match="drifted"):
         _chunked_bpe_rewrite("SELECT 1")
+
+
+def test_same_rejects_column_count_drift():
+    """r13 review: a trailing extra column on one side must never
+    compare as MATCH (zip truncates silently)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from sf_oracle_sweep import _same
+
+    assert _same([(1, 2)], [(1, 2)])
+    assert not _same([(1, 2)], [(1, 2, 3)])
+    assert not _same([(1, 2, 3)], [(1, 2)])

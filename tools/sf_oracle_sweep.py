@@ -80,6 +80,8 @@ def _same(s, d):
     if len(s) != len(d):
         return False
     for a, b in zip(s, d):
+        if len(a) != len(b):  # column-count drift must never MATCH
+            return False
         for x, y in zip(a, b):
             if isinstance(x, float) and isinstance(y, float):
                 if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
