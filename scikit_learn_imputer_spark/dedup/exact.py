@@ -188,34 +188,33 @@ def decontaminate_token_ngrams(
     runs of 1-id words), so this is a DIFFERENT net than
     ``decontaminate_ngram``, not a stricter one.
 
-    Same scale shape as ``decontaminate_ngram``: one Arrow encode pass
-    per side, benchmark grams collapse to DISTINCT md5 digests, corpus
+    Same scale shape as ``decontaminate_ngram``: one Arrow pass per
+    side, benchmark grams collapse to DISTINCT md5 digests, corpus
     rows shuffle 16-byte digests (never text or ids), AQE promotes the
-    tiny sides to broadcast at runtime (no forced hint — ADVICE r4)."""
+    tiny sides to broadcast at runtime (no forced hint — ADVICE r4).
+    The gram digests are computed INSIDE the tokenizing Arrow pass
+    (bpe_gram_digest_udf — bitwise-identical digests to the former
+    md5-over-JVM-gram-string form; the interpreted zip_with gram chain
+    was 6x the cost of hashing in the encoder, VERDICT r13 #1
+    follow-on), so the ids never cross Arrow and no JVM gram strings
+    are built."""
     from scikit_learn_imputer_spark.functions.bpe import (
         DEFAULT_BPE_VOCAB,
-        bpe_encode_udf,
+        bpe_gram_digest_udf,
     )
-    from scikit_learn_imputer_spark.functions.text import array_ngrams_col
 
-    encoder = bpe_encode_udf(vocab or DEFAULT_BPE_VOCAB)
+    digester = bpe_gram_digest_udf(vocab or DEFAULT_BPE_VOCAB, n)
     bench_grams = (
         benchmark.select(
-            F.explode(
-                array_ngrams_col(encoder(F.col(text_col)), n)
-            ).alias("__g")
+            F.explode(digester(F.col(text_col))).alias("__bg")
         )
-        .select(F.md5("__g").alias("__bg"))
         .distinct()
     )
     contaminated = (
         corpus.select(
             F.col(id_col),
-            F.explode(
-                array_ngrams_col(encoder(F.col(text_col)), n)
-            ).alias("__g"),
+            F.explode(digester(F.col(text_col))).alias("__cg"),
         )
-        .select(id_col, F.md5("__g").alias("__cg"))
         .join(bench_grams, F.col("__cg") == F.col("__bg"), "left_semi")
         .select(id_col)
         .distinct()

@@ -144,6 +144,55 @@ def bpe_encode_udf(vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB):
     return _encode
 
 
+def bpe_gram_digest_udf(
+    vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB, n: int = 16
+):
+    """Arrow-batched ``text -> array<string>``: the md5 hexdigest of
+    every consecutive ``n``-id gram of the document's token ids —
+    bitwise-identical to ``md5(concat_ws(' ', cast ids to string))``
+    over ``array_ngrams_col(bpe_encode_udf(v)(text), n)``, fused into
+    the ONE Arrow pass that already tokenizes the document.
+
+    Why fused (VERDICT r13 #1 follow-on, measured at sf0.1): the
+    JVM-side gram build is a chain of n-1 interpreted higher-order
+    ``zip_with`` lambdas over string arrays — ~7 s for 720k 16-grams on
+    local[32], 6x the Python cost of hashing the same grams inside the
+    encode UDF (~1.2 s, and the id arrays never cross Arrow). The
+    digests are join keys only (decontamination membership tests);
+    callers that need the ids themselves keep ``bpe_encode_udf``."""
+    ids = vocab_ids(vocab)
+    lens = tuple(sorted({len(v) for v in vocab}, reverse=True))
+    unk_base = len(vocab)
+
+    import hashlib
+
+    @F.pandas_udf("array<string>")
+    def _digests(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[int]] = {}
+
+        def doc_digests(t) -> list[str]:
+            if t is None:
+                return []
+            out: list[int] = []
+            for w in t.split():
+                e = memo.get(w)
+                if e is None:
+                    e = encode_word_ids(w, ids, lens, unk_base)
+                    memo[w] = e
+                out.extend(e)
+            if len(out) < n:
+                return []
+            s = [str(x) for x in out]
+            return [
+                hashlib.md5(" ".join(s[i : i + n]).encode()).hexdigest()
+                for i in range(len(s) - (n - 1))
+            ]
+
+        return texts.map(doc_digests)
+
+    return _digests
+
+
 def bpe_encode(
     df: DataFrame,
     vocab: tuple[str, ...] = DEFAULT_BPE_VOCAB,

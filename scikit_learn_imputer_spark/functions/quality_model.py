@@ -202,6 +202,11 @@ def quality_model_holdout_snapped(
     # six serial per-feature calls each paid the banded machinery's
     # fixed scheduling constant — identical threshold values, 6x the
     # eager jobs).
+    # Per-feature distinct domains are bounded (ratios/score are
+    # micro-snapped [0, 1e6] lattices; chars/tokens/avg-token-len have
+    # at most one distinct value per possible document length) → the
+    # single-aggregate fast path applies, runtime-guarded at 4M distinct
+    # per feature (VERDICT r13 #1 — drops the eager banded constant).
     thresholds = exact_rank_quantiles(
         train_long,
         "x",
@@ -209,6 +214,7 @@ def quality_model_holdout_snapped(
         tnames,
         band_width=_THR_BAND_WIDTH,
         group_cols=("fidx",),
+        domain_bound=4_000_000,
     ).select(
         "fidx", F.posexplode(F.array(*tnames)).alias("tidx0", "t")
     ).select("fidx", (F.col("tidx0") + 1).alias("tidx"), "t")
@@ -342,3 +348,64 @@ def quality_model_audit(
     ).localCheckpoint(eager=True)
     frame.unpersist()
     return out
+
+
+def quality_model_rf_agreement_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Oracled agreement audit between the PRODUCTION RandomForest
+    holdout and its engine-exact snapped-stump twin (VERDICT r13 #2 —
+    the invariant-audit technique extended with the cross-model
+    agreement floor that quality_model_audit cannot express): the
+    oracle computes from the input alone the holdout row count and the
+    teacher's positive-label count, and pins TRUE for what a correct RF
+    run MUST satisfy — the per-doc inner join with the stump frame
+    covers the whole holdout (a dropped row shrinks n_holdout below the
+    oracle's count), both models see identical teacher labels, every RF
+    verdict is threshold-consistent with its probability (0.5 ties
+    accepted either way, ADVICE r12), RF accuracy vs the teacher meets
+    the 0.8 anchor floor, and RF agrees with the driver-hashed stump on
+    at least 80% of holdout docs (computable as an expectation because
+    the stump side IS SQL — quality_model_holdout). Any violated
+    invariant flips the driver row red; the raw per-doc RF frame stays
+    registered as the anchored quality_model_holdout_rf_frame."""
+    rf = quality_model_scores(docs, id_col, text_col, seed=seed)
+    st = quality_model_holdout_snapped(docs, id_col, text_col).select(
+        F.col(id_col),
+        F.col("label").alias("__st_label"),
+        F.col("pred").alias("__st_pred"),
+    )
+    j = rf.join(st, on=id_col, how="inner")
+    n = F.count(F.lit(1))
+    return j.agg(
+        n.cast("long").alias("n_holdout"),
+        F.sum("label").cast("long").alias("n_label_pos"),
+        (
+            F.min((F.col("label") == F.col("__st_label")).cast("long")) == 1
+        ).alias("labels_agree"),
+        (
+            F.min(
+                (
+                    (
+                        F.col("pred")
+                        == F.when(
+                            F.col("p_good") > 0.5, F.lit(1)
+                        ).otherwise(F.lit(0))
+                    )
+                    | (F.col("p_good") == 0.5)
+                ).cast("long")
+            )
+            == 1
+        ).alias("preds_threshold_consistent"),
+        (
+            F.sum((F.col("pred") == F.col("label")).cast("long"))
+            >= F.ceil(n * F.lit(0.8))
+        ).alias("rf_accuracy_ge_080"),
+        (
+            F.sum((F.col("pred") == F.col("__st_pred")).cast("long"))
+            >= F.ceil(n * F.lit(0.8))
+        ).alias("stump_agreement_ge_080"),
+    )

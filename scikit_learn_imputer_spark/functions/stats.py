@@ -139,6 +139,7 @@ def exact_rank_quantiles(
     names: list[str],
     band_width: float,
     group_cols: tuple[str, ...] = (),
+    domain_bound: int | None = None,
 ) -> DataFrame:
     """DISTRIBUTED exact lower-rank quantile thresholds:
     ``t = sorted(values)[((n - 1) * num) div den]`` per ``(num, den)``
@@ -191,11 +192,74 @@ def exact_rank_quantiles(
     DuckDB twin (unchanged from the array form — same values):
     ``(list_sort(list(v) FILTER (v IS NOT NULL)))
     [CAST(((count(v) - 1) * num) // den AS BIGINT) + 1]``.
+
+    ``domain_bound`` — the SMALL-DOMAIN fast path (VERDICT r13 #1: the
+    eager banded machinery's ~2-4 s fixed scheduling constant regressed
+    every sampler-derived query at toy SF). When the caller can DECLARE
+    a hard bound on the number of distinct values per group (a 6-dp
+    score in [0, 1] → ≤ 1e6+1 lattice points, a 2-dp balance on a fixed
+    range → ≤ 1.1M — bounded at ANY corpus size), the selection runs as
+    ONE fully-lazy aggregate: the ``(value, count)`` frame (map-side
+    partial-aggregated, so no task ever sees corpus rows) is
+    ``array_sort(collect_list(struct(v, n)))``-ed per group and each
+    threshold is an O(distinct) higher-order ``aggregate`` scan — zero
+    windows, zero extra jobs, zero persist/checkpoint; upstream
+    evaluates exactly once, in the consumer's own job. Bit-identical to
+    the banded path (same integer-rank element selection). The bound is
+    ENFORCED at runtime: a ``raise_error`` guard fails the job loudly if
+    the observed distinct count exceeds the declaration (the
+    ``dedup/embedding.py`` exact-pairs 200k-row guard precedent) —
+    switch that call site back to the banded path (``domain_bound=None``)
+    rather than raising the bound past what one task should buffer
+    (~4M structs ≈ 128 MB). Leave ``None`` for raw unrounded doubles
+    whose distinct count grows with the corpus.
     """
     if band_width <= 0:
         raise ValueError(f"band_width must be positive, got {band_width}")
     gc = list(group_cols)
     nonnull = df.filter(F.col(col).isNotNull())
+    if domain_bound is not None:
+        vtype = df.schema[col].dataType.simpleString()
+        vals_b = nonnull.groupBy(*gc, col).agg(F.count(F.lit(1)).alias("__n"))
+        arr = F.array_sort(
+            F.collect_list(F.struct(F.col(col).alias("v"), F.col("__n").alias("n")))
+        ).alias("__arr")
+        agged = vals_b.groupBy(*gc).agg(arr) if gc else vals_b.agg(arr)
+        agged = agged.withColumn(
+            "__arr",
+            F.when(
+                F.size("__arr") <= F.lit(int(domain_bound)), F.col("__arr")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"exact_rank_quantiles({col}): observed distinct-"
+                            f"value count "
+                        ),
+                        F.size("__arr").cast("string"),
+                        F.lit(
+                            f" exceeds declared domain_bound={int(domain_bound)}"
+                            " — use the banded path (domain_bound=None)"
+                        ),
+                    )
+                )
+            ),
+        ).withColumn(
+            "__total",
+            F.expr("aggregate(__arr, cast(0 as bigint), (a, x) -> a + x.n)"),
+        )
+        sel = list(gc)
+        for (num, den), name in zip(fracs, names):
+            k = f"(((__total - 1) * {num}) div {den}) + 1"
+            scan = (
+                f"aggregate(__arr, struct(cast(0 as bigint) as cum, "
+                f"cast(null as {vtype}) as t), (acc, x) -> struct("
+                f"acc.cum + x.n, CASE WHEN acc.t IS NULL AND acc.cum < {k} "
+                f"AND {k} <= acc.cum + x.n THEN x.v ELSE acc.t END), "
+                f"acc -> acc.t)"
+            )
+            sel.append(F.expr(scan).alias(name))
+        return agged.select(*sel)
     vals = nonnull.groupBy(*gc, col).agg(F.count(F.lit(1)).alias("__n"))
     vals = vals.withColumn(
         "__band", F.floor(F.col(col) / F.lit(float(band_width)))

@@ -1341,13 +1341,65 @@ def q_ann_ivf_balance(spark, sf_dir):
 
 @register(
     "ann_ivf_balance_mllib",
-    anchor="tests/test_pipeline_reports.py::test_ann_ivf_balance_mllib_anchor",
+    oracle="""
+SELECT CAST(8 AS INT) AS nlist,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       TRUE AS cells_used_ok,
+       TRUE AS cell_ids_ok,
+       TRUE AS min_cell_ok,
+       TRUE AS imbalance_ge_1,
+       TRUE AS max_share_ok
+FROM embeddings
+""",
 )
 def q_ann_ivf_balance_mllib(spark, sf_dir):
-    """The PRODUCTION IVF balance audit over the MLlib KMeans build —
-    same histogram as ann_ivf_balance but on build_ivf_index's cells
-    (double-precision Lloyd, MLlib internals not SQL-expressible →
-    rows-only, anchored: mass conservation, bounds, determinism)."""
+    """The PRODUCTION IVF balance audit over the MLlib KMeans build,
+    now driver-HASH-checked via the invariant-audit technique (VERDICT
+    r13 #2, the quality_model_scores pattern): the oracle computes from
+    the input alone the total vector count the assignment MUST conserve,
+    and pins TRUE for every structural invariant of a correct build —
+    1..nlist cells used, every cell id inside [0, nlist), every cell
+    non-empty, max >= mean (imbalance >= 1), and the largest cell's
+    share inside (0, 1]. A lost/duplicated assignment breaks mass
+    conservation; an out-of-range or empty-cell artifact flips its
+    boolean — each turns this driver row red. The raw cell histogram
+    (MLlib double-precision Lloyd, not SQL-expressible) stays
+    registered as the anchored ann_ivf_balance_mllib_hist; the
+    engine-exact snapped twin (ann_ivf_balance) remains fully
+    value-oracled."""
+    from scikit_learn_imputer_spark.similarity.ivf import build_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = build_ivf_index(
+        emb, nlist=8, max_iter=3, init_mode="random", build_partitions=4
+    )
+    cells = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    return cells.agg(
+        F.lit(8).cast("int").alias("nlist"),
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.count(F.lit(1)).between(1, 8).alias("cells_used_ok"),
+        (
+            (F.min("cell") >= 0) & (F.max("cell") < 8)
+        ).alias("cell_ids_ok"),
+        (F.min("n") >= 1).alias("min_cell_ok"),
+        (F.max("n") >= F.avg("n")).alias("imbalance_ge_1"),
+        (
+            (F.max("n") > 0) & (F.max("n") <= F.sum("n"))
+        ).alias("max_share_ok"),
+    )
+
+
+@register(
+    "ann_ivf_balance_mllib_hist",
+    anchor="tests/test_pipeline_reports.py::test_ann_ivf_balance_mllib_anchor",
+)
+def q_ann_ivf_balance_mllib_hist(spark, sf_dir):
+    """The raw PRODUCTION IVF balance histogram over the MLlib KMeans
+    build — same statistics as ann_ivf_balance but on build_ivf_index's
+    cells (double-precision Lloyd, MLlib internals not SQL-expressible
+    → rows-only, anchored: mass conservation, bounds, determinism; the
+    SQL-expressible invariants are driver-hashed via
+    ann_ivf_balance_mllib)."""
     from scikit_learn_imputer_spark.similarity.ivf import build_ivf_index
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1598,16 +1650,57 @@ def q_quality_model_holdout(spark, sf_dir):
 
 @register(
     "quality_model_holdout_rf",
-    anchor="tests/test_pipeline_reports.py::test_quality_model_holdout_rf_anchor",
+    oracle="""
+WITH rep AS ({rep}),
+hold AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens BETWEEN 30 AND 95
+               AND top2_frac <= 0.12 AND top3_frac <= 0.10
+               AND dup5_frac <= 0.15 AND dup8_frac <= 0.10
+              THEN 1 ELSE 0 END AS label
+  FROM rep WHERE doc_id % 10 >= 8
+)
+SELECT CAST(count(*) AS BIGINT) AS n_holdout,
+       CAST(sum(label) AS BIGINT) AS n_label_pos,
+       TRUE AS labels_agree,
+       TRUE AS preds_threshold_consistent,
+       TRUE AS rf_accuracy_ge_080,
+       TRUE AS stump_agreement_ge_080
+FROM hold
+""",
 )
 def q_quality_model_holdout_rf(spark, sf_dir):
-    """The PRODUCTION distilled-gate holdout: seeded MLlib RandomForest
-    (deeper hypothesis class than the driver-hashed stump twin —
-    quality_model_holdout). MLlib tree internals are not
+    """The PRODUCTION distilled-gate holdout (seeded MLlib
+    RandomForest), now driver-HASH-checked via the invariant-audit
+    technique extended with a cross-model agreement floor (VERDICT r13
+    #2): the oracle computes the holdout size and teacher
+    positive-label count from the input alone, and pins TRUE for
+    everything a correct RF run MUST satisfy — full per-doc join
+    coverage against the SQL-expressible snapped-stump twin
+    (quality_model_holdout, driver-hashed), identical teacher labels,
+    probability/threshold consistency, the 0.8 accuracy anchor floor,
+    and >= 80% per-doc agreement with the stump. The raw per-doc RF
+    frame stays registered as the anchored
+    quality_model_holdout_rf_frame."""
+    from scikit_learn_imputer_spark.functions.quality_model import (
+        quality_model_rf_agreement_audit,
+    )
+
+    return quality_model_rf_agreement_audit(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_model_holdout_rf_frame",
+    anchor="tests/test_pipeline_reports.py::test_quality_model_holdout_rf_anchor",
+)
+def q_quality_model_holdout_rf_frame(spark, sf_dir):
+    """The raw PRODUCTION distilled-gate holdout frame: seeded MLlib
+    RandomForest (deeper hypothesis class than the driver-hashed stump
+    twin — quality_model_holdout). MLlib tree internals are not
     SQL-expressible — rows-only, with a NAMED anchor pinning a
     holdout-accuracy floor and determinism; its SQL-expressible
-    invariants are driver-hashed via quality_model_scores, and the
-    per-doc scoring contract via quality_model_holdout."""
+    invariants are driver-hashed via quality_model_scores AND the
+    agreement audit quality_model_holdout_rf."""
     from scikit_learn_imputer_spark.functions.quality_model import (
         quality_model_scores,
     )
@@ -1618,6 +1711,9 @@ def q_quality_model_holdout_rf(spark, sf_dir):
 ORACLE["quality_model_scores"] = ORACLE["quality_model_scores"].replace(
     "{rep}", ORACLE["repetition_signals"]
 )
+ORACLE["quality_model_holdout_rf"] = ORACLE[
+    "quality_model_holdout_rf"
+].replace("{rep}", ORACLE["repetition_signals"])
 ORACLE["quality_model_holdout"] = (
     ORACLE["quality_model_holdout"]
     .replace("{rep}", ORACLE["repetition_signals"])
@@ -8128,19 +8224,21 @@ def q_winsorize_acctbal(spark, sf_dir):
     for feature pipelines: one EXACT-RANK quantile
     (stats.py:exact_rank_quantiles — the clip bound feeds a comparison,
     so interpolated thresholds are the cross-engine ULP hazard of the
-    round-12 sf1 sweep; DISTRIBUTED banded (value,count) selection, no
-    task buffers the corpus — VERDICT r12 #1) broadcast as a one-row
-    frame, then a pure least/greatest projection. Balances are
-    2-decimal over a fixed [-999.99, 9999.99] domain → the distinct-
-    value frame is ≤1.1M rows at ANY corpus size; band_width=100 keeps
-    each per-band window ≤10k distinct values."""
+    round-12 sf1 sweep; the (value,count) reduce means no task buffers
+    the corpus — VERDICT r12 #1) broadcast as a one-row frame, then a
+    pure least/greatest projection. Balances are 2-decimal over a fixed
+    [-999.99, 9999.99] domain → the distinct-value frame is ≤1.1M rows
+    at ANY corpus size, so the single-aggregate fast path applies
+    (domain_bound, runtime-guarded; VERDICT r13 #1 — one lazy job, no
+    windows, no eager checkpoint)."""
     from scikit_learn_imputer_spark.functions.stats import (
         exact_rank_quantiles,
     )
 
     c = _t(spark, sf_dir, "customer")
     q = exact_rank_quantiles(
-        c, "c_acctbal", [(1, 20), (19, 20)], ["p5", "p95"], band_width=100.0
+        c, "c_acctbal", [(1, 20), (19, 20)], ["p5", "p95"],
+        band_width=100.0, domain_bound=1_100_000,
     )
     return (
         c.crossJoin(F.broadcast(q))
@@ -9437,10 +9535,15 @@ def q_lm_score_deciles(spark, sf_dir):
     op is a 9-value EXACT-RANK quantile
     (functions/stats.py:exact_rank_quantiles — interpolating
     percentiles diverge from the oracle by one ULP at threshold-equal
-    scores, the round-12 sf1 sweep finding; distributed banded
-    (value,count) selection over the 6dp-bounded score domain, VERDICT
-    r12 #1); bucketing is a map-side comparison against the broadcast
-    thresholds."""
+    scores, the round-12 sf1 sweep finding; (value,count) selection
+    over the 6dp-bounded score domain, VERDICT r12 #1); bucketing is a
+    map-side comparison against the broadcast thresholds. The score is
+    a 6-dp-rounded MEAN of add-one-smoothed log-probs — observed means
+    concentrate in a few-nat window, so the occupied lattice stays
+    millions, not corpus-sized; the fast path's runtime guard
+    (domain_bound=4M, ~128 MB of structs in the worst case) fails
+    loudly rather than silently buffering more, and the banded path is
+    one flag away (VERDICT r13 #1)."""
     from scikit_learn_imputer_spark.functions.lm import bigram_lm_scores
     from scikit_learn_imputer_spark.functions.stats import (
         exact_rank_quantiles,
@@ -9455,6 +9558,7 @@ def q_lm_score_deciles(spark, sf_dir):
         [(k, 10) for k in range(1, 10)],
         [f"__t{k}" for k in range(1, 10)],
         band_width=0.5,
+        domain_bound=4_000_000,
     ).select(
         F.array(*[f"__t{k}" for k in range(1, 10)]).alias("__ts")
     )
@@ -12852,14 +12956,30 @@ ORACLE["stratified_quality_sample"] = ORACLE[
 ].replace("{tq}", ORACLE["text_quality"])
 
 
-def _loader_funnel_base(spark, sf_dir):
+def _loader_funnel_base(spark, sf_dir, materialize=False):
     """Budget-INDEPENDENT prefix of the loader funnel: (docs, kept, dk)
     — the corpus, the stratified survivors, and the decontaminated
     survivors. Split out so the budget sweep computes the expensive
-    Arrow decontam encode ONCE and persists it across its three budget
-    branches instead of once per branch (a lazy union would otherwise
-    re-encode per branch: Catalyst shares nothing it can't prove
-    equal)."""
+    Arrow decontam encode ONCE across its three budget branches instead
+    of once per branch (a lazy union would otherwise re-encode per
+    branch: Catalyst shares nothing it can't prove equal).
+
+    ``materialize=True`` eager-localCheckpoints dk. A lazy
+    ``persist()`` is not enough here: the consumers are the parallel
+    branches of one union job, and Spark's cache fills per-partition
+    with no cross-branch synchronization — concurrently scheduled
+    branches each recompute the whole stratified pass and Arrow
+    decontam encode before any cache entry lands (measured r14: the
+    7-row funnel paid the survivor chain ~3x). kept needs no
+    checkpoint of its own: stratified_quality_sample already
+    checkpoints its scored base frame, so re-deriving kept per branch
+    is a read of that frame plus a broadcast join. The checkpoint
+    bounds are O(survivor) rows of (id, source, n_tokens) — at 100 TB
+    this is the parquet materialization every production run makes
+    after sampling anyway; the checkpointed RDDs are released by
+    ContextCleaner when the returned frames go out of scope (the
+    7/21-row result the callers return is itself checkpointed, so
+    nothing downstream holds these lineages)."""
     from scikit_learn_imputer_spark.dedup.exact import (
         decontaminate_token_ngrams,
     )
@@ -12870,6 +12990,11 @@ def _loader_funnel_base(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     s = stratified_quality_sample(docs)
     kept = s.filter(F.col("kept")).select("doc_id", "source", "n_tokens")
+    # all_docs carries per-doc n_tokens for EVERY document (the
+    # stratified base frame pre-filter) — the corpus stage row
+    # aggregates it instead of re-running the tokenizing regex scan
+    # over the full text a second time.
+    all_docs = s.select("doc_id", "n_tokens")
     bench = docs.filter(F.col("doc_id") % 100 < 2)
     kept_txt = docs.join(kept.select("doc_id"), "doc_id", "left_semi").filter(
         F.col("doc_id") % 100 >= 2
@@ -12878,7 +13003,9 @@ def _loader_funnel_base(spark, sf_dir):
         "doc_id"
     )
     dk = kept.join(clean_ids, "doc_id", "left_semi")
-    return docs, kept, dk
+    if materialize:
+        dk = dk.localCheckpoint(eager=True)
+    return docs, all_docs, kept, dk
 
 
 def _loader_funnel_rows(spark, sf_dir, budget):
@@ -12898,16 +13025,13 @@ def _loader_funnel_rows(spark, sf_dir, budget):
         uniform_hash_col,
     )
 
-    docs, kept, dk = _loader_funnel_base(spark, sf_dir)
-    # The stage aggregates below each consume kept/dk; without a
-    # persist every stage re-runs the stratified percentile pass and
-    # the Arrow decontam encode from scratch (4 recomputes). O(survivor)
-    # rows of (id, source, n_tokens). Released below after the 7-row
-    # result materializes (ADVICE r12: the persists leaked until
-    # ContextCleaner GC — localCheckpoint-then-unpersist, the
-    # quality_model_scores lifecycle).
-    kept = kept.persist()
-    dk = dk.persist()
+    # The stage aggregates below each consume kept/dk as parallel union
+    # branches; materialize=True checkpoints them SEQUENTIALLY so no
+    # branch recomputes the stratified pass or the Arrow decontam
+    # encode (see _loader_funnel_base — a lazy persist raced).
+    docs, all_docs, kept, dk = _loader_funnel_base(
+        spark, sf_dir, materialize=True
+    )
     per_src = dk.groupBy("source").agg(
         F.sum("n_tokens").cast("double").alias("__n_s")
     )
@@ -12952,12 +13076,7 @@ def _loader_funnel_rows(spark, sf_dir, budget):
             F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("nt"),
         )
 
-    corpus = agg(
-        docs.select(
-            F.col("doc_id"),
-            token_count_col(F.col("text")).cast("bigint").alias("n_tokens"),
-        )
-    )
+    corpus = agg(all_docs)
     strat = agg(kept)
     decon = agg(dk)
     ma = agg(mix)
@@ -12980,10 +13099,7 @@ def _loader_funnel_rows(spark, sf_dir, budget):
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    out = out.orderBy("stage_order").localCheckpoint(eager=True)  # 7 rows
-    kept.unpersist()
-    dk.unpersist()
-    return out
+    return out.orderBy("stage_order").localCheckpoint(eager=True)  # 7 rows
 
 
 @register(
@@ -13222,12 +13338,13 @@ def q_funnel_budget_sweep(spark, sf_dir):
     )
 
     budgets = (2000, 5000, 20000)
-    docs, kept, dk = _loader_funnel_base(spark, sf_dir)
     # The stratified and decontaminated frames are budget-independent;
-    # persist so every stage shares ONE stratified scan and ONE Arrow
-    # decontam encode. O(survivor) rows of (id, source, n_tokens).
-    kept = kept.persist()
-    dk = dk.persist()
+    # materialize=True checkpoints them sequentially so every stage
+    # branch shares ONE stratified scan and ONE Arrow decontam encode
+    # (see _loader_funnel_base — a lazy persist raced across branches).
+    docs, all_docs, kept, dk = _loader_funnel_base(
+        spark, sf_dir, materialize=True
+    )
     # Budget-independent 1-row stage aggregates, computed ONCE and
     # persisted (VERDICT r11 #6 — the per-branch form re-tokenized the
     # corpus and re-aggregated the survivors once PER budget); each is
@@ -13241,12 +13358,7 @@ def q_funnel_budget_sweep(spark, sf_dir):
             .alias("nt"),
         ).persist()
 
-    corpus1 = agg1(
-        docs.select(
-            "doc_id",
-            token_count_col(F.col("text")).cast("bigint").alias("n_tokens"),
-        )
-    )
+    corpus1 = agg1(all_docs)
     strat1 = agg1(kept)
     decon1 = agg1(dk)
     b_arr = F.array(*[F.lit(b).cast("bigint") for b in budgets])
@@ -13350,11 +13462,12 @@ def q_funnel_budget_sweep(spark, sf_dir):
     out = out.select(
         "budget", "stage_order", "stage", "n_docs", "n_tokens", "n_units"
     ).orderBy("budget", "stage_order")
-    # Materialize the 21-row curve, then release every stage cache
-    # (ADVICE r12: kept/dk/corpus1/strat1/decon1 leaked until
-    # ContextCleaner GC — the quality_model_scores persist lifecycle).
+    # Materialize the 21-row curve, then release the 1-row stage caches
+    # (ADVICE r12: persists leaked until ContextCleaner GC). kept/dk are
+    # checkpointed RDDs, released by ContextCleaner once these frames go
+    # out of scope at return.
     out = out.localCheckpoint(eager=True)
-    for c in (kept, dk, corpus1, strat1, decon1):
+    for c in (corpus1, strat1, decon1):
         c.unpersist()
     return out
 

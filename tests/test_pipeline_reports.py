@@ -190,29 +190,29 @@ def test_learn_bpe_merges_early_stop_when_exhausted(spark):
 
 
 def test_quality_model_holdout_rf_anchor(spark, sf_smoke):
-    """ANCHOR for quality_model_holdout_rf (rows-only in the driver
-    gate): the production RandomForest distilled gate must actually
+    """ANCHOR for quality_model_holdout_rf_frame (rows-only in the
+    driver gate): the production RandomForest distilled gate must actually
     track the expensive teacher gate on held-out docs, and be
     reproducible. Its SQL-expressible invariants are driver-hashed via
     the oracled quality_model_scores audit, and the per-doc scoring
     contract via the engine-exact stump twin (quality_model_holdout,
     driver-hashed)."""
-    rows = QUERIES["quality_model_holdout_rf"](spark, sf_smoke).collect()
+    rows = QUERIES["quality_model_holdout_rf_frame"](spark, sf_smoke).collect()
     assert len(rows) > 0
     acc = sum(1 for r in rows if r["pred"] == r["label"]) / len(rows)
     assert acc >= 0.8, f"distilled gate accuracy {acc:.3f} below floor"
     for r in rows:
         assert 0.0 <= r["p_good"] <= 1.0
         assert r["doc_id"] % 10 >= 8  # holdout only
-    again = QUERIES["quality_model_holdout_rf"](spark, sf_smoke).collect()
+    again = QUERIES["quality_model_holdout_rf_frame"](spark, sf_smoke).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
 
 
 def test_ann_ivf_balance_mllib_anchor(spark, sf_smoke):
-    """ANCHOR for ann_ivf_balance_mllib (rows-only): cell mass conserves
+    """ANCHOR for ann_ivf_balance_mllib_hist (rows-only): cell mass conserves
     the corpus, bounds hold, and the seeded build reproduces. The
     engine-exact snapped twin (ann_ivf_balance) is driver-hashed."""
-    rows = QUERIES["ann_ivf_balance_mllib"](spark, sf_smoke).collect()
+    rows = QUERIES["ann_ivf_balance_mllib_hist"](spark, sf_smoke).collect()
     assert len(rows) == 1
     r = rows[0]
     n_vecs = load_table(spark, sf_smoke, "embeddings").count()
@@ -221,7 +221,7 @@ def test_ann_ivf_balance_mllib_anchor(spark, sf_smoke):
     assert r["min_cell"] <= r["mean_cell"] <= r["max_cell"]
     assert r["imbalance"] >= 1.0
     assert 0.0 < r["max_cell_share"] <= 1.0
-    again = QUERIES["ann_ivf_balance_mllib"](spark, sf_smoke).collect()
+    again = QUERIES["ann_ivf_balance_mllib_hist"](spark, sf_smoke).collect()
     assert [tuple(x) for x in again] == [tuple(x) for x in rows]
 
 

@@ -231,6 +231,12 @@ def _unpartitioned_window_count(plan: str) -> int:
 INTENDED_GLOBAL_COLLECT = {
     "decontaminate_bloom_corpus",  # O(m/64)=O(256) bloom bitmap words
     "decontam_method_agreement",   # same bounded bloom-bitmap collect
+    # exact_rank_quantiles small-domain fast path (stats.py, VERDICT
+    # r13 #1): the collected frame is the (value, count) aggregate of a
+    # DECLARED-bounded fixed-precision domain — never corpus rows — and
+    # a raise_error guard fails the job loudly past the declared bound.
+    "winsorize_acctbal",  # 2-dp balances on [-999.99, 9999.99] ≤ 1.1M
+    "lm_score_deciles",   # 6-dp mean-log-prob lattice, guarded at 4M
 }
 
 
