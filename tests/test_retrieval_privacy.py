@@ -1032,3 +1032,100 @@ def test_bm25_takedown_replay_after_compaction_is_noop(spark, sf_smoke):
     assert dfs_sum == 0, "folded df went negative after replay"
     shutil.rmtree(path, ignore_errors=True)
     shutil.rmtree(ref_path, ignore_errors=True)
+
+
+@pytest.mark.parametrize(
+    "survived",
+    [
+        ("dfs",),                                  # crashed after write 1
+        ("dfs", "stats"),                          # crashed after write 2
+        ("dfs", "stats", "tombstones"),            # crashed after write 3
+        ("dfs", "stats", "tombstones", "applied"),  # completed; late replay
+    ],
+    ids=["after-dfs", "after-stats", "after-tombstones", "after-marker"],
+)
+def test_bm25_takedown_crash_at_every_write_then_replay(
+    spark, sf_smoke, survived
+):
+    """VERDICT r13 #6: exhaustive crash-window property — kill the
+    takedown after EACH of its four request-keyed writes (dfs, stats,
+    tombstones, applied marker), replay the identical request, and
+    assert the folded index equals a from-scratch rebuild over the
+    survivors every time: identical probe scores, identical df totals
+    per queried term, identical corpus stats (n_docs, sum_dl). The
+    write order is the crash-atomicity CONTRACT (tombstones after
+    stats, marker last) — this test fails if the order regresses or if
+    a replay folds any correction twice."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.functions.retrieval import (
+        bm25_scores_from_index,
+        build_bm25_index,
+        load_bm25_index,
+        load_bm25_tombstones,
+        save_bm25_index,
+        takedown_bm25_index,
+    )
+    from scikit_learn_imputer_spark.plans.queries import _t
+
+    path = tempfile.mkdtemp(prefix="sli_takedown_crashpt_")
+    d = _t(spark, sf_smoke, "documents")
+    victims = d.filter(F.col("doc_id") % 10 == 3).select("doc_id")
+    save_bm25_index(*build_bm25_index(d), path)
+    takedown_bm25_index(spark, path, victims, request_id="req-x")
+    # Simulate the crash: artifacts later than the crash point vanish
+    # (each write is an atomic request-keyed subdir OVERWRITE, so the
+    # on-disk state after a crash at write k is exactly the first k
+    # subdirs).
+    for artifact in ("dfs", "stats", "tombstones", "applied"):
+        if artifact not in survived:
+            shutil.rmtree(
+                f"{path}/{artifact}/takedown-req-x", ignore_errors=True
+            )
+    takedown_bm25_index(spark, path, victims, request_id="req-x")  # replay
+
+    survivors = d.join(victims, "doc_id", "left_anti")
+    ref_path = tempfile.mkdtemp(prefix="sli_takedown_crashpt_ref_")
+    save_bm25_index(*build_bm25_index(survivors), ref_path)
+
+    postings, dfs, stats = load_bm25_index(spark, path)
+    tomb = load_bm25_tombstones(spark, path)
+    rp, rd, rs = load_bm25_index(spark, ref_path)
+    # Probe scores.
+    g = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in bm25_scores_from_index(
+            postings, dfs, stats, BM25_QUERY_TERMS, tombstones=tomb
+        ).collect()
+    }
+    w = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in bm25_scores_from_index(
+            rp, rd, rs, BM25_QUERY_TERMS
+        ).collect()
+    }
+    assert g == w, f"scores diverged after crash at {survived[-1]}"
+    # Folded df totals per queried term.
+    gdf = {
+        r["term"]: r["df"]
+        for r in dfs.filter(F.col("term").isin(list(BM25_QUERY_TERMS)))
+        .groupBy("term").agg(F.sum("df").alias("df")).collect()
+    }
+    wdf = {
+        r["term"]: r["df"]
+        for r in rd.filter(F.col("term").isin(list(BM25_QUERY_TERMS)))
+        .groupBy("term").agg(F.sum("df").alias("df")).collect()
+    }
+    assert gdf == wdf, f"df totals diverged after crash at {survived[-1]}"
+    # Folded corpus stats (load_bm25_index exposes n_docs + avgdl).
+    gs = stats.collect()[0]
+    ws = rs.collect()[0]
+    assert (gs["n_docs"], round(gs["avgdl"], 6)) == (
+        ws["n_docs"],
+        round(ws["avgdl"], 6),
+    ), f"corpus stats diverged after crash at {survived[-1]}"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ref_path, ignore_errors=True)

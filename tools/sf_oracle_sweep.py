@@ -62,12 +62,15 @@ CHUNKED_BPE = {"training_loader_funnel", "funnel_budget_sweep"}
 EWIDS_TMP = "sli_sweep_ewids"
 
 
-def _norm(rows, cols):
+def _norm(rows, cols, strict=False):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def f(v):
         if isinstance(v, float):
-            return "NaN" if math.isnan(v) else round(v, 9)
+            # strict (ADVICE r13): keep full precision — a 1-ULP
+            # cross-engine divergence in an emitted threshold value must
+            # compare as MISMATCH, not be rounded away.
+            return "NaN" if math.isnan(v) else (v if strict else round(v, 9))
         return v
 
     return sorted(
@@ -76,7 +79,7 @@ def _norm(rows, cols):
     )
 
 
-def _same(s, d):
+def _same(s, d, strict=False):
     if len(s) != len(d):
         return False
     for a, b in zip(s, d):
@@ -84,7 +87,10 @@ def _same(s, d):
             return False
         for x, y in zip(a, b):
             if isinstance(x, float) and isinstance(y, float):
-                if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
+                if strict:
+                    if x != y and not (math.isnan(x) and math.isnan(y)):
+                        return False
+                elif not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
                     return False
             elif x != y:
                 return False
@@ -164,16 +170,133 @@ def _run_oracle(con, sql: str, timeout_s: float):
         done.set()
 
 
+def changed_queries(repo_root: str, since: str) -> set[str]:
+    """Registry query names affected by commits/working-tree changes
+    since ``since`` (VERDICT r13 #4 — the cheap delta-sweep gate): a
+    static reachability closure, deliberately CONSERVATIVE (false
+    positives sweep a few extra rows; false negatives would skip a
+    gate).
+
+    1. ``git diff -U0 <since>`` over the package's .py files yields
+       changed line ranges; each maps (via ast of the CURRENT file) to
+       the enclosing top-level def/class -> the seed symbol set.
+    2. The seed set closes over the package: any top-level def whose
+       source mentions a tainted symbol becomes tainted (fixpoint) —
+       so a change to stats.exact_rank_quantiles taints
+       split.stratified_quality_sample, which taints the funnel
+       helpers.
+    3. Every registered query whose plan function source mentions a
+       tainted symbol (or whose own body changed) is returned.
+    """
+    import ast
+    import subprocess
+
+    pkg = os.path.join(repo_root, "scikit_learn_imputer_spark")
+    diff = subprocess.run(
+        ["git", "-C", repo_root, "diff", "-U0", since, "--",
+         "scikit_learn_imputer_spark/*.py",
+         "scikit_learn_imputer_spark/**/*.py"],
+        capture_output=True, text=True, timeout=60, check=True,
+    ).stdout
+    changed_ranges: dict[str, list[tuple[int, int]]] = {}
+    cur = None
+    for line in diff.splitlines():
+        if line.startswith("+++ b/"):
+            cur = line[6:]
+        elif line.startswith("@@") and cur and cur.endswith(".py"):
+            # @@ -a,b +c,d @@ — take the NEW-file range (c, d)
+            new = line.split("+", 1)[1].split(" ", 1)[0]
+            start, _, span = new.partition(",")
+            lo = int(start)
+            n = int(span) if span else 1
+            changed_ranges.setdefault(cur, []).append(
+                (lo, lo + max(n, 1) - 1)
+            )
+    # Top-level symbol table of the whole package: name -> source text.
+    symbols: dict[str, str] = {}
+    per_file_defs: dict[str, list[tuple[str, int, int]]] = {}
+    for dirpath, _dirs, files in os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, f)
+            rel = os.path.relpath(path, repo_root)
+            try:
+                src = open(path).read()
+                tree = ast.parse(src)
+            except (OSError, SyntaxError):
+                continue
+            lines = src.splitlines()
+            defs = []
+            for node in tree.body:
+                if isinstance(
+                    node,
+                    (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
+                ):
+                    seg = "\n".join(lines[node.lineno - 1 : node.end_lineno])
+                    symbols[node.name] = symbols.get(node.name, "") + seg
+                    defs.append((node.name, node.lineno, node.end_lineno))
+            per_file_defs[rel] = defs
+    tainted: set[str] = set()
+    for rel, ranges in changed_ranges.items():
+        for name, lo, hi in per_file_defs.get(rel, []):
+            if any(a <= hi and lo <= b for a, b in ranges):
+                tainted.add(name)
+        if rel not in per_file_defs and rel.startswith(
+            "scikit_learn_imputer_spark"
+        ):
+            # a brand-new/renamed module: taint everything it defines
+            tainted.update(n for n, _, _ in per_file_defs.get(rel, []))
+    # Fixpoint closure over the package symbol table.
+    import re as _re
+
+    changed = True
+    while changed:
+        changed = False
+        for name, seg in symbols.items():
+            if name in tainted:
+                continue
+            for t in tainted:
+                if _re.search(rf"\b{_re.escape(t)}\b", seg):
+                    tainted.add(name)
+                    changed = True
+                    break
+    import __spark_entry__ as entry
+
+    out = set()
+    for qname, fn in entry.queries().items():
+        src = symbols.get(getattr(fn, "__name__", ""), "")
+        if any(
+            _re.search(rf"\b{_re.escape(t)}\b", src) for t in tainted
+        ):
+            out.add(qname)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir")
     ap.add_argument("--only", default="")
+    ap.add_argument(
+        "--changed-since",
+        default="",
+        metavar="COMMIT",
+        help="sweep only queries whose plan functions or (transitive) "
+        "helpers changed since COMMIT (VERDICT r13 #4)",
+    )
     ap.add_argument("--out", default="")
     ap.add_argument("--mem", default="64GB")
     ap.add_argument("--threads", type=int, default=16)
     ap.add_argument("--timeout", type=float, default=900.0)
     ap.add_argument("--master", default="local[16]")
     ap.add_argument("--shuffle-partitions", type=int, default=32)
+    ap.add_argument(
+        "--strict",
+        action="store_true",
+        help="exact float compare, no 9dp rounding / 1e-9 tolerance "
+        "(ADVICE r13: for threshold-emitting queries a 1-ULP divergence "
+        "must MISMATCH)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -230,6 +353,14 @@ def main() -> None:
         unknown = sorted(set(want) - set(names))
         assert not unknown, f"--only unknown: {unknown}"
         names = [n for n in names if n in set(want)]
+    if args.changed_since:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        delta = changed_queries(repo_root, args.changed_since)
+        print(
+            f"sweep: {len(delta)} queries changed since "
+            f"{args.changed_since}", file=sys.stderr, flush=True,
+        )
+        names = [n for n in names if n in delta]
 
     results: dict[str, dict] = {}
     for name in names:
@@ -240,7 +371,10 @@ def main() -> None:
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf_dir)
-            s = _norm([tuple(r) for r in sdf.collect()], sdf.columns)
+            s = _norm(
+                [tuple(r) for r in sdf.collect()], sdf.columns,
+                strict=args.strict,
+            )
         except Exception as exc:
             results[name] = {"status": "spark_error", "err": str(exc)[:200]}
             print(f"{name} spark_error", flush=True)
@@ -280,8 +414,8 @@ def main() -> None:
             }
             print(f"{name} oracle_error {err[:80]}", flush=True)
             continue
-        d = _norm(rows, cols)
-        ok = _same(s, d)
+        d = _norm(rows, cols, strict=args.strict)
+        ok = _same(s, d, strict=args.strict)
         results[name] = {
             "status": "MATCH" if ok else "MISMATCH",
             "rows": len(s),
