@@ -292,3 +292,89 @@ def test_repetition_signals_known_values(spark):
 
     with pytest.raises(ValueError):
         repetition_signals(df, top_ns=(0,))
+
+
+def test_exact_rank_quantiles_fast_path_bit_identical_to_banded(spark):
+    """VERDICT r13 #1: the declared-domain single-aggregate fast path
+    must select the SAME element as the banded two-pass for every
+    fraction — global and grouped, with ties, negatives, and NULLs —
+    and both must equal the Python reference
+    ``sorted(vals)[((n-1)*num)//den]``."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.functions.stats import (
+        exact_rank_quantiles,
+    )
+
+    rng = random.Random(1234)
+    rows = []
+    for i in range(4000):
+        g = i % 5
+        v = (
+            None
+            if rng.random() < 0.05
+            else round(rng.uniform(-50, 50), 2)  # 2dp -> heavy ties
+        )
+        rows.append((g, v))
+    df = spark.createDataFrame(rows, "g int, v double")
+    fracs = [(1, 20), (1, 4), (1, 2), (3, 4), (19, 20), (9, 10)]
+    names = ["p05", "p25", "p50", "p75", "p95", "p90"]
+
+    def py_ref(vals, num, den):
+        s = sorted(x for x in vals if x is not None)
+        return s[((len(s) - 1) * num) // den]
+
+    # Global.
+    fast = exact_rank_quantiles(
+        df, "v", fracs, names, band_width=10.0, domain_bound=100_000
+    ).collect()[0]
+    banded = exact_rank_quantiles(
+        df, "v", fracs, names, band_width=10.0
+    ).collect()[0]
+    allv = [v for _, v in rows]
+    for (num, den), name in zip(fracs, names):
+        want = py_ref(allv, num, den)
+        assert fast[name] == banded[name] == want, (name, fast[name], banded[name], want)
+
+    # Grouped.
+    fastg = {
+        r["g"]: r
+        for r in exact_rank_quantiles(
+            df, "v", fracs, names, band_width=10.0, group_cols=("g",),
+            domain_bound=100_000,
+        ).collect()
+    }
+    bandedg = {
+        r["g"]: r
+        for r in exact_rank_quantiles(
+            df, "v", fracs, names, band_width=10.0, group_cols=("g",)
+        ).collect()
+    }
+    for g in range(5):
+        gv = [v for gg, v in rows if gg == g]
+        for (num, den), name in zip(fracs, names):
+            want = py_ref(gv, num, den)
+            assert fastg[g][name] == bandedg[g][name] == want
+
+
+def test_exact_rank_quantiles_domain_guard_raises_loudly(spark):
+    """The declared bound is ENFORCED: exceeding it must fail the job
+    with the documented message, never silently buffer more."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    from scikit_learn_imputer_spark.functions.stats import (
+        exact_rank_quantiles,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id").cast("double") / 7.0).alias("v")
+    )
+    q = exact_rank_quantiles(
+        df, "v", [(1, 2)], ["med"], band_width=1.0, domain_bound=10
+    )
+    with pytest.raises(Exception, match="domain_bound=10"):
+        q.collect()
