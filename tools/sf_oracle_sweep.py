@@ -199,10 +199,18 @@ def changed_queries(repo_root: str, since: str) -> set[str]:
         capture_output=True, text=True, timeout=60, check=True,
     ).stdout
     changed_ranges: dict[str, list[tuple[int, int]]] = {}
+    removed_defs: set[str] = set()
     cur = None
     for line in diff.splitlines():
         if line.startswith("+++ b/"):
             cur = line[6:]
+        elif line.startswith("-def ") or line.startswith("-    def "):
+            # a deleted (or renamed-away) function: its name can no
+            # longer be mapped via ast of the current file — taint it
+            # directly from the diff's minus line.
+            name = line.lstrip("-").strip()[4:].split("(", 1)[0].strip()
+            if name:
+                removed_defs.add(name)
         elif line.startswith("@@") and cur and cur.endswith(".py"):
             # @@ -a,b +c,d @@ — take the NEW-file range (c, d)
             new = line.split("+", 1)[1].split(" ", 1)[0]
@@ -237,16 +245,11 @@ def changed_queries(repo_root: str, since: str) -> set[str]:
                     symbols[node.name] = symbols.get(node.name, "") + seg
                     defs.append((node.name, node.lineno, node.end_lineno))
             per_file_defs[rel] = defs
-    tainted: set[str] = set()
+    tainted: set[str] = set(removed_defs)
     for rel, ranges in changed_ranges.items():
         for name, lo, hi in per_file_defs.get(rel, []):
             if any(a <= hi and lo <= b for a, b in ranges):
                 tainted.add(name)
-        if rel not in per_file_defs and rel.startswith(
-            "scikit_learn_imputer_spark"
-        ):
-            # a brand-new/renamed module: taint everything it defines
-            tainted.update(n for n, _, _ in per_file_defs.get(rel, []))
     # Fixpoint closure over the package symbol table.
     import re as _re
 
