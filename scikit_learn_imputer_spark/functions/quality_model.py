@@ -92,18 +92,27 @@ def quality_model_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
+    frame: DataFrame | None = None,
 ) -> DataFrame:
     """Train on the modular 80% split (doc_id % 10 < 8), score the held
     20%: (id, label, p_good, pred). The returned frame is the HOLDOUT
     evaluation a filter designer reads before trusting the distilled
-    gate on the full corpus."""
+    gate on the full corpus.
+
+    ``frame`` — an already-persisted ``quality_training_frame`` to
+    reuse (the agreement audit shares ONE teacher pass between the RF
+    and stump twins instead of recomputing it per model — optimization
+    round 14); ownership stays with the caller (not unpersisted
+    here)."""
     # fit() consumes the training frame eagerly and the lazy holdout plan
     # reads it again at evaluation, so it is persisted across both — then
     # the scored holdout is eagerly materialized (localCheckpoint, the
     # spans/semdedup pattern) so the cache can be released before
     # returning instead of leaking until ContextCleaner GC (ADVICE r6).
     # At 100 TB the persist is a parquet checkpoint.
-    frame = quality_training_frame(docs, id_col, text_col).persist()
+    own_frame = frame is None
+    if own_frame:
+        frame = quality_training_frame(docs, id_col, text_col).persist()
     train = frame.filter(F.col(id_col) % 10 < 8)
     hold = frame.filter(F.col(id_col) % 10 >= 8)
     model = train_quality_model(train, seed=seed)
@@ -122,7 +131,8 @@ def quality_model_scores(
         F.round(p_good, 6).alias("p_good"),
         F.col("prediction").cast("bigint").alias("pred"),
     ).localCheckpoint(eager=True)
-    frame.unpersist()
+    if own_frame:
+        frame.unpersist()
     return out
 
 
@@ -137,13 +147,18 @@ _THR_BAND_WIDTH = 1e6
 
 
 def snapped_features_frame(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frame: DataFrame | None = None,
 ) -> DataFrame:
     """(id, label, x0..x5): the quality_training_frame with every cheap
     feature snapped to BIGINT micro-units (round(f * 1e6)) — the
     source_quality_matrix snap, so downstream integer arithmetic is
-    bit-identical on any engine."""
-    frame = quality_training_frame(docs, id_col, text_col)
+    bit-identical on any engine. ``frame`` reuses an already-computed
+    ``quality_training_frame`` (see quality_model_scores)."""
+    if frame is None:
+        frame = quality_training_frame(docs, id_col, text_col)
     return frame.select(
         id_col,
         F.col("label").cast("bigint").alias("label"),
@@ -155,7 +170,10 @@ def snapped_features_frame(
 
 
 def quality_model_holdout_snapped(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frame: DataFrame | None = None,
 ) -> DataFrame:
     """ENGINE-EXACT distilled-gate holdout: the ``ivf_balance_snapped``
     technique applied to model distillation (VERDICT r12 #4), so the
@@ -182,7 +200,9 @@ def quality_model_holdout_snapped(
     over the snapped frame (deciles + candidate aggregate; the frame is
     persisted), a 54-row broadcast argmin, and a map-only scoring
     projection; the 9x feature-long expansion collapses map-side."""
-    snapped = snapped_features_frame(docs, id_col, text_col).persist()
+    snapped = snapped_features_frame(
+        docs, id_col, text_col, frame=frame
+    ).persist()
     train = snapped.filter(F.col(id_col) % 10 < 8)
     hold = snapped.filter(F.col(id_col) % 10 >= 8)
 
@@ -371,13 +391,26 @@ def quality_model_rf_agreement_audit(
     at least 80% of holdout docs (computable as an expectation because
     the stump side IS SQL — quality_model_holdout). Any violated
     invariant flips the driver row red; the raw per-doc RF frame stays
-    registered as the anchored quality_model_holdout_rf_frame."""
-    rf = quality_model_scores(docs, id_col, text_col, seed=seed)
-    st = quality_model_holdout_snapped(docs, id_col, text_col).select(
+    registered as the anchored quality_model_holdout_rf_frame.
+
+    The teacher pass (quality features + repetition signals + label
+    join) is computed ONCE and shared between the RF and stump twins
+    (optimization round 14 — the audit previously ran the full
+    quality_training_frame pipeline twice, once inside each model
+    path; at 100 TB that is a second full corpus scoring pass for
+    identical values). Both sub-builders localCheckpoint their own
+    outputs eagerly, so the shared cache is released before this
+    function returns."""
+    shared = quality_training_frame(docs, id_col, text_col).persist()
+    rf = quality_model_scores(docs, id_col, text_col, seed=seed, frame=shared)
+    st = quality_model_holdout_snapped(
+        docs, id_col, text_col, frame=shared
+    ).select(
         F.col(id_col),
         F.col("label").alias("__st_label"),
         F.col("pred").alias("__st_pred"),
     )
+    shared.unpersist()
     j = rf.join(st, on=id_col, how="inner")
     n = F.count(F.lit(1))
     return j.agg(

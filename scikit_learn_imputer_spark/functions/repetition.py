@@ -14,15 +14,25 @@ deterministic, whitespace-normalization-independent, and exactly
 reproducible in SQL, which keeps the operator oracle-able. The
 threshold semantics (filter docs above a fraction) are unchanged.
 
-Dataflow (scales like the span scrubber):
-
-- ``top_frac(n)``: one explode + one map-side-combinable count per
-  (doc, gram digest), max per doc — top fraction = max_count * n /
-  n_tokens. Shuffle key cardinality ~ corpus grams, uniform.
-- ``dup_frac(n)``: grams occurring >= 2 times IN THE SAME DOC keep
-  their start positions (collected in the SAME aggregate — no second
-  pass); per-doc covered-token union via one array expression, state
-  bounded by the document's own length.
+Dataflow (optimization round 14, guide §2.4/§4.2): every signal is a
+function of ONE document's own token array, so the operator is
+MAP-ONLY — a single Arrow-batched pass computes the four integer
+token masses per document (O(L) dict counting per doc, state bounded
+by the document itself — the bound any engine already accepts by
+holding the text column in a row), and the fraction arithmetic
+(integer mass / token count, rounded) stays in Spark SQL so the
+emitted doubles are bit-identical to the previous form. The previous
+shape exploded the corpus to (doc, gram-digest) rows and aggregated
+per n: 4 corpus text scans, 8 doc-gram shuffles and a 5-way
+doc-keyed join chain for statistics that never cross document
+boundaries. At 100 TB this is one map pass over the corpus instead
+of four read+shuffle rounds; at bench SF it removes every Exchange
+from the operator's plan. (A pure JVM higher-order-function
+projection was tried first and rejected: the per-column sort/scan
+expression trees get re-inlined at every downstream column reference
+and Catalyst's optimizer walks them combinatorially — planning alone
+exceeded the old execution time. One opaque Arrow node keeps the
+plan a single narrow projection.)
 
 Overlapping occurrences count (standard for these filters): "aaaa"
 has three overlapping "aa" bigrams.
@@ -30,52 +40,78 @@ has three overlapping "aa" bigrams.
 
 from __future__ import annotations
 
-from functools import reduce
+import re
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Java-regex-faithful whitespace: Spark's ``split(trim(text), '\\s+')``
+#: runs Java ``\s`` = ``[ \t\n\x0B\f\r]`` (ASCII-only — Python's
+#: unicode-aware ``\s`` would additionally split on NBSP-class chars and
+#: silently diverge from the SQL twin), and ``trim`` strips the space
+#: character only.
+_JAVA_WS = re.compile(r"[ \t\n\x0B\f\r]+")
 
-def _positioned_gram_counts(
-    df: DataFrame, n: int, id_col: str, text_col: str, with_starts: bool = True
-):
-    """(id, __cnt[, __starts]) per (doc, n-gram): occurrence count and —
-    only when ``with_starts`` — the 0-based token starts, one explode +
-    one aggregate. The top-fraction branches consume only ``__cnt``, so
-    they pass ``with_starts=False`` and the aggregate is a pure map-side
-    combinable count with no list state (ADVICE r6)."""
-    t = F.trim(F.col(text_col))
-    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, "\\s+")
-    )
-    starts = F.sequence(F.lit(0), F.size(F.col("__toks")) - n)
-    return (
-        df.select(F.col(id_col), toks.alias("__toks"))
-        .filter(F.size("__toks") >= n)
-        .select(
-            id_col,
-            F.explode(
-                F.transform(
-                    starts,
-                    lambda s: F.struct(
-                        s.alias("start"),
-                        F.md5(
-                            F.array_join(F.slice(F.col("__toks"), s + 1, n), " ")
-                        ).alias("fp"),
-                    ),
-                )
-            ).alias("__sg"),
-        )
-        .groupBy(id_col, F.col("__sg.fp").alias("__fp"))
-        .agg(
-            F.count(F.lit(1)).alias("__cnt"),
-            *(
-                [F.collect_list("__sg.start").alias("__starts")]
-                if with_starts
-                else []
-            ),
-        )
-    )
+
+def _java_tokens(t: str | None) -> list[str]:
+    """Tokens exactly as the SQL twin produces them: trim spaces, split
+    on Java ``\\s+`` keeping leading/trailing empties (Spark's split
+    uses limit -1, as does ``re.split``), empty array for empty/None
+    text."""
+    if t is None:
+        return []
+    s = t.strip(" ")
+    if s == "":
+        return []
+    return _JAVA_WS.split(s)
+
+
+def repetition_masses_udf(top_ns: tuple[int, ...], dup_ns: tuple[int, ...]):
+    """Arrow-batched ``text -> array<bigint>`` of the integer token
+    masses [top mass per n in top_ns..., dup-covered mass per n in
+    dup_ns...]: ``max occurrence count of any n-gram * n`` and ``tokens
+    covered by the union of n-grams occurring >= 2 times``. Pure O(L)
+    per-doc dict counting; grams are compared as raw strings — exactly
+    the oracle's ``GROUP BY doc_id, g`` (the old md5-digest shuffle keys
+    matched it only up to hash collisions)."""
+
+    @F.pandas_udf("array<bigint>")
+    def _masses(texts: pd.Series) -> pd.Series:
+        def doc(t):
+            toks = _java_tokens(t)
+            L = len(toks)
+            out: list[int] = []
+            for n in top_ns:
+                best = 0
+                if L >= n:
+                    cnt: dict[str, int] = {}
+                    for i in range(L - n + 1):
+                        g = " ".join(toks[i : i + n])
+                        c = cnt.get(g, 0) + 1
+                        cnt[g] = c
+                        if c > best:
+                            best = c
+                out.append(best * n)
+            for n in dup_ns:
+                mass = 0
+                if L >= n:
+                    pos: dict[str, list[int]] = {}
+                    for i in range(L - n + 1):
+                        g = " ".join(toks[i : i + n])
+                        pos.setdefault(g, []).append(i)
+                    covered: set[int] = set()
+                    for starts in pos.values():
+                        if len(starts) >= 2:
+                            for s in starts:
+                                covered.update(range(s, s + n))
+                    mass = len(covered)
+                out.append(mass)
+            return out
+
+        return texts.map(doc)
+
+    return _masses
 
 
 def repetition_signals(
@@ -91,7 +127,12 @@ def repetition_signals(
     exceed what disjoint coverage would give — the standard definition),
     and ``dup{n}_frac`` for each n in ``dup_ns`` (tokens covered by the
     UNION of all n-grams repeated within the document / total tokens).
-    Documents shorter than n score 0.0 for that signal."""
+    Documents shorter than n score 0.0 for that signal.
+
+    Map-only, one Arrow pass, no shuffle (see module docstring). Values
+    are bit-identical to the former explode+aggregate form: the same
+    integer occurrence counts and coverage unions feed the same SQL
+    division and rounding."""
     for n in (*top_ns, *dup_ns):
         if n < 1:
             raise ValueError(f"n must be >= 1, got {n}")
@@ -101,50 +142,34 @@ def repetition_signals(
         .otherwise(F.size(F.split(t, "\\s+")))
         .cast("bigint")
     )
-    base = df.select(F.col(id_col), n_tokens.alias("n_tokens"))
-
-    parts = [base]
-    for n in top_ns:
-        gc = _positioned_gram_counts(df, n, id_col, text_col, with_starts=False)
-        parts.append(
-            gc.groupBy(id_col).agg(
-                (F.max("__cnt") * n).cast("bigint").alias(f"__toptok_{n}")
-            )
-        )
-    for n in dup_ns:
-        gc = _positioned_gram_counts(df, n, id_col, text_col)
-        covered = F.array_distinct(
-            F.flatten(
-                F.transform(
-                    F.flatten(F.collect_list("__starts")),
-                    lambda s: F.sequence(s, s + n - 1),
-                )
-            )
-        )
-        parts.append(
-            gc.filter(F.col("__cnt") >= 2)
-            .groupBy(id_col)
-            .agg(F.size(covered).cast("bigint").alias(f"__duptok_{n}"))
-        )
-    joined = reduce(lambda a, b: a.join(b, id_col, "left"), parts)
+    # asNondeterministic (guide §4.4): the optimizer otherwise clones
+    # the Arrow node into every consumer of the signal columns — the
+    # lazy waterfall planned SIX ArrowEvalPython evaluations of this
+    # one call. Marking it non-reorderable pins exactly one evaluation
+    # per reference site; the masses are of course a pure function of
+    # the text, so results are unchanged.
+    masses = repetition_masses_udf(tuple(top_ns), tuple(dup_ns)).asNondeterministic()
+    tmp = df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        masses(F.col(text_col)).alias("__m"),
+    )
+    denom = F.greatest(F.col("n_tokens"), F.lit(1))
     cols = [F.col(id_col), F.col("n_tokens")]
-    for n in top_ns:
+    for j, n in enumerate((*top_ns, *dup_ns)):
+        name = (
+            f"top{n}_frac" if j < len(top_ns) else f"dup{n}_frac"
+        )
         cols.append(
             F.round(
-                F.coalesce(F.col(f"__toptok_{n}"), F.lit(0)).cast("double")
-                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                F.coalesce(
+                    F.element_at(F.col("__m"), j + 1), F.lit(0)
+                ).cast("double")
+                / denom,
                 9,
-            ).alias(f"top{n}_frac")
+            ).alias(name)
         )
-    for n in dup_ns:
-        cols.append(
-            F.round(
-                F.coalesce(F.col(f"__duptok_{n}"), F.lit(0)).cast("double")
-                / F.greatest(F.col("n_tokens"), F.lit(1)),
-                9,
-            ).alias(f"dup{n}_frac")
-        )
-    return joined.select(*cols)
+    return tmp.select(*cols)
 
 
 def stream_quality_gate(

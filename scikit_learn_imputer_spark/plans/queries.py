@@ -1856,66 +1856,115 @@ def q_filter_waterfall(spark, sf_dir):
     pipelines via exact_dedup(keep='quality');
     tests/test_pipeline_reports.py pins that this stage's drops equal
     exact_dedup(keep='min') drops on a duplicated corpus."""
-    from scikit_learn_imputer_spark.functions.repetition import repetition_signals
-
     d = _t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 100 < 2)
     corpus = d.filter(F.col("doc_id") % 100 >= 2)
 
-    # Survivor-chained evaluation, exactly like the production pipeline:
-    # each gate's (expensive) signals are computed ONLY for the previous
-    # gate's survivors — first-fail attribution makes the restriction
-    # free (a doc's stage never consults later gates), and the heavy
-    # explodes (4 gram sizes for Gopher, 5-grams for decontamination)
-    # shrink by each upstream gate's drop rate. ~2× faster than scoring
-    # every gate corpus-wide at bench SF; at 100 TB the saving is the
-    # upstream drop fraction of the dominant explode cost.
+    # ONE-PASS per-doc signal frame (optimization round 14, guide
+    # §2.4/§4.4): every per-doc gate signal — token count, rounded
+    # quality score, the four repetition fractions (one Arrow masses
+    # pass), the dedup fingerprint — is computed in a single corpus
+    # projection and the NARROW result (no text) is checkpointed once.
+    # The former survivor-chained id-set shape referenced each gate
+    # frame twice (semi-join + attribution mark), and every reference
+    # re-planned the whole upstream subtree: the lazy plan held SIX
+    # clones of the repetition evaluation and five doc-keyed joins.
+    # First-fail attribution is a row-local CASE over the signal
+    # columns (exactly the oracle's shape), so only the two genuinely
+    # corpus-level stages — exact-dup keepers and decontamination —
+    # remain joins. Survivor restriction is kept where it pays: the
+    # 5-gram decontamination explode still runs only over stage-4
+    # survivors' text. At 100 TB: one signal pass + its narrow
+    # materialization (what a production pipeline persists anyway)
+    # instead of re-deriving the gate chain per consumer.
+    from scikit_learn_imputer_spark.functions.repetition import (
+        repetition_masses_udf,
+    )
+
     t = F.trim(F.col("text"))
     ntok = (
         F.when(F.length(t) == 0, F.lit(0))
         .otherwise(F.size(F.split(t, "\\s+")))
         .cast("bigint")
     )
-    s0 = corpus.select("doc_id", "lang", "text", ntok.alias("n_tokens"))
-
-    lang_pass = s0.filter(F.col("lang") == "en")
-    q = quality_features(lang_pass.select("doc_id", "text")).select(
-        "doc_id", "q_tokens", F.round("q_score", 6).alias("q_score")
+    masses = repetition_masses_udf((2, 3), (5, 8)).asNondeterministic()
+    qf = quality_features(corpus.select("doc_id", "lang", "text"))
+    denom = F.greatest(F.col("n_tokens"), F.lit(1))
+    frac = lambda j: F.round(  # noqa: E731
+        F.coalesce(F.element_at(F.col("__m"), j), F.lit(0)).cast("double")
+        / denom,
+        9,
     )
-    q_pass = q.filter(_quality_pass_cond()).select("doc_id")
-    pass12 = lang_pass.join(q_pass, "doc_id", "left_semi")
-
-    rep = repetition_signals(pass12)
-    gopher_pass = rep.filter(_gopher_pass_cond()).select("doc_id")
-    pass123 = pass12.join(gopher_pass, "doc_id", "left_semi")
-
-    fp = pass123.select("doc_id", fingerprint_col(F.col("text")).alias("__fp"))
-    keepers = fp.groupBy("__fp").agg(F.min("doc_id").alias("__keep_id"))
-    dup_pass = (
-        fp.join(keepers, "__fp")
-        .filter(F.col("doc_id") == F.col("__keep_id"))
-        .select("doc_id")
-    )
-    pass1234 = pass123.join(dup_pass, "doc_id", "left_semi")
-
-    contam_ids = _contam_doc_ids(pass1234, bench)
-
-    mark = lambda ids, col: ids.withColumn(col, F.lit(True))  # noqa: E731
-    staged = (
-        s0.join(mark(q_pass, "__p2"), "doc_id", "left")
-        .join(mark(gopher_pass, "__p3"), "doc_id", "left")
-        .join(mark(dup_pass, "__p4"), "doc_id", "left")
-        .join(mark(contam_ids, "__c5"), "doc_id", "left")
-        .select(
-            F.when(F.col("lang") != "en", 1)
-            .when(F.col("__p2").isNull(), 2)
-            .when(F.col("__p3").isNull(), 3)
-            .when(F.col("__p4").isNull(), 4)
-            .when(F.col("__c5"), 5)
-            .otherwise(6)
-            .alias("stage_order"),
-            "n_tokens",
+    sig = (
+        qf.select(
+            "doc_id",
+            "lang",
+            ntok.alias("n_tokens"),
+            fingerprint_col(F.col("text")).alias("__fp"),
+            masses(F.col("text")).alias("__m"),
+            "q_tokens",
+            F.round("q_score", 6).alias("q_score"),
         )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "__fp",
+            "q_tokens",
+            "q_score",
+            frac(1).alias("top2_frac"),
+            frac(2).alias("top3_frac"),
+            frac(3).alias("dup5_frac"),
+            frac(4).alias("dup8_frac"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "__fp",
+            # m2/m3 replicate the old semi-join membership exactly:
+            # q_pass was computed over lang=='en' docs only, so a NULL
+            # lang doc lands at stage 2 (not in lang_pass) even though
+            # the first-fail CASE's lang arm skips it. Gopher applies
+            # over the m2 survivors; the repetition fractions are never
+            # null (masses coalesce to 0) and n_tokens can only be null
+            # for null text, which already failed quality.
+            F.coalesce(
+                (F.col("lang") == "en") & _quality_pass_cond(), F.lit(False)
+            ).alias("__m2"),
+            F.coalesce(
+                (F.col("lang") == "en")
+                & _quality_pass_cond()
+                & _gopher_pass_cond(),
+                F.lit(False),
+            ).alias("__m3"),
+        )
+    )
+    sig = sig.localCheckpoint(eager=True)
+
+    keepers = (
+        sig.filter(F.col("__m3"))
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("__keep_id"))
+    )
+    sigk = sig.join(keepers, "__fp", "left").withColumn(
+        "__m4", F.col("__m3") & (F.col("doc_id") == F.col("__keep_id"))
+    )
+    surv_ids = sigk.filter(F.col("__m4")).select("doc_id")
+    contam_ids = _contam_doc_ids(
+        corpus.join(surv_ids, "doc_id", "left_semi"), bench
+    )
+    staged = sigk.join(
+        contam_ids.withColumn("__c5", F.lit(True)), "doc_id", "left"
+    ).select(
+        F.when(F.col("lang") != "en", 1)
+        .when(~F.col("__m2"), 2)
+        .when(~F.col("__m3"), 3)
+        .when(~F.col("__m4"), 4)
+        .when(F.col("__c5"), 5)
+        .otherwise(6)
+        .alias("stage_order"),
+        "n_tokens",
     )
     stage_name = (
         F.when(F.col("stage_order") == 1, "lang")
@@ -2195,61 +2244,117 @@ def _waterfall_scrubbed_staged(spark, sf_dir):
         )
     )
 
-    lang_pass = s0.filter(F.col("lang") == "en")
-    q = quality_features(lang_pass.select("doc_id", "text")).select(
-        "doc_id", "q_tokens", F.round("q_score", 6).alias("q_score")
-    )
-    q_pass = q.filter(_quality_pass_cond()).select("doc_id")
-    pass12 = lang_pass.join(q_pass, "doc_id", "left_semi")
-
-    rep = repetition_signals(pass12)
-    gopher_pass = rep.filter(_gopher_pass_cond()).select("doc_id")
-    pass123 = pass12.join(gopher_pass, "doc_id", "left_semi")
-
-    # model-score gate: LM trained on the WHOLE scrubbed corpus (model
-    # training is corpus-level), scores gate only the upstream survivors
-    lm = bigram_lm_scores(s0.select("doc_id", "text"))
-    lm_pass = lm.filter(F.round(F.col("lm_score"), 6) >= -1.75).select(
-        "doc_id"
-    )
-    # Second truncation point: the map-only gates above are cheap to
-    # re-derive from the s0 leaf, but dedup + decontam below each
-    # reference their survivor set 2-3 times (fingerprint keepers,
-    # contamination explode, the attribution join) and each reference
-    # re-runs the repetition/LM signal explodes. Pin the post-gate
-    # survivors once; the expensive digest joins then plan against it.
-    pass1234 = pass123.join(lm_pass, "doc_id", "left_semi").localCheckpoint(
-        eager=True
+    # ONE-PASS per-doc signal frame over the checkpointed scrubbed
+    # corpus (optimization round 14 — same restructure as
+    # q_filter_waterfall, see its design note): quality score, the four
+    # repetition fractions (one Arrow masses pass), the dedup
+    # fingerprint and the LM verdict (model trained on the WHOLE
+    # scrubbed corpus — training is corpus-level; scoring is the
+    # literal-map projection) all land in a single narrow checkpointed
+    # frame; first-fail attribution is a row-local CASE, and only the
+    # corpus-level stages (exact-dup keepers, decontamination over
+    # stage-5 survivors' scrubbed text) remain joins. This replaces the
+    # pass1234 checkpoint + five doc-keyed attribution joins whose
+    # clones re-ran the repetition/LM subtrees.
+    from scikit_learn_imputer_spark.functions.repetition import (
+        repetition_masses_udf,
     )
 
-    fp = pass1234.select("doc_id", fingerprint_col(F.col("text")).alias("__fp"))
-    keepers = fp.groupBy("__fp").agg(F.min("doc_id").alias("__keep_id"))
-    dup_pass = (
-        fp.join(keepers, "__fp")
-        .filter(F.col("doc_id") == F.col("__keep_id"))
-        .select("doc_id")
+    masses = repetition_masses_udf((2, 3), (5, 8)).asNondeterministic()
+    qf = quality_features(
+        s0.select("doc_id", "source", "lang", "n_tokens", "text")
     )
-    pass12345 = pass1234.join(dup_pass, "doc_id", "left_semi")
+    lm = bigram_lm_scores(s0.select("doc_id", "text")).select(
+        "doc_id",
+        (F.round(F.col("lm_score"), 6) >= -1.75).alias("__lm_ok"),
+    )
+    denom = F.greatest(F.col("n_tokens"), F.lit(1))
+    frac = lambda j: F.round(  # noqa: E731
+        F.coalesce(F.element_at(F.col("__m"), j), F.lit(0)).cast("double")
+        / denom,
+        9,
+    )
+    sig = (
+        qf.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_tokens",
+            fingerprint_col(F.col("text")).alias("__fp"),
+            masses(F.col("text")).alias("__m"),
+            "q_tokens",
+            F.round("q_score", 6).alias("q_score"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_tokens",
+            "__fp",
+            "q_tokens",
+            "q_score",
+            frac(1).alias("top2_frac"),
+            frac(2).alias("top3_frac"),
+            frac(3).alias("dup5_frac"),
+            frac(4).alias("dup8_frac"),
+        )
+        .join(lm, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_tokens",
+            "__fp",
+            # Same membership semantics as the former semi-join chain
+            # (see q_filter_waterfall): NULL-lang docs land at stage 2,
+            # docs the LM could not score (no bigrams) fail the lm gate.
+            F.coalesce(
+                (F.col("lang") == "en") & _quality_pass_cond(), F.lit(False)
+            ).alias("__m2"),
+            F.coalesce(
+                (F.col("lang") == "en")
+                & _quality_pass_cond()
+                & _gopher_pass_cond(),
+                F.lit(False),
+            ).alias("__m3"),
+            F.coalesce(
+                (F.col("lang") == "en")
+                & _quality_pass_cond()
+                & _gopher_pass_cond()
+                & F.col("__lm_ok"),
+                F.lit(False),
+            ).alias("__m4"),
+        )
+    )
+    sig = sig.localCheckpoint(eager=True)
 
-    contam_ids = _contam_doc_ids(pass12345, bench)
-
-    mark = lambda ids, col: ids.withColumn(col, F.lit(True))  # noqa: E731
+    keepers = (
+        sig.filter(F.col("__m4"))
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("__keep_id"))
+    )
+    sigk = sig.join(keepers, "__fp", "left").withColumn(
+        "__m5", F.col("__m4") & (F.col("doc_id") == F.col("__keep_id"))
+    )
+    surv_ids = sigk.filter(F.col("__m5")).select("doc_id")
+    contam_ids = _contam_doc_ids(
+        s0.join(surv_ids, "doc_id", "left_semi"), bench
+    )
     staged = (
-        s0.join(mark(q_pass, "__p2"), "doc_id", "left")
-        .join(mark(gopher_pass, "__p3"), "doc_id", "left")
-        .join(mark(lm_pass, "__p4"), "doc_id", "left")
-        .join(mark(dup_pass, "__p5"), "doc_id", "left")
-        .join(mark(contam_ids, "__c6"), "doc_id", "left")
+        sigk.join(
+            contam_ids.withColumn("__c6", F.lit(True)), "doc_id", "left"
+        )
+        .join(s0.select("doc_id", "text"), "doc_id")
         .select(
             "doc_id",
             "source",
             "text",
             "n_tokens",
             F.when(F.col("lang") != "en", 1)
-            .when(F.col("__p2").isNull(), 2)
-            .when(F.col("__p3").isNull(), 3)
-            .when(F.col("__p4").isNull(), 4)
-            .when(F.col("__p5").isNull(), 5)
+            .when(~F.col("__m2"), 2)
+            .when(~F.col("__m3"), 3)
+            .when(~F.col("__m4"), 4)
+            .when(~F.col("__m5"), 5)
             .when(F.col("__c6"), 6)
             .otherwise(7)
             .alias("stage_order"),
