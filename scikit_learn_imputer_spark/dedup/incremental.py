@@ -282,7 +282,36 @@ def incremental_near_dedup(
     keys (micro-batch-bounded, AQE-broadcast), then the batch anti-joins
     the resulting batch-bounded collision set. The store is never
     broadcast and never shuffled, at any store size; nothing ever
-    shuffles document text."""
+    shuffles document text.
+
+    The batch's (id, band, bucket) probe frame is eagerly materialized
+    (optimization round 14): it is micro-batch-bounded by construction,
+    and the lazy form re-ran the MinHash shingling of the whole batch
+    at every reference — twice inside this probe (distinct keys + hit
+    resolution) and a third time when the commit path re-shingled the
+    survivors (the commit now reuses these rows instead,
+    ``incremental_near_dedup_and_commit``). Materializing also pins the
+    documented safe-to-re-evaluate-after-commit contract structurally."""
+    survivors, _ = _near_dedup_with_probe(
+        batch, store_path, num_hashes, bands, shingle, hasher, id_col,
+        text_col,
+    )
+    return survivors
+
+
+def _near_dedup_with_probe(
+    batch: DataFrame,
+    store_path: str,
+    num_hashes: int,
+    bands: int,
+    shingle: int,
+    hasher: str,
+    id_col: str,
+    text_col: str,
+):
+    """(survivors, probe) — see ``incremental_near_dedup``; ``probe`` is
+    the eagerly-materialized batch (id, band, bucket) frame the commit
+    path appends from."""
     from scikit_learn_imputer_spark.dedup.minhash import (
         band_buckets,
         minhash_signatures,
@@ -293,7 +322,9 @@ def incremental_near_dedup(
         spark, store_path, num_hashes, bands, shingle, hasher
     )
     sigs = minhash_signatures(batch, num_hashes, shingle, id_col, text_col, hasher)
-    probe = band_buckets(sigs, num_hashes, bands, id_col)
+    probe = band_buckets(sigs, num_hashes, bands, id_col).localCheckpoint(
+        eager=True
+    )
     batch_keys = probe.select("band", "bucket").distinct()
     store_hits = store.join(batch_keys, on=["band", "bucket"], how="left_semi")
     hit_ids = (
@@ -305,7 +336,7 @@ def incremental_near_dedup(
         .select(id_col)
         .distinct()
     )
-    return batch.join(hit_ids, on=id_col, how="left_anti")
+    return batch.join(hit_ids, on=id_col, how="left_anti"), probe
 
 
 def append_signatures(
@@ -349,16 +380,34 @@ def incremental_near_dedup_and_commit(
     the probe's store scan captured its file listing when the plan was
     built, so the returned frame keeps answering against the
     PRE-commit store even though new files were appended (same contract
-    as ``incremental_dedup_and_commit``)."""
-    survivors = incremental_near_dedup(batch, store_path, **kw)
-    append_signatures(
-        survivors,
-        store_path,
-        **{
-            k: v
-            for k, v in kw.items()
-            if k in ("num_hashes", "bands", "shingle", "hasher", "id_col", "text_col")
-        },
+    as ``incremental_dedup_and_commit``).
+
+    The committed rows are the survivors' slice of the probe's
+    ALREADY-MATERIALIZED (id, band, bucket) frame — identical rows to
+    re-shingling the survivors (band_buckets is a pure per-doc function
+    and survivors ⊆ batch), without the second MinHash pass the old
+    ``append_signatures`` call paid (optimization round 14; at 100 TB
+    the shingling is the dominant per-batch cost, so committing from
+    the probe halves it)."""
+    defaults = dict(
+        num_hashes=16, bands=4, shingle=5, hasher="fast",
+        id_col="doc_id", text_col="text",
+    )
+    cfg = {**defaults, **kw}
+    survivors, probe = _near_dedup_with_probe(
+        batch, store_path, cfg["num_hashes"], cfg["bands"], cfg["shingle"],
+        cfg["hasher"], cfg["id_col"], cfg["text_col"],
+    )
+    surv_rows = probe.join(
+        survivors.select(cfg["id_col"]), on=cfg["id_col"], how="left_semi"
+    )
+    (
+        surv_rows.withColumn("num_hashes", F.lit(cfg["num_hashes"]))
+        .withColumn("bands", F.lit(cfg["bands"]))
+        .withColumn("shingle", F.lit(cfg["shingle"]))
+        .withColumn("hasher", F.lit(cfg["hasher"]))
+        .write.mode("append")
+        .parquet(store_path)
     )
     return survivors
 

@@ -232,7 +232,16 @@ class SparkImputer:
         all_features = self.create_features()
         feat_cols = [c for c in all_features.columns if c != self.id_col]
         scale = scaler or minmax_scale
-        features = scale(all_features, feat_cols).cache()
+        # Eager materialization, not a lazy cache(): the per-column fits
+        # run CONCURRENTLY from the thread pool below, and a lazy cache
+        # fills per-partition with no cross-thread synchronization — all
+        # columns' first jobs recompute the whole ffill/one-hot/scale
+        # pipeline before any cache entry lands (the _loader_funnel_base
+        # race, measured here as ~3x the feature-pass cost at bench SF).
+        # At 100 TB this is the feature-matrix materialization every
+        # production imputation run makes anyway; the checkpointed RDD is
+        # released by ContextCleaner when the frame goes out of scope.
+        features = scale(all_features, feat_cols).localCheckpoint(eager=True)
 
         info = self.missing_metrics().filter(F.col("missing") > 0)
         to_impute = [r["variable"] for r in info.select("variable").collect()]
