@@ -267,8 +267,10 @@ def learn_bpe_merges(
     aggregate over the word table plus a 1-row argmax collect — the
     driver loop is O(num_merges) by the algorithm's nature (each rule
     depends on the table the previous rule rewrote), the same accepted
-    shape as iterative PageRank. Segmentations are re-persisted and the
-    predecessor released each round, so lineage stays one rewrite deep.
+    shape as iterative PageRank. Each segmentation generation is
+    persisted and the predecessor released as soon as its successor is
+    materialized, so at most two vocabulary-sized frames are cached and
+    every rewrite reads from cache, one generation deep.
 
     Merge semantics: a word's segmentation is a space-joined symbol
     string '' c1 c2 … ''; applying rule (a, b) is a DOUBLE literal
@@ -286,7 +288,16 @@ def learn_bpe_merges(
     have none.
     Pair counts weight overlapping adjacencies per word occurrence;
     ties break lexicographically on the pair string. Stops early if no
-    pair remains."""
+    pair remains.
+
+    Job shape: ONE job per merge. Each iteration's pair-count aggregate
+    is the first (and only) scan of the current segmentation frame, so
+    it fills that frame's persist as a side effect; the predecessor
+    generation is released only after its successor is materialized
+    (deferred by one round), which keeps the rewrite reading from cache
+    without paying a separate eager count() job per iteration — at
+    local core counts the loop is scheduling-latency bound, so halving
+    the job count halves the driver-loop constant."""
     spark = docs.sparkSession
     t = F.trim(F.col(text_col))
     words = (
@@ -305,9 +316,9 @@ def learn_bpe_merges(
         "freq",
         F.concat(F.lit(" "), F.concat_ws(" ", chars), F.lit(" ")).alias("sym"),
     ).persist()
-    cur.count()
 
     merges: list[tuple] = []
+    prev = None
     try:
         for r in range(1, num_merges + 1):
             s = F.split(F.trim(F.col("sym")), " ")
@@ -324,6 +335,11 @@ def learn_bpe_merges(
                 .limit(1)
                 .collect()
             )
+            # ``cur`` is materialized now (the aggregate above was its
+            # first scan), so its predecessor's cache can finally go.
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:
                 break
             pr, c = top[0]["pr"], top[0]["c"]
@@ -337,12 +353,12 @@ def learn_bpe_merges(
                     F.lit(target),
                 ),
             ).persist()
-            nxt.count()
-            cur.unpersist()
-            cur = nxt
+            prev, cur = cur, nxt
             merges.append((r, lhs, rhs, lhs + rhs, c))
     finally:
         cur.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return spark.createDataFrame(
         spark.sparkContext.parallelize(merges, 1),
         "merge_rank int, lhs string, rhs string, merged string, pair_freq bigint",

@@ -10451,7 +10451,11 @@ def q_dsir_selection_drift(spark, sf_dir):
     positive, the rest negative; drifts sum to ~0). Same scoring
     dataflow as dsir_importance_weights plus a broadcast 100-row
     semi-join and a 1-row total broadcast — nothing corpus-sized
-    beyond the scoring passes."""
+    beyond the scoring passes. The per-doc score frame (one narrow
+    row per doc — bounded) feeds THREE branches (top-k, raw shares,
+    selected shares); lazily each branch re-ran the dist fit + gram
+    explode, so it is materialized eagerly and the corpus is gram-
+    exploded exactly twice (fit + score) instead of six times."""
     from scikit_learn_imputer_spark.functions.dsir import (
         dsir_scores,
         gumbel_topk,
@@ -10461,7 +10465,7 @@ def q_dsir_selection_drift(spark, sf_dir):
         _t(spark, sf_dir, "documents"),
         target=F.col("source") == "src0",
         n_buckets=128,
-    )
+    ).localCheckpoint(eager=True)
     sel = gumbel_topk(scored, k=100).select("doc_id")
     raw = scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs_raw")
