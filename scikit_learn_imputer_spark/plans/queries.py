@@ -9749,20 +9749,37 @@ def q_ngram_novelty_curve(spark, sf_dir):
     which n repetition lives (high dup mass at large n ⇒ templated
     text ⇒ span-removal pays). Grams hash to 16-byte digests before
     the distinct so shuffle rows never carry text; each n is one
-    map-side-combinable aggregate."""
+    map-side-combinable aggregate.
+
+    One corpus scan for all five n (optimization round 14, guide
+    §2.4/§6): the former shape unioned five per-n explode branches, so
+    the text column was read and tokenized five times. The per-n gram
+    arrays of one document are independent projections of its own
+    token array, so they concatenate into ONE (n, gram) struct array
+    exploded once — same rows (word_ngrams_col yields [] below n
+    tokens, never NULL, so concat ≡ the branch union), same aggregate,
+    one text read instead of five. fan_out floors the explode stage's
+    parallelism: the five union branches each got their own scan tasks,
+    so the fused single scan of a few-split local file would otherwise
+    serialize ALL five grams' hashing onto those few cores (measured
+    3.6 → 6.1 s without it; no-op at scale where scans have thousands
+    of splits)."""
+    from scikit_learn_imputer_spark.functions.skew import fan_out
     from scikit_learn_imputer_spark.functions.text import word_ngrams_col
 
-    d = _t(spark, sf_dir, "documents")
-    frames = [
-        d.select(
-            F.lit(n).alias("n"),
-            F.explode(word_ngrams_col(F.col("text"), n)).alias("g"),
-        ).select("n", F.md5("g").alias("gd"))
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    def _tag(n):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    per_n = [
+        F.transform(word_ngrams_col(F.col("text"), n), _tag(n))
         for n in (1, 2, 3, 5, 8)
     ]
-    from functools import reduce as _reduce
-
-    grams = _reduce(DataFrame.unionByName, frames)
+    grams = d.select(
+        F.explode(F.concat(*per_n)).alias("__ng")
+    ).select(
+        F.col("__ng.n").alias("n"), F.md5("__ng.g").alias("gd")
+    )
     return grams.groupBy(F.col("n").cast("int").alias("n")).agg(
         F.count(F.lit(1)).alias("occurrences"),
         F.countDistinct("gd").alias("distinct_grams"),
@@ -9798,30 +9815,42 @@ def q_source_overlap_matrix(spark, sf_dir):
     which crawl slices/vendors share text and where dedup budget should
     go. (Exact-content overlap is the stricter metric but is vacuous on
     this testdata — duplicates are planted within sources only — so the
-    matrix measures gram-level overlap.) Grams collapse to DISTINCT
-    (source, digest) rows before a digest self equi join; per-digest
-    fan-out is bounded by (#sources)^2, never corpus size, and text
-    never shuffles."""
+    matrix measures gram-level overlap.) One digest-keyed aggregate
+    collects each gram's DISTINCT source set (bounded by #sources —
+    map-side combinable), ordered pairs explode from the sorted set
+    (fan-out bounded by (#sources)^2, never corpus size), and one tiny
+    pair aggregate counts shared digests; text never shuffles.
+    (Optimization round 14, guide §2.4: the former DISTINCT
+    (source, digest) + digest self equi join exploded the corpus text
+    twice and shuffled the gram table three times — distinct, then
+    both join sides — for the identical per-digest pair sets.)"""
     from scikit_learn_imputer_spark.functions.text import word_ngrams_col
 
     d = _t(spark, sf_dir, "documents")
-    g = (
+    srcs = (
         d.select(
             "source", F.explode(word_ngrams_col(F.col("text"), 5)).alias("__g")
         )
         .select("source", F.md5("__g").alias("__gf"))
-        .distinct()
+        .groupBy("__gf")
+        .agg(F.array_sort(F.collect_set("source")).alias("__ss"))
     )
-    a, b = g.alias("a"), g.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.__gf") == F.col("b.__gf"))
-            & (F.col("a.source") < F.col("b.source")),
+    pairs = F.flatten(
+        F.transform(
+            F.col("__ss"),
+            lambda a: F.transform(
+                F.filter(F.col("__ss"), lambda b: b > a),
+                lambda b: F.struct(
+                    a.alias("source_a"), b.alias("source_b")
+                ),
+            ),
         )
+    )
+    return (
+        srcs.select(F.explode(pairs).alias("__p"))
         .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+            F.col("__p.source_a").alias("source_a"),
+            F.col("__p.source_b").alias("source_b"),
         )
         .agg(F.count(F.lit(1)).alias("shared_grams"))
         .orderBy("source_a", "source_b")
@@ -11422,6 +11451,11 @@ def q_training_epoch_ledger(spark, sf_dir):
     )
     u = uniform_hash_col(F.concat(F.lit("scale:"), F.col("doc_id")))
     base = d.select("source", n.alias("__n"), u.alias("__u"))
+    # O(#sources) aggregate, materialized eagerly (optimization round
+    # 14, guide §1.2/§5): it feeds z, the plan frame, fulls AND
+    # partials — lazily each of those consumers re-ran the corpus
+    # mass aggregate (the lazy plan held 7 document scans for the
+    # docstring's promised one mass pass + one partial-subset pass).
     per_src = (
         base.groupBy("source")
         .agg(
@@ -11431,6 +11465,7 @@ def q_training_epoch_ledger(spark, sf_dir):
         .withColumn(
             "__w", F.substring("source", 4, 10).cast("int") + F.lit(1)
         )
+        .localCheckpoint(eager=True)
     )
     z = per_src.agg(
         F.sum("__w").cast("double").alias("__zw"),
@@ -12950,9 +12985,14 @@ def q_mixture_shuffled_pack_audit(spark, sf_dir):
     )
 
     surv = q_temperature_mixture_sample(spark, sf_dir)
+    # The placed frame (one narrow row per surviving doc) feeds BOTH
+    # the span explode and the per-source aggregate; lazily each
+    # consumer re-ran the whole temperature sample + shuffled pack
+    # (13 document scans in the lazy plan). Materialized eagerly —
+    # optimization round 14, guide §1.2/§5.
     placed = pack_shuffled_sequences(
         surv, seq_len=512, seed=7, token_count_col="n_tokens"
-    )
+    ).localCheckpoint(eager=True)
     spans = placed.filter(F.col("n_tokens") > 0).select(
         "source",
         F.explode(
@@ -14206,34 +14246,71 @@ def _gate_flag_frame(spark, sf_dir):
     gate_ablation and gate_overlap_matrix: one row per corpus doc with
     n_tokens, the four independent fail flags (lang / quality / Gopher
     / benchmark-5-gram contamination, via the SAME shared predicates
-    the waterfall applies), and n_fails. All map-side signals + equi
-    joins on doc_id; the contamination membership is the md5-digest
-    semi join."""
+    the waterfall applies), and n_fails.
+
+    One-pass signal projection (optimization round 14, guide §2.4):
+    lang, quality and Gopher flags are all per-doc functions of the
+    text, so they ride ONE corpus scan — the filter_waterfall fusion
+    applied here (quality_features projection + the single Arrow
+    masses pass + the same rounded fractions repetition_signals
+    emits). Only the contamination membership — genuinely corpus-level
+    — remains a join (the md5-digest semi join, attached with one
+    doc_id equi join). The former shape derived each signal from its
+    own corpus subtree and met them in three doc-keyed joins: 10
+    document scans and 14 Exchanges for flags a single projection can
+    carry."""
     from scikit_learn_imputer_spark.functions.repetition import (
-        repetition_signals,
+        repetition_masses_udf,
     )
 
     d = _t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 100 < 2)
     corpus = d.filter(F.col("doc_id") % 100 >= 2)
 
-    repf = repetition_signals(corpus).select(
-        "doc_id", "n_tokens", (~_gopher_pass_cond()).alias("fail_gopher")
+    t = F.trim(F.col("text"))
+    ntok = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, "\\s+")))
+        .cast("bigint")
     )
-    tq = quality_features(corpus.select("doc_id", "text")).select(
-        "doc_id",
-        "q_tokens",
-        F.round("q_score", 6).alias("q_score"),
+    masses = repetition_masses_udf((2, 3), (5, 8)).asNondeterministic()
+    denom = F.greatest(F.col("n_tokens"), F.lit(1))
+    frac = lambda j: F.round(  # noqa: E731
+        F.coalesce(F.element_at(F.col("__m"), j), F.lit(0)).cast("double")
+        / denom,
+        9,
     )
-    tqf = tq.select(
-        "doc_id", (~_quality_pass_cond()).alias("fail_quality")
+    sig = (
+        quality_features(corpus.select("doc_id", "lang", "text"))
+        .select(
+            "doc_id",
+            (F.col("lang") != "en").alias("fail_lang"),
+            ntok.alias("n_tokens"),
+            masses(F.col("text")).alias("__m"),
+            "q_tokens",
+            F.round("q_score", 6).alias("q_score"),
+        )
+        .select(
+            "doc_id",
+            "fail_lang",
+            "n_tokens",
+            (~_quality_pass_cond()).alias("fail_quality"),
+            frac(1).alias("top2_frac"),
+            frac(2).alias("top3_frac"),
+            frac(3).alias("dup5_frac"),
+            frac(4).alias("dup8_frac"),
+        )
+        .select(
+            "doc_id",
+            "fail_lang",
+            "n_tokens",
+            "fail_quality",
+            (~_gopher_pass_cond()).alias("fail_gopher"),
+        )
     )
     contam_ids = _contam_doc_ids(corpus, bench)
     return (
-        corpus.select("doc_id", (F.col("lang") != "en").alias("fail_lang"))
-        .join(repf, "doc_id")
-        .join(tqf, "doc_id")
-        .join(
+        sig.join(
             contam_ids.withColumn("__c", F.lit(True)), "doc_id", "left"
         )
         .select(
