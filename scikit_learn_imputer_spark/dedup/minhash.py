@@ -203,13 +203,20 @@ def minhash_candidate_pairs(
         )
 
     if heavy == "drop":
-        small = banded.join(
-            bucket_sizes.filter(F.col("bsize") <= max_bucket).select(
-                "band", "bucket"
-            ),
-            on=["band", "bucket"],
-            how="left_semi",
-        )
+        # max_bucket >= 2**31 is the documented UNGUARDED sentinel (the
+        # oracle-exact variants): skip the bucket-size aggregate + the
+        # semi-join that by construction keeps every row, instead of
+        # paying two exchanges of the banded frame to filter nothing.
+        if max_bucket < 2**31:
+            small = banded.join(
+                bucket_sizes.filter(F.col("bsize") <= max_bucket).select(
+                    "band", "bucket"
+                ),
+                on=["band", "bucket"],
+                how="left_semi",
+            )
+        else:
+            small = banded
         return finish(
             pair_cols(small, "a", []).join(
                 pair_cols(small, "b", []), on=["band", "bucket"]

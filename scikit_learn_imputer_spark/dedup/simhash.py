@@ -118,9 +118,11 @@ def banded_hamming_pairs(
     d < chunks must agree on at least one chunk, so pairs only form
     inside shared chunk buckets (sub-quadratic) yet the ≤ max_hamming
     result is EXACT. ``max_bucket`` drops degenerate buckets (the
-    MinHash skew-guard pattern); pass 2**31 for the oracle-exact
-    variant. Callers persist ``sigs`` if it is expensive to recompute
-    (it feeds chunks+1 consumers)."""
+    MinHash skew-guard pattern); ``max_bucket >= 2**31`` is the
+    documented UNGUARDED sentinel (the oracle-exact variants) — the
+    bucket-size aggregate + semi-join are skipped outright instead of
+    computed only to keep every row. Callers persist ``sigs`` if it is
+    expensive to recompute (it feeds chunks+1 consumers)."""
     chunk_bits = bits // chunks
     chunk_frames = []
     for c in range(chunks):
@@ -136,14 +138,17 @@ def banded_hamming_pairs(
             )
         )
     banded = reduce(DataFrame.unionByName, chunk_frames)
-    bucket_sizes = banded.groupBy("chunk", "bucket").agg(
-        F.count(F.lit(1)).alias("bsize")
-    )
-    banded = banded.join(
-        bucket_sizes.filter(F.col("bsize") <= max_bucket).select("chunk", "bucket"),
-        on=["chunk", "bucket"],
-        how="left_semi",
-    )
+    if max_bucket < 2**31:
+        bucket_sizes = banded.groupBy("chunk", "bucket").agg(
+            F.count(F.lit(1)).alias("bsize")
+        )
+        banded = banded.join(
+            bucket_sizes.filter(F.col("bsize") <= max_bucket).select(
+                "chunk", "bucket"
+            ),
+            on=["chunk", "bucket"],
+            how="left_semi",
+        )
     left = banded.select(
         "chunk", "bucket", F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a")
     )

@@ -364,6 +364,35 @@ def test_minhash_simhash_max_bucket_skew_guard(spark):
     assert s_unbounded.count() == 5 * 4 // 2
 
 
+def test_unguarded_sentinel_equals_guarded_path(spark):
+    """max_bucket >= 2**31 is the UNGUARDED sentinel: the bucket-size
+    aggregate + semi-join are skipped outright (round-14 optimization).
+    Its pair set must be row-identical to the guarded code path under a
+    finite bound large enough to keep every bucket, and the sentinel
+    plan must not contain the LeftSemi guard join."""
+    docs = _docs(spark)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    mh_guarded = minhash_candidate_pairs(
+        docs, num_hashes=16, bands=8, shingle=5, max_bucket=2**31 - 1
+    )
+    mh_sentinel = minhash_candidate_pairs(
+        docs, num_hashes=16, bands=8, shingle=5, max_bucket=2**31
+    )
+    assert rows(mh_sentinel) == rows(mh_guarded)
+    assert "LeftSemi" in mh_guarded._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in mh_sentinel._jdf.queryExecution().executedPlan().toString()
+
+    sh_guarded = simhash_near_pairs(
+        docs, max_hamming=3, max_bucket=2**31 - 1
+    )
+    sh_sentinel = simhash_near_pairs(docs, max_hamming=3, max_bucket=2**31)
+    assert rows(sh_sentinel) == rows(sh_guarded)
+    assert "LeftSemi" not in sh_sentinel._jdf.queryExecution().executedPlan().toString()
+
+
 def test_incremental_dedup_commit_then_empty(spark, tmp_path):
     """Probe-commit-reprobe invariant: a committed batch probes to zero
     survivors, and a later batch dedups against BOTH the original store
