@@ -19,6 +19,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def ngram_set_col(text_col: str, n: int):
+    """Column expression: the document's DISTINCT character n-gram set
+    as an array — the map-only building block ``char_ngrams`` explodes,
+    and what pair-audits consume directly (per-doc arrays are bounded by
+    text length, so an array-intersect over a given pair list replaces
+    the quadratic (pair × gram) equi-join intermediate)."""
+    # Guarded short-circuit: sequence(1, 0) DESCENDS in Spark instead of
+    # being empty, so a doc shorter than n grams must yield [] explicitly.
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN length({text_col}) >= {n} THEN"
+            f" transform(sequence(1, length({text_col}) - {n - 1}),"
+            f" i -> substring({text_col}, i, {n}))"
+            f" ELSE array() END"
+        )
+    )
+
+
 def char_ngrams(
     df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -28,18 +46,8 @@ def char_ngrams(
     # Shingling is the CPU-bound fan-out stage: floor its parallelism
     # when the upstream scan is a single small file (no-op at scale).
     df = fan_out(df)
-    # Guarded short-circuit: sequence(1, 0) DESCENDS in Spark instead of
-    # being empty, so a doc shorter than n grams must yield [] explicitly.
-    grams = F.array_distinct(
-        F.expr(
-            f"CASE WHEN length({text_col}) >= {n} THEN"
-            f" transform(sequence(1, length({text_col}) - {n - 1}),"
-            f" i -> substring({text_col}, i, {n}))"
-            f" ELSE array() END"
-        )
-    )
     return df.select(
-        F.col(id_col), F.explode(grams).alias("gram")
+        F.col(id_col), F.explode(ngram_set_col(text_col, n)).alias("gram")
     )
 
 

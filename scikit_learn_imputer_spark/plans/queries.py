@@ -102,6 +102,7 @@ def _t(spark, sf_dir, name) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+
 # =====================================================================
 # Imputation-core operators (SURVEY.md §2.2-2.7)
 # =====================================================================
@@ -9896,11 +9897,16 @@ def q_minhash_precision_audit(spark, sf_dir):
     MinHash bands admit, what fraction has TRUE 5-char-shingle Jaccard
     >= 0.4 — the operational metric that sizes the exact-verification
     stage the candidates feed at 100 TB (low precision = wasted
-    downstream compute; tune bands/rows). Exact Jaccard comes from a
-    digest... gram equi join restricted to candidate ids (a semi-joined
-    subset, NOT all-pairs); the audit output is one row."""
-    from scikit_learn_imputer_spark.dedup.minhash import minhash_candidate_pairs
-    from scikit_learn_imputer_spark.dedup.ngram import char_ngrams
+    downstream compute; tune bands/rows). Exact Jaccard is a row-local
+    array_intersect of the two docs' distinct-gram sets, evaluated only
+    on candidate pairs (NOT all-pairs); the audit output is one row."""
+    from scikit_learn_imputer_spark.dedup.minhash import (
+        candidate_doc_texts,
+        guarded_candidate_frame,
+        minhash_candidate_pairs,
+    )
+    from scikit_learn_imputer_spark.dedup.ngram import ngram_set_col
+    from scikit_learn_imputer_spark.functions.skew import fan_out
 
     d = _t(spark, sf_dir, "documents")
     cands = minhash_candidate_pairs(
@@ -9915,27 +9921,51 @@ def q_minhash_precision_audit(spark, sf_dir):
     # the jaccard assembly); lazily the banded LSH join would run twice.
     # It is pair-bounded, so it is materialized (guide §1.2) — measured
     # equal-min with a far tighter spread at sf0.1, and at scale it
-    # halves the LSH join. (A candidate-restricted gram explode was
-    # also tried — interleaved A/B read +0.6 s at this corpus's 61%
-    # candidate coverage, so it was dropped; see OPTIMIZATION_r14.md.)
-    grams = char_ngrams(d, 5)
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ga = grams.select(F.col("doc_id").alias("id_a"), "gram")
-    gb = grams.select(F.col("doc_id").alias("id_b"), "gram")
-    inter = (
-        cands.join(ga, "id_a")
-        .join(gb, ["id_b", "gram"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+    # halves the LSH join. Above the row bound the guard forbids
+    # broadcasting it and restricts the gram explode to candidate docs
+    # (see dedup.minhash.guarded_candidate_frame; VERDICT r14 #2/#3).
+    cands, large, restrict = guarded_candidate_frame(cands)
+    # Exact intersections WITHOUT the (pair × gram) equi-join: each
+    # doc's distinct 5-gram SET is a map-only array projection (bounded
+    # by text length — no skew hazard), each candidate pair joins to
+    # its two arrays, and |A∩B| is a row-local array_intersect. The
+    # former shape streamed one row per (pair, shared gram) through two
+    # shuffles and a re-aggregate; this one never materializes more
+    # than one row per pair (guide §2.3/§8 — move set membership as a
+    # bounded payload once, not as an exploded row stream). Counts are
+    # identical: char_ngrams explodes this same distinct array.
+    gsets = fan_out(candidate_doc_texts(d, cands) if restrict else d).select(
+        "doc_id", ngram_set_col("text", 5).alias("__gs")
     )
+    ja = gsets.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("__gs").alias("__gsa"),
+        F.size("__gs").cast("bigint").alias("na"),
+    )
+    jb = gsets.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("__gs").alias("__gsb"),
+        F.size("__gs").cast("bigint").alias("nb"),
+    )
+    if large:
+        # Doc-gram-set frames grow with the corpus: no broadcast builds
+        # above the bound (see guarded_candidate_frame); SMJ spills.
+        ja = ja.hint("merge")
+        jb = jb.hint("merge")
     jac = (
-        cands.join(inter, ["id_a", "id_b"], "left")
-        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        cands.join(ja, "id_a")
+        .join(jb, "id_b")
+        .select(
+            F.size(F.array_intersect("__gsa", "__gsb"))
+            .cast("bigint")
+            .alias("i"),
+            "na",
+            "nb",
+        )
         .select(
             (
-                F.coalesce(F.col("i"), F.lit(0)).cast("double")
-                / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0)))
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i"))
             ).alias("j")
         )
     )
@@ -12504,10 +12534,16 @@ def q_minhash_calibration(spark, sf_dir):
     as multiplication, not pow — pow can differ by an ulp across
     engines). Tells the operator whether the configured (b, r) sits on
     the steep part of the curve for THIS corpus's similarity
-    population. Exact Jaccard is computed only on candidate pairs (the
+    population. Exact Jaccard is a row-local array_intersect of the two
+    docs' distinct-gram sets, computed only on candidate pairs (the
     precision-audit shape), never all-pairs."""
-    from scikit_learn_imputer_spark.dedup.minhash import minhash_candidate_pairs
-    from scikit_learn_imputer_spark.dedup.ngram import char_ngrams
+    from scikit_learn_imputer_spark.dedup.minhash import (
+        candidate_doc_texts,
+        guarded_candidate_frame,
+        minhash_candidate_pairs,
+    )
+    from scikit_learn_imputer_spark.dedup.ngram import ngram_set_col
+    from scikit_learn_imputer_spark.functions.skew import fan_out
 
     d = _t(spark, sf_dir, "documents")
     cands = minhash_candidate_pairs(
@@ -12525,34 +12561,44 @@ def q_minhash_calibration(spark, sf_dir):
         .alias("n_hash_agree"),
     ).localCheckpoint(eager=True)
     # Same shape as minhash_precision_audit: the pair-bounded candidate
-    # set is materialized because the intersection build AND the bucket
-    # assembly both read it — lazily the banded LSH join runs twice
-    # (guide §1.2).
-    grams = char_ngrams(d, 5)
-    sizes = grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    # set is materialized because the LSH join feeding it must run once
+    # (guide §1.2); the scale guard forbids broadcasting it and
+    # restricts the gram-set projection above the row bound (VERDICT
+    # r14 #2/#3), and the intersections are row-local array_intersects
+    # of per-doc gram sets — no (pair × gram) intermediate (see the
+    # precision audit's design note).
+    cands, large, restrict = guarded_candidate_frame(cands)
+    gsets = fan_out(candidate_doc_texts(d, cands) if restrict else d).select(
+        "doc_id", ngram_set_col("text", 5).alias("__gs")
     )
-    ga = grams.select(F.col("doc_id").alias("id_a"), "gram")
-    gb = grams.select(F.col("doc_id").alias("id_b"), "gram")
-    inter = (
-        cands.select("id_a", "id_b")
-        .join(ga, "id_a")
-        .join(gb, ["id_b", "gram"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    ja = gsets.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("__gs").alias("__gsa"),
+        F.size("__gs").cast("bigint").alias("na"),
     )
-    j = F.coalesce(F.col("i"), F.lit(0)).cast("double") / (
-        F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))
+    jb = gsets.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("__gs").alias("__gsb"),
+        F.size("__gs").cast("bigint").alias("nb"),
+    )
+    if large:
+        # Doc-gram-set frames grow with the corpus: no broadcast builds
+        # above the bound (see guarded_candidate_frame); SMJ spills.
+        ja = ja.hint("merge")
+        jb = jb.hint("merge")
+    j = F.col("i").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("i")
     )
     jm = (
-        cands.join(inter, ["id_a", "id_b"], "left")
-        .join(
-            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
-            "id_b",
+        cands.join(ja, "id_a")
+        .join(jb, "id_b")
+        .select(
+            "n_hash_agree",
+            F.size(F.array_intersect("__gsa", "__gsb"))
+            .cast("bigint")
+            .alias("i"),
+            "na",
+            "nb",
         )
         .select(
             "n_hash_agree",

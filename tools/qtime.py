@@ -62,15 +62,27 @@ def main() -> None:
     )
     warm.write.format("noop").mode("overwrite").save()
 
+    def total_jobs() -> int:
+        # Total jobs ever submitted to this context — counts driver-pool
+        # jobs too (setJobGroup is thread-local, so a group-based count
+        # misses jobs submitted from helper threads).
+        return spark.sparkContext._jsc.sc().dagScheduler().numTotalJobs()
+
     for name in args.names:
         fn = QUERIES[name]
         samples = []
-        for _ in range(max(1, args.reps)):
+        jobs = []
+        for rep in range(max(1, args.reps)):
+            # Jobs-per-entry (guide §1.5): delta of the DAGScheduler's
+            # total job counter across the run — every job the entry
+            # submitted, including eager-checkpoint and pool jobs.
             spark.sparkContext.setJobDescription(f"qtime:{name}")
+            j0 = total_jobs()
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.time() - t0, 3))
+            jobs.append(total_jobs() - j0)
         spark.sparkContext.setJobDescription(None)
         if args.explain:
             d, suffix = args.explain.rsplit("/", 1)
@@ -83,7 +95,12 @@ def main() -> None:
                 fh.write(txt)
         print(
             json.dumps(
-                {"query": name, "min": min(samples), "samples": samples}
+                {
+                    "query": name,
+                    "min": min(samples),
+                    "samples": samples,
+                    "jobs": jobs,
+                }
             ),
             flush=True,
         )

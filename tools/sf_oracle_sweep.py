@@ -45,7 +45,9 @@ QUADRATIC_BASELINES = {
     "embedding_near_pairs",
     "embedding_near_pairs_blas",
     "gram_df_spectrum",
-    "minhash_precision_audit",
+    # minhash_precision_audit left this set in r15: its intersections
+    # are now row-local array_intersects over candidate pairs (no
+    # (pair x gram) intermediate), so it sweeps at sf1 like any query.
     "near_dup_best_survivors",
     "near_dup_clusters",
     "near_dup_containment",
