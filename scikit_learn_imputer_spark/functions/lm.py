@@ -90,8 +90,6 @@ def bigram_lm_scores(
 
     Both paths produce identical results (integer micro-nat snapping
     before the sum makes the aggregate exact and order-invariant)."""
-    import math
-
     counts = char_bigram_counts(docs, text_col)
     rows = counts.limit(max_map_entries + 1).collect()
     if len(rows) <= max_map_entries:
@@ -100,47 +98,12 @@ def bigram_lm_scores(
             return docs.sparkSession.createDataFrame(
                 [], f"{id_col} bigint, n_bigrams bigint, lm_score double"
             )
-        pc: dict[str, int] = {}
-        for bg, n in c.items():
-            pc[bg[0]] = pc.get(bg[0], 0) + n
-        v = len({bg[1] for bg in c})
-        micro = {
-            bg: int(round(math.log((n + 1) / (pc[bg[0]] + v)) * 1e6))
-            for bg, n in c.items()
-        }
-        bgmap = F.create_map(
-            *[x for bg, m in sorted(micro.items()) for x in (F.lit(bg), F.lit(m))]
-        )
-        pmap = F.create_map(
-            *[x for p, n in sorted(pc.items()) for x in (F.lit(p), F.lit(n))]
-        )
-        bg = _bigrams(text_col)
-        # unseen bigram (scoring docs outside the train corpus): c=0, so
-        # ln(1 / (prefix_total + V)) — same formula the join path yields.
-        unseen = lambda g: F.round(
-            F.log(
-                1.0
-                / (
-                    F.coalesce(
-                        F.element_at(pmap, F.substring(g, 1, 1)), F.lit(0)
-                    )
-                    + F.lit(v)
-                ).cast("double")
-            )
-            * 1e6
-        ).cast("bigint")
-        terms = F.transform(
-            bg, lambda g: F.coalesce(F.element_at(bgmap, g), unseen(g))
-        )
-        sm = F.aggregate(
-            terms, F.lit(0).cast("bigint"), lambda acc, x: acc + x
-        )
-        n_bg = F.size(bg).cast("bigint")
+        n_bg, sm = _literal_score_exprs(c, text_col)
         from scikit_learn_imputer_spark.functions.skew import fan_out
 
         cols = [
             F.col(id_col),
-            *[F.col(c) for c in carry_cols],
+            *[F.col(cc) for cc in carry_cols],
             n_bg.alias("n_bigrams"),
             (sm.cast("double") / n_bg / 1e6).alias("lm_score"),
         ]
@@ -150,6 +113,83 @@ def bigram_lm_scores(
     return _bigram_lm_scores_join(
         docs, counts, id_col, text_col, carry_cols, with_sum_micro
     )
+
+
+def _literal_score_exprs(c: dict, text_col: str):
+    """``(n_bigrams, sum_micro)`` column expressions from a COLLECTED
+    bigram count table — the literal-map scoring projection shared by
+    ``bigram_lm_scores`` and ``bigram_lm_inline``. Values are identical
+    to the join path's (same per-instance micro-nat snapping)."""
+    import math
+
+    pc: dict[str, int] = {}
+    for bg, n in c.items():
+        pc[bg[0]] = pc.get(bg[0], 0) + n
+    v = len({bg[1] for bg in c})
+    micro = {
+        bg: int(round(math.log((n + 1) / (pc[bg[0]] + v)) * 1e6))
+        for bg, n in c.items()
+    }
+    bgmap = F.create_map(
+        *[x for bg, m in sorted(micro.items()) for x in (F.lit(bg), F.lit(m))]
+    )
+    pmap = F.create_map(
+        *[x for p, n in sorted(pc.items()) for x in (F.lit(p), F.lit(n))]
+    )
+    bg = _bigrams(text_col)
+    # unseen bigram (scoring docs outside the train corpus): c=0, so
+    # ln(1 / (prefix_total + V)) — same formula the join path yields.
+    unseen = lambda g: F.round(  # noqa: E731
+        F.log(
+            1.0
+            / (
+                F.coalesce(
+                    F.element_at(pmap, F.substring(g, 1, 1)), F.lit(0)
+                )
+                + F.lit(v)
+            ).cast("double")
+        )
+        * 1e6
+    ).cast("bigint")
+    terms = F.transform(
+        bg, lambda g: F.coalesce(F.element_at(bgmap, g), unseen(g))
+    )
+    sm = F.aggregate(
+        terms, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    n_bg = F.size(bg).cast("bigint")
+    return n_bg, sm
+
+
+def bigram_lm_inline(
+    docs_train: DataFrame,
+    text_col: str = "text",
+    max_map_entries: int = 65536,
+):
+    """Train the corpus bigram LM and return a BUILDER of inline score
+    columns, or None when the literal-map path does not apply (alphabet²
+    beyond ``max_map_entries``, or an empty corpus — callers fall back
+    to the join shape).
+
+    The builder maps a text column name to ``(n_bigrams, lm_score)``
+    column expressions — the SAME expressions ``bigram_lm_scores``'
+    literal path projects, so values are bit-identical. Use it when the
+    score feeds a projection that already scans the text: the per-doc
+    equi-join against a separate score frame (one doc-keyed shuffle)
+    disappears, the scorer becomes one more column in the existing map
+    pass (guide §2.4). The count-table collect is the same bounded
+    O(alphabet²) driver action ``bigram_lm_scores`` performs."""
+    counts = char_bigram_counts(docs_train, text_col)
+    rows = counts.limit(max_map_entries + 1).collect()
+    if not rows or len(rows) > max_map_entries:
+        return None
+    c = {r["bigram"]: r["c"] for r in rows}
+
+    def build(col_name: str):
+        n_bg, sm = _literal_score_exprs(c, col_name)
+        return n_bg, (sm.cast("double") / n_bg / 1e6)
+
+    return build
 
 
 def _bigram_lm_scores_join(

@@ -149,7 +149,11 @@ def repetition_signals(
     # per reference site; the masses are of course a pure function of
     # the text, so results are unchanged.
     masses = repetition_masses_udf(tuple(top_ns), tuple(dup_ns)).asNondeterministic()
-    tmp = df.select(
+    # Parallelism floor (r15): one Arrow pass over a one-partition scan
+    # is one CORE; fan_out no-ops at scale and on fanned inputs.
+    from scikit_learn_imputer_spark.functions.skew import fan_out
+
+    tmp = fan_out(df).select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         masses(F.col(text_col)).alias("__m"),

@@ -68,6 +68,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
         + 0.3 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
     )
+    # Parallelism floor (r15): the regex/split feature battery is the
+    # CPU-bound per-doc stage, and a small parquet corpus scans as ONE
+    # partition — without the floor every caller's quality pass
+    # serializes on a single core (no-op at real corpus scale and on
+    # already-fanned inputs; functions/skew.py:fan_out).
+    from scikit_learn_imputer_spark.functions.skew import fan_out
+
+    df = fan_out(df)
     return df.select(
         "*",
         n_chars.alias("q_chars"),

@@ -1447,39 +1447,103 @@ def q_source_quality_matrix(spark, sf_dir):
     Gopher gate pass rate, and mean bigram-LM score per source — the
     table a mixture designer reads NEXT TO mixture_epoch_plan's
     weights, because upweighting a source is only sane against its
-    quality profile. Composes three oracled per-doc signal frames with
-    equi-joins on doc_id and one O(#sources) aggregate; every signal is
-    map-side or an already-bounded aggregate. Means are computed as
-    integer micro-unit sums (snap each per-doc score to 1e-6, sum as
+    quality profile. All three signals are per-doc map functions of the
+    text, so they ride ONE fused projection (the gate-frame fusion,
+    r15): quality battery + the Arrow masses pass + the literal-map LM
+    score in a single corpus scan, zero doc-keyed joins (the former
+    shape met three signal frames in three equi-joins); docs the LM
+    cannot score (< 2 chars) are excluded exactly as the former inner
+    join excluded them. One O(#sources) aggregate. Means are computed
+    as integer micro-unit sums (snap each per-doc score to 1e-6, sum as
     BIGINT, divide once) so the aggregate is summation-order-invariant
     — a plain avg() over doubles differs between engines in the last
     ulp and can flip the 6th rounded decimal."""
-    from scikit_learn_imputer_spark.functions.lm import bigram_lm_scores
-    from scikit_learn_imputer_spark.functions.repetition import repetition_signals
+    from scikit_learn_imputer_spark.functions.lm import (
+        bigram_lm_inline,
+        bigram_lm_scores,
+    )
+    from scikit_learn_imputer_spark.functions.repetition import (
+        repetition_masses_udf,
+        repetition_signals,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    tq = quality_features(d.select("doc_id", "text")).select(
-        "doc_id", F.round("q_score", 6).alias("q_score")
-    )
-    rep = repetition_signals(d)
-    gopher_pass = _gopher_pass_cond()
-    rep_flag = rep.select(
-        "doc_id", F.when(gopher_pass, 1).otherwise(0).alias("__gp")
-    )
-    lm = bigram_lm_scores(d).select("doc_id", "lm_score")
     n = F.count(F.lit(1))
-    return (
-        d.select("doc_id", "source")
-        .join(tq, "doc_id")
-        .join(rep_flag, "doc_id")
-        .join(lm, "doc_id")
-        .select(
-            "source",
-            F.round(F.col("q_score") * 1e6).cast("bigint").alias("__q6"),
-            "__gp",
-            F.round(F.col("lm_score") * 1e6).cast("bigint").alias("__l6"),
+    lm_build = bigram_lm_inline(d.select("text"))
+    if lm_build is not None:
+        masses = repetition_masses_udf((2, 3), (5, 8)).asNondeterministic()
+        n_bg, lm_score = lm_build("text")
+        t = F.trim(F.col("text"))
+        ntok = (
+            F.when(F.length(t) == 0, F.lit(0))
+            .otherwise(F.size(F.split(t, "\\s+")))
+            .cast("bigint")
         )
-        .groupBy("source")
+        denom = F.greatest(F.col("n_tokens"), F.lit(1))
+        fr = lambda j: F.round(  # noqa: E731
+            F.coalesce(F.element_at(F.col("__m"), j), F.lit(0)).cast(
+                "double"
+            )
+            / denom,
+            9,
+        )
+        sig = (
+            quality_features(d.select("doc_id", "source", "text"))
+            .select(
+                "source",
+                F.round(F.round(F.col("q_score"), 6) * 1e6)
+                .cast("bigint")
+                .alias("__q6"),
+                ntok.alias("n_tokens"),
+                masses(F.col("text")).alias("__m"),
+                n_bg.alias("__nbg"),
+                F.round(lm_score * 1e6).cast("bigint").alias("__l6"),
+            )
+            .select(
+                "source",
+                "__q6",
+                "__l6",
+                "__nbg",
+                "n_tokens",
+                fr(1).alias("top2_frac"),
+                fr(2).alias("top3_frac"),
+                fr(3).alias("dup5_frac"),
+                fr(4).alias("dup8_frac"),
+            )
+            .select(
+                "source",
+                "__q6",
+                "__l6",
+                "__nbg",
+                F.when(_gopher_pass_cond(), 1).otherwise(0).alias("__gp"),
+            )
+            .filter(F.col("__nbg") > 0)
+        )
+    else:
+        # Join fallback for exotic alphabets (no literal LM map).
+        tq = quality_features(d.select("doc_id", "text")).select(
+            "doc_id", F.round("q_score", 6).alias("q_score")
+        )
+        rep = repetition_signals(d)
+        gopher_pass = _gopher_pass_cond()
+        rep_flag = rep.select(
+            "doc_id", F.when(gopher_pass, 1).otherwise(0).alias("__gp")
+        )
+        lm = bigram_lm_scores(d).select("doc_id", "lm_score")
+        sig = (
+            d.select("doc_id", "source")
+            .join(tq, "doc_id")
+            .join(rep_flag, "doc_id")
+            .join(lm, "doc_id")
+            .select(
+                "source",
+                F.round(F.col("q_score") * 1e6).cast("bigint").alias("__q6"),
+                "__gp",
+                F.round(F.col("lm_score") * 1e6).cast("bigint").alias("__l6"),
+            )
+        )
+    return (
+        sig.groupBy("source")
         .agg(
             n.alias("n_docs"),
             F.round(F.sum("__q6").cast("double") / n / 1e6, 6).alias(
@@ -1889,6 +1953,9 @@ def q_filter_waterfall(spark, sf_dir):
         .cast("bigint")
     )
     masses = repetition_masses_udf((2, 3), (5, 8)).asNondeterministic()
+    # quality_features floors the signal pass's parallelism internally
+    # (r15): the corpus scan is ONE partition at bench SF, which would
+    # serialize the Arrow masses + regex battery on a single core.
     qf = quality_features(corpus.select("doc_id", "lang", "text"))
     denom = F.greatest(F.col("n_tokens"), F.lit(1))
     frac = lambda j: F.round(  # noqa: E731
@@ -2192,7 +2259,10 @@ def _waterfall_scrubbed_staged(spark, sf_dir):
     where ``staged`` carries (doc_id, source, text[scrubbed], n_tokens,
     stage_order 1..7) and ``scrub_row`` is the stage-0 mass row."""
     from scikit_learn_imputer_spark.dedup.paragraphs import dedup_paragraphs
-    from scikit_learn_imputer_spark.functions.lm import bigram_lm_scores
+    from scikit_learn_imputer_spark.functions.lm import (
+        bigram_lm_inline,
+        bigram_lm_scores,
+    )
     from scikit_learn_imputer_spark.functions.repetition import repetition_signals
 
     d = _t(spark, sf_dir, "documents")
@@ -2262,13 +2332,35 @@ def _waterfall_scrubbed_staged(spark, sf_dir):
     )
 
     masses = repetition_masses_udf((2, 3), (5, 8)).asNondeterministic()
+    # The signal pass (quality features + the Arrow masses UDF + the
+    # fingerprint + the inline LM verdict) is the CPU-bound per-doc
+    # stage, and the scrub checkpoint lands in ONE partition at bench SF
+    # (AQE coalesces the small scrub output) — quality_features floors
+    # its parallelism internally (r15; no-op at real corpus scale).
     qf = quality_features(
         s0.select("doc_id", "source", "lang", "n_tokens", "text")
     )
-    lm = bigram_lm_scores(s0.select("doc_id", "text")).select(
-        "doc_id",
-        (F.round(F.col("lm_score"), 6) >= -1.75).alias("__lm_ok"),
-    )
+    # The LM verdict rides the SAME projection as the other signals
+    # (r15, guide §2.4): training is the bounded O(alphabet²) count
+    # collect over the checkpointed scrub (the collect
+    # bigram_lm_scores' literal path performs anyway), scoring is two
+    # more columns in the signal pass — the former per-doc score frame
+    # and its doc-keyed LEFT join (one shuffle of the whole corpus)
+    # disappear. NULL semantics preserved exactly: a doc the LM cannot
+    # score (no bigrams) gets NULL __lm_ok, as the left join produced.
+    lm_build = bigram_lm_inline(s0.select("text"))
+    if lm_build is not None:
+        n_bg, lm_score = lm_build("text")
+        lm_ok = F.when(
+            n_bg > 0, F.round(lm_score, 6) >= -1.75
+        ).alias("__lm_ok")
+        lm_join = None
+    else:
+        lm_ok = None
+        lm_join = bigram_lm_scores(s0.select("doc_id", "text")).select(
+            "doc_id",
+            (F.round(F.col("lm_score"), 6) >= -1.75).alias("__lm_ok"),
+        )
     denom = F.greatest(F.col("n_tokens"), F.lit(1))
     frac = lambda j: F.round(  # noqa: E731
         F.coalesce(F.element_at(F.col("__m"), j), F.lit(0)).cast("double")
@@ -2281,6 +2373,7 @@ def _waterfall_scrubbed_staged(spark, sf_dir):
             "source",
             "lang",
             "n_tokens",
+            "text",
             fingerprint_col(F.col("text")).alias("__fp"),
             masses(F.col("text")).alias("__m"),
             "q_tokens",
@@ -2298,9 +2391,13 @@ def _waterfall_scrubbed_staged(spark, sf_dir):
             frac(2).alias("top3_frac"),
             frac(3).alias("dup5_frac"),
             frac(4).alias("dup8_frac"),
+            *([] if lm_join is not None else [lm_ok]),
         )
-        .join(lm, "doc_id", "left")
-        .select(
+    )
+    if lm_join is not None:
+        sig = sig.join(lm_join, "doc_id", "left")
+    sig = (
+        sig.select(
             "doc_id",
             "source",
             "lang",
@@ -9188,20 +9285,21 @@ def q_corpus_preprocess_pipeline(spark, sf_dir):
     what an LLM data run executes per crawl snapshot: PII scrub (map
     projection) → quality gate (map filter, pipelined with the scan) →
     exact dedup (digest semi-join; only 32-byte hashes shuffle) →
-    bigram-LM scoring trained ON the surviving corpus (in-plan join
-    path — no driver collect anywhere in this query) → drop the bottom
-    lm-score quartile via a self-calibrating 1-row broadcast threshold
-    (non-vacuous at every SF by construction). The threshold is an
-    EXACT-RANK quantile (stats.py:exact_rank_quantiles — the
-    interpolating percentile ULP-diverges from the oracle exactly at
-    threshold-equal scores); per-term micro-nat integer sums keep the
-    LM aggregate order-invariant, so the whole five-stage composite is
+    bigram-LM scoring trained ON the surviving corpus (literal-map
+    scorer: the count table is the bounded O(alphabet²) collect every
+    LM call site performs, scoring is a pure projection — r15 replaced
+    the explode + 3-join + re-aggregate chain this query carried from
+    its round-5 build, values bit-identical per functions/lm.py's
+    two-path contract) → drop the bottom lm-score quartile via a
+    self-calibrating 1-row broadcast threshold (non-vacuous at every SF
+    by construction). The threshold is an EXACT-RANK quantile
+    (stats.py:exact_rank_quantiles — the interpolating percentile
+    ULP-diverges from the oracle exactly at threshold-equal scores);
+    per-term micro-nat integer sums keep the LM aggregate
+    order-invariant, so the whole five-stage composite is
     oracle-checkable end to end."""
     from scikit_learn_imputer_spark.dedup.exact import exact_dedup
-    from scikit_learn_imputer_spark.functions.lm import (
-        _bigram_lm_scores_join,
-        char_bigram_counts,
-    )
+    from scikit_learn_imputer_spark.functions.lm import bigram_lm_scores
     from scikit_learn_imputer_spark.functions.pii import scrub_pii_col
     from scikit_learn_imputer_spark.functions.text import quality_features
 
@@ -9210,22 +9308,18 @@ def q_corpus_preprocess_pipeline(spark, sf_dir):
     scored = quality_features(clean)
     gated = scored.filter(_quality_pass_cond()).select("doc_id", "text")
     # The deduped survivor set is the pipeline's natural materialization
-    # point (every production run persists post-dedup): four downstream
-    # subplans traverse it (bigram counts, prefix totals, vocab, scoring
-    # terms) — without it each re-runs scan→scrub→gate→dedup. At 100 TB
-    # this persist is a parquet checkpoint, not an in-memory cache.
+    # point (every production run persists post-dedup): the LM count
+    # pass and the scoring projection both traverse it — without it each
+    # re-runs scan→scrub→gate→dedup. At 100 TB this persist is a parquet
+    # checkpoint, not an in-memory cache.
     deduped = exact_dedup(gated).persist()
     # The per-doc LM frame (doc_id, n_bigrams, lm_score — one row per
     # surviving doc) is traversed TWICE: the banded exact-rank threshold
     # is eager, and the kept filter re-reads the scores against it.
-    # Lazily, the second traversal re-runs the whole bigram scoring join
-    # chain (explode + 3 joins) over the persisted survivors.
     # Materializing the score frame runs the scorer once (optimization
     # round 14, guide §1.2); the survivor cache is released as soon as
     # the scores exist instead of leaking to ContextCleaner.
-    lm = _bigram_lm_scores_join(
-        deduped, char_bigram_counts(deduped)
-    ).localCheckpoint(eager=True)
+    lm = bigram_lm_scores(deduped).localCheckpoint(eager=True)
     deduped.unpersist()
     from scikit_learn_imputer_spark.functions.stats import (
         exact_rank_quantiles,
@@ -11285,6 +11379,7 @@ def q_quality_signal_corr(spark, sf_dir):
     too short to LM-score (< 2 chars) are excluded from every pair,
     same as the oracle's join."""
     from scikit_learn_imputer_spark.functions.lm import bigram_lm_scores
+    from scikit_learn_imputer_spark.functions.skew import fan_out
     from scikit_learn_imputer_spark.functions.text import (
         dup_trigram_ratio_col,
         quality_score_col,
@@ -11292,7 +11387,11 @@ def q_quality_signal_corr(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    pre = d.select(
+    # Parallelism floor BEFORE the heavy per-doc columns (r15): the
+    # scorer's internal fan_out repartitions its INPUT, so columns
+    # computed here would otherwise run pre-exchange on the scan's one
+    # partition — a single core for the trigram/quality batteries.
+    pre = fan_out(d.select("doc_id", "text")).select(
         "doc_id",
         "text",
         token_count_col(F.col("text")).cast("bigint").alias("__tok"),
@@ -14326,6 +14425,9 @@ def _gate_flag_frame(spark, sf_dir):
         / denom,
         9,
     )
+    # quality_features floors the signal projection's parallelism
+    # internally (r15): the one-partition corpus scan would otherwise
+    # serialize the Arrow masses pass + quality regexes on one core.
     sig = (
         quality_features(corpus.select("doc_id", "lang", "text"))
         .select(

@@ -102,10 +102,27 @@ HEAVY_BUILD = {
 }
 
 
+# One plan build per query per module (r15, VERDICT r14 #1): the three
+# lint dimensions previously each rebuilt (and, for queries with eager
+# build-time materializations, re-EXECUTED) every registry plan — 3x the
+# suite cost for byte-identical plan strings. The cache preserves every
+# test and every assertion; only the redundant rebuilds are gone.
+@pytest.fixture(scope="module")
+def plan_of(spark, sf_smoke):
+    cache: dict[str, str] = {}
+
+    def get(name: str) -> str:
+        if name not in cache:
+            df = QUERIES[name](spark, sf_smoke)
+            cache[name] = df._jdf.queryExecution().executedPlan().toString()
+        return cache[name]
+
+    return get
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - HEAVY_BUILD))
-def test_no_unintended_cartesian_or_nested_loop(spark, sf_smoke, name):
-    df = QUERIES[name](spark, sf_smoke)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+def test_no_unintended_cartesian_or_nested_loop(plan_of, name):
+    plan = plan_of(name)
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     if name not in INTENDED_NON_EQUI:
         assert "BroadcastNestedLoopJoin" not in plan, (
@@ -124,9 +141,8 @@ def test_no_unintended_cartesian_or_nested_loop(spark, sf_smoke, name):
         ("q12_late_shipment_priority", "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
     ],
 )
-def test_selective_predicates_reach_the_scan(spark, sf_smoke, name, fragment):
-    df = QUERIES[name](spark, sf_smoke)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+def test_selective_predicates_reach_the_scan(plan_of, name, fragment):
+    plan = plan_of(name)
     assert fragment in plan, f"{name}: predicate not pushed to scan"
 
 
@@ -241,15 +257,14 @@ INTENDED_GLOBAL_COLLECT = {
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - HEAVY_BUILD))
-def test_no_global_collect_over_unbounded_frame(spark, sf_smoke, name):
+def test_no_global_collect_over_unbounded_frame(plan_of, name):
     """No registered query may buffer its input through a global
     ``agg(collect_list/collect_set(...))`` (keys=[]) — the single-task
     OOM shape at 100 TB — unless the collected frame is whitelisted as
     bounded metadata."""
     import re as _re
 
-    df = QUERIES[name](spark, sf_smoke)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan_of(name)
     hits = [
         ln.strip()[:160]
         for ln in plan.splitlines()
@@ -265,9 +280,8 @@ def test_no_global_collect_over_unbounded_frame(spark, sf_smoke, name):
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - HEAVY_BUILD))
-def test_no_unpartitioned_window_over_unbounded_frame(spark, sf_smoke, name):
-    df = QUERIES[name](spark, sf_smoke)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+def test_no_unpartitioned_window_over_unbounded_frame(plan_of, name):
+    plan = plan_of(name)
     k = _unpartitioned_window_count(plan)
     if name not in INTENDED_GLOBAL_WINDOW:
         assert k == 0, (
