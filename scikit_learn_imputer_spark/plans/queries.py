@@ -1816,16 +1816,21 @@ def _contam_doc_ids(frame, bench, n=5):
     """doc_ids in ``frame`` sharing ANY word n-gram with ``bench`` —
     the decontamination membership both the waterfall and the ablation
     evaluate. Grams collapse to md5 digests for one left-semi join;
-    text never shuffles."""
+    text never shuffles. The gram explodes get the parallelism floor
+    (r15): both inputs often arrive as one partition (small scans,
+    post-semi-join checkpoints)."""
+    from scikit_learn_imputer_spark.functions.skew import fan_out
     from scikit_learn_imputer_spark.functions.text import word_ngrams_col
 
     bench_g = (
-        bench.select(F.explode(word_ngrams_col(F.col("text"), n)).alias("g"))
+        fan_out(bench)
+        .select(F.explode(word_ngrams_col(F.col("text"), n)).alias("g"))
         .select(F.md5("g").alias("gd"))
         .distinct()
     )
     return (
-        frame.select(
+        fan_out(frame)
+        .select(
             "doc_id", F.explode(word_ngrams_col(F.col("text"), n)).alias("g")
         )
         .select("doc_id", F.md5("g").alias("gd"))
